@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the query catalogs. */
+object Tables {
+  /** Load a driver test table. `events.ts` is physically TIMESTAMP(NANOS),
+    * which the vectorized parquet reader rejects — read it as raw nanos and
+    * truncate to microseconds (identical to how DuckDB's reader surfaces the
+    * same column, so oracle comparisons stay exact). */
+  def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    if (n == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$n.parquet")
+  }
+
+  /** Total deterministic order over every output column (hash-compare safe). */
+  def ord(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
+
+  /** Order-independent exact sum of a double expression: decimal-accumulate,
+    * present as double. Matches `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+}

@@ -1,0 +1,640 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface (SURVEY.md §2c).
+  *
+  * Each entry is a declared operator: a Spark DataFrame query plus (in
+  * [[oracles]]) an equivalent SQL text the driver runs in DuckDB on the same
+  * parquet tables. Conventions that make hash-comparison deterministic:
+  *
+  *   - every query ends with a total order over all output columns
+  *     (`ORDER BY ALL NULLS FIRST` on the oracle side);
+  *   - floating-point aggregates route through DECIMAL(18,4) so the sum is
+  *     exact and engine-order-independent, then cast back to DOUBLE;
+  *   - window orderings always include a unique tiebreaker key;
+  *   - functions whose result type differs between engines (length, floor,
+  *     year, ...) are cast to a common type on both sides.
+  *
+  * Scale notes (100 TB design intent, cf. SURVEY.md §4.2): all queries are
+  * pure DataFrame plans — Catalyst pushes filters/projections into the
+  * parquet scan, aggregations are partial (map-side) + final, and small
+  * dimension tables (region/nation/customer at typical SF) are explicitly
+  * `broadcast()` so the big fact side never shuffles for those joins.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  import graft.Tables.{t, ord, dsum}
+
+  val all: Map[String, Q] = Map(
+    // ---- scans / projection / filter (D1, D8; pushdown-compatible) ----
+    "q_scan_project" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+    }),
+    "q_filter_date" -> ((s, dir) => {
+      ord(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp") &&
+          col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+    }),
+
+    // ---- aggregation ----
+    "q1_agg" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")))
+    }),
+    "q_agg_minmax" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n")))
+    }),
+    "q_agg_rollup" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")))
+    }),
+    "q_agg_cube" -> ((s, dir) => {
+      ord(t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price")))
+    }),
+    "q_agg_groupingsets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      ord(s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
+    }),
+    "q_agg_collect" -> ((s, dir) => {
+      ord(t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          array_join(sort_array(collect_list(col("source"))), ",").as("sources"),
+          count(lit(1)).as("n")))
+    }),
+    // HLL sketch — engine-specific estimate, so no DuckDB oracle (rows-only).
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))
+    }),
+
+    // ---- joins ----
+    "q_join_inner" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      ord(li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("o_totalprice") > 400000)
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "l_quantity", "o_totalprice"))
+    }),
+    "q_join_broadcast" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      ord(c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name"))
+    }),
+    "q_join_left" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      ord(o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_quantity") > 45, "left")
+        .select("o_orderkey", "l_linenumber", "l_quantity"))
+    }),
+    "q_join_right" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      ord(li.join(o, o("o_orderkey") === li("l_orderkey") && li("l_quantity") > 45, "right")
+        .select("o_orderkey", "l_linenumber", "l_quantity"))
+    }),
+    "q_join_full" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      ord(c.join(o, c("c_custkey") === o("o_custkey") && o("o_totalprice") > 450000, "full")
+        .select("c_custkey", "o_orderkey", "o_totalprice"))
+    }),
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      ord(c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"))
+    }),
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      ord(c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"))
+    }),
+    "q_join_cross" -> ((s, dir) => {
+      ord(t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select("r_name", "n_name"))
+    }),
+    "q_join_theta" -> ((s, dir) => {
+      val sp = t(s, dir, "supplier"); val c = t(s, dir, "customer")
+      ord(sp.join(c, sp("s_nationkey") === c("c_nationkey") && c("c_acctbal") > sp("s_acctbal"))
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n_richer")))
+    }),
+    // As-of join: for each purchase, timestamp of the latest error by the
+    // same user at-or-before it. One shuffle on user_id; O(n) window scan —
+    // the scalable formulation (vs. a quadratic correlated subquery).
+    "q_join_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ord(e.withColumn("last_error_ts",
+          last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "last_error_ts"))
+    }),
+
+    // ---- window functions ----
+    "q_window_rank" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val wUnique = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wTies = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+      val wNtile = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord(o.select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(wUnique).as("rn"),
+        rank().over(wTies).as("rk"),
+        dense_rank().over(wTies).as("drk"),
+        ntile(4).over(wNtile).as("quartile")))
+    }),
+    "q_window_lag_lead" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ord(e.select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("first_value")))
+    }),
+    "q_window_running" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // Decimal accumulation: window-sum association order differs between
+      // engines, so double-sum is not bit-reproducible; decimal is exact.
+      ord(o.select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double").as("running_total"),
+        count(lit(1)).over(w).as("running_n")))
+    }),
+    "q_window_range" -> ((s, dir) => {
+      // Double-valued RANGE frame: DataFrame API only takes Long bounds, so
+      // express the frame in SQL (still one Catalyst Window node).
+      ord(t(s, dir, "orders").selectExpr(
+        "o_custkey", "o_orderkey",
+        """count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+          |RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1000""".stripMargin))
+    }),
+    "q_topk_pergroup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+    }),
+
+    // ---- sort / limit ----
+    "q_sort_limit" -> ((s, dir) => {
+      ord(t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
+    }),
+
+    // ---- set operations ----
+    "q_union_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nk"), col("c_acctbal").as("bal"))
+      val sp = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .select(col("s_nationkey").as("nk"), col("s_acctbal").as("bal"))
+      ord(c.union(sp))
+    }),
+    "q_union_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      ord(c.union(sp).distinct())
+    }),
+    "q_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9990).select(col("c_nationkey").as("nk"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      ord(c.intersect(sp))
+    }),
+    "q_except" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_nationkey").as("nk"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      ord(n.except(sp))
+    }),
+    "q_dropdup" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates())
+    }),
+
+    // ---- scalar functions: string ----
+    "q_str_funcs" -> ((s, dir) => {
+      ord(t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cn"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 10, 9).as("cnum_str"),
+        length(col("c_name")).as("name_len"),
+        format_string("%s|%d", col("c_mktsegment"), col("c_custkey")).as("fmt")))
+    }),
+    "q_regexp" -> ((s, dir) => {
+      ord(t(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("bigint").as("cnum"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("repl")))
+    }),
+    "q_levenshtein" -> ((s, dir) => {
+      ord(t(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), col("p_type")).as("dist")))
+    }),
+    "q_hash_md5" -> ((s, dir) => {
+      ord(t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h")))
+    }),
+
+    // ---- scalar functions: date/time ----
+    "q_date_funcs" -> ((s, dir) => {
+      ord(t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("mon"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_ago"),
+        date_add(col("o_orderdate"), 30).as("due"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s")))
+    }),
+
+    // ---- scalar functions: math ----
+    "q_math_funcs" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("r1"),
+        floor(col("l_extendedprice")).as("fl"),
+        ceil(col("l_extendedprice")).as("ce"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        (col("l_quantity") * col("l_quantity")).as("sq"),
+        round(log(col("l_extendedprice")), 6).as("ln6"),
+        pmod(col("l_orderkey"), lit(7)).as("pm")))
+    }),
+
+    // ---- scalar functions: conditional / null ----
+    "q_cond_funcs" -> ((s, dir) => {
+      ord(t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "F", "finished")
+          .otherwise("other").as("status_word"),
+        coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")), lit("none")).as("prio"),
+        col("o_totalprice").isNull.as("price_missing")))
+    }),
+
+    // ---- JSON ----
+    "q_json" -> ((s, dir) => {
+      ord(t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")))
+    }),
+    "q_json_agg" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")))
+    }),
+
+    // ---- arrays / higher-order ----
+    "q_explode_tokens" -> ((s, dir) => {
+      ord(t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n")))
+    }),
+    "q_array_funcs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      ord(d.select(
+        col("doc_id"),
+        array_contains(col("toks"), "data").as("has_data"),
+        size(col("toks")).as("n_toks"),
+        element_at(col("toks"), 1).as("first_tok"),
+        array_join(sort_array(array_intersect(col("toks"), array(lit("data"), lit("spark"), lit("table")))), ",").as("kw_hits")))
+    }),
+    "q_higher_order" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ord(e.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("esum"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("norm2")))
+    }),
+
+    // ---- streaming shapes, batch-checkable (events) ----
+    "q_window_tumbling" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value")))
+    }),
+    "q_window_sliding" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("wstart"), col("n")))
+    }),
+    "q_session_window" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "15 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("sstart"), col("user_id"), col("n")))
+    }),
+    "q_stream_dedup" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n")))
+    }),
+
+    // ---- reference dataflow ops as relational queries ----
+    // D9: deterministic-size random sample; engine-specific RNG → rows-only.
+    "q_sample" -> ((s, dir) => {
+      t(s, dir, "documents").orderBy(rand(42)).limit(25).select("doc_id", "lang", "source")
+    }),
+    // D10: tokens common to every document of a source (common-annotation
+    // intersection, distributed formulation: no driver-side fold).
+    "q_common_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val docCounts = d.groupBy("source").agg(countDistinct(col("doc_id")).as("n_docs"))
+      val tok = d.select(col("source"), col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .distinct()
+        .groupBy("source", "token").agg(count(lit(1)).as("n_with"))
+      ord(tok.join(broadcast(docCounts), "source")
+        .filter(col("n_with") === col("n_docs"))
+        .select("source", "token"))
+    }),
+    // D14/D15: archive upsert — delta rows win over base rows by key.
+    "q_upsert_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val base = o.filter(col("o_orderkey") % 3 < 2)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val delta = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), (col("o_totalprice") + 1000).as("price"))
+      ord(base.join(delta, base("k") === delta("k"), "full")
+        .select(
+          coalesce(delta("k"), base("k")).as("k"),
+          coalesce(delta("price"), base("price")).as("price")))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_filter_date" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND o_orderstatus = 'O' ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_minmax" ->
+      """SELECT l_returnflag, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_groupingsets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources, COUNT(*) AS n
+        |FROM documents GROUP BY lang ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_orderdate, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_left" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey AND l_quantity > 45
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_right" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity
+        |FROM lineitem RIGHT JOIN orders ON o_orderkey = l_orderkey AND l_quantity > 45
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer FULL JOIN orders ON c_custkey = o_custkey AND o_totalprice > 450000
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY ALL NULLS FIRST",
+    "q_join_theta" ->
+      """SELECT s_suppkey, COUNT(*) AS n_richer
+        |FROM supplier JOIN customer ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+        |GROUP BY s_suppkey ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_asof" ->
+      """SELECT event_id, user_id, ts,
+        |  (SELECT max(e2.ts) FROM events e2
+        |   WHERE e2.user_id = e.user_id AND e2.event_type = 'error'
+        |     AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id))) AS last_error_ts
+        |FROM events e WHERE event_type = 'purchase' ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS drk,
+        |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1000
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_topk_pergroup" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_union_all" ->
+      """SELECT c_nationkey AS nk, c_acctbal AS bal FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT s_nationkey AS nk, s_acctbal AS bal FROM supplier WHERE s_acctbal > 9000
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9990
+        |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_except" ->
+      """SELECT n_nationkey AS nk FROM nation EXCEPT SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dropdup" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY ALL NULLS FIRST",
+    "q_str_funcs" ->
+      """SELECT c_custkey,
+        |  c_name || '-' || c_mktsegment AS cn,
+        |  upper(c_name) AS up,
+        |  lower(c_mktsegment) AS lo,
+        |  substring(c_name, 10, 9) AS cnum_str,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  printf('%s|%d', c_mktsegment, c_custkey) AS fmt
+        |FROM customer ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_regexp" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cnum,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS repl
+        |FROM customer ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_levenshtein" ->
+      "SELECT p_partkey, CAST(levenshtein(p_brand, p_type) AS INTEGER) AS dist FROM part ORDER BY ALL NULLS FIRST",
+    "q_hash_md5" ->
+      "SELECT doc_id, md5(text) AS h FROM documents ORDER BY ALL NULLS FIRST",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_ago,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r1,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  abs(l_discount - 0.05) AS ab,
+        |  l_quantity * l_quantity AS sq,
+        |  round(ln(l_extendedprice), 6) AS ln6,
+        |  ((l_orderkey % 7) + 7) % 7 AS pm
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_cond_funcs" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'open'
+        |       WHEN o_orderstatus = 'F' THEN 'finished'
+        |       ELSE 'other' END AS status_word,
+        |  coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS prio,
+        |  o_totalprice IS NULL AS price_missing
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_json_agg" ->
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_explode_tokens" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |WHERE length(token) > 0 GROUP BY token ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  list_contains(toks, 'data') AS has_data,
+        |  CAST(len(toks) AS INTEGER) AS n_toks,
+        |  toks[1] AS first_tok,
+        |  coalesce(array_to_string(list_sort(list_intersect(toks, ['data','spark','table'])), ','), '') AS kw_hits
+        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_higher_order" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS esum,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2
+        |FROM embeddings ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_sliding" ->
+      """SELECT wstart, COUNT(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS wstart FROM events)
+        |GROUP BY wstart ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_session_window" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL '15 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM gaps)
+        |SELECT min(ts) AS sstart, user_id, COUNT(*) AS n
+        |FROM sess GROUP BY user_id, sid ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_common_tokens" ->
+      """WITH dc AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY source),
+        |tok AS (
+        |  SELECT DISTINCT source, doc_id, token FROM (
+        |    SELECT source, doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |  WHERE length(token) > 0),
+        |cnt AS (SELECT source, token, COUNT(*) AS n_with FROM tok GROUP BY source, token)
+        |SELECT cnt.source, cnt.token FROM cnt JOIN dc ON cnt.source = dc.source
+        |WHERE cnt.n_with = dc.n_docs ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_upsert_merge" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders WHERE o_orderkey % 3 < 2),
+        |delta AS (SELECT o_orderkey AS k, o_totalprice + 1000 AS price FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT coalesce(delta.k, base.k) AS k, coalesce(delta.price, base.price) AS price
+        |FROM base FULL JOIN delta ON base.k = delta.k ORDER BY ALL NULLS FIRST""".stripMargin,
+  )
+}
