@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Identifier, Record}
+
+/** Corpus sources and sinks (SURVEY.md §2a: D1-D3, D7, D14, D15, D18).
+  *
+  * The engine-native store is Parquet — columnar and splittable, so reading
+  * `identifier` plus one view does not deserialize parse forests (impossible
+  * in the reference's monolithic one-Thrift-file-per-document layout,
+  * `HadoopCuratorClient.java:83-104`). Scale: writes are partitioned by the
+  * leading hex nibbles of the content hash, giving uniformly-sized partitions
+  * at any corpus size.
+  */
+object Sources {
+
+  /** D3: raw-text ingest — directory of UTF-8 `.txt` files, one document
+    * each, to fresh Records (reference
+    * `CuratorClient.createRecordsFromRawInputFiles`, 406-429). Empty
+    * documents are rejected (`CuratorClient.java:527-536`); duplicate
+    * documents collapse by content hash (content-addressed identity). */
+  def rawTextDir(spark: SparkSession, dir: String, whitespaced: Boolean = false): Dataset[Record] = {
+    import spark.implicits._
+    spark.read.format("text").option("wholetext", "true")
+      .load(s"$dir/*.txt")
+      .select(col("value").as("rawText"))
+      .filter(length(col("rawText")) > 0)
+      .as[String]
+      .map(t => Record.fresh(t, whitespaced))
+      .dropDuplicates("identifier")
+  }
+
+  /** Ingest from any DataFrame with a text column (e.g. the `documents`
+    * table) — the column form of the sha1 identity keeps the whole ingest
+    * inside codegen. */
+  def fromTextColumn(df: DataFrame, textCol: String, whitespaced: Boolean = false): Dataset[Record] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(textCol).as("rawText"))
+      .filter(length(col("rawText")) > 0)
+      .select(
+        Identifier.idColumn(col("rawText"), lit(whitespaced)).as("identifier"),
+        col("rawText"),
+        typedLit(Map.empty[String, graft.model.Labeling]).as("labelViews"),
+        typedLit(Map.empty[String, graft.model.Clustering]).as("clusterViews"),
+        typedLit(Map.empty[String, graft.model.Forest]).as("parseViews"),
+        typedLit(Map.empty[String, graft.model.GView]).as("views"),
+        lit(whitespaced).as("whitespaced"))
+      .dropDuplicates("identifier")
+      .as[Record]
+  }
+
+  /** D7: engine-native sink. `idPrefixPartitions` buckets by the first hex
+    * char of the identifier — 16 balanced partitions per write, stable under
+    * corpus growth (content hashes are uniform). */
+  def writeRecords(ds: Dataset[Record], path: String, mode: SaveMode = SaveMode.Overwrite,
+      idPrefixPartitions: Boolean = false): Unit = {
+    val out = if (idPrefixPartitions)
+      ds.withColumn("id_prefix", substring(col("identifier"), 1, 1))
+        .repartition(col("id_prefix"))
+        .write.partitionBy("id_prefix")
+    else ds.write
+    out.mode(mode).parquet(path)
+  }
+
+  def readRecords(spark: SparkSession, path: String): Dataset[Record] = {
+    import spark.implicits._
+    spark.read.parquet(path).drop("id_prefix").as[Record]
+  }
+
+  /** D15: archive lookup — incoming documents keep the stored (annotated)
+    * record when the store already has their content hash
+    * (`CuratorClient.getRecFromDatabase`, 348-371). Implemented as a
+    * left join on `identifier` + coalesce, one shuffle (or broadcast when
+    * the incoming batch is small). */
+  def lookup(incoming: Dataset[Record], store: Dataset[Record]): Dataset[Record] = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    incoming.map(r => r.identifier -> r).toDF("id", "fresh")
+      .join(store.map(r => r.identifier -> r).toDF("id", "stored"), Seq("id"), "left")
+      .select(coalesce(col("stored"), col("fresh")).as("r"))
+      .select("r.*").as[Record]
+  }
+
+  /** D14: archive upsert — a record replaces its stored version iff it
+    * carries MORE views (`CuratorClient.informDatabaseOfUpdatedRecords`,
+    * 581-651). Full outer join on identifier; the richer side wins. */
+  def upsert(store: Dataset[Record], updates: Dataset[Record]): Dataset[Record] = {
+    val spark = store.sparkSession
+    import spark.implicits._
+    def keyed(ds: Dataset[Record], name: String) =
+      ds.map(r => (r.identifier, r.viewNames.size, r)).toDF("id", s"${name}_n", name)
+    keyed(store, "stored").join(keyed(updates, "fresh"), Seq("id"), "full")
+      .select(when(col("fresh_n").isNotNull &&
+          (col("stored_n").isNull || col("fresh_n") > col("stored_n")), col("fresh"))
+        .otherwise(col("stored")).as("r"))
+      .select("r.*").as[Record]
+  }
+
+  /** D18: old-output rotation — move an existing output dir aside into
+    * `old_jobs/<name>_<n>` before writing (reference
+    * `CuratorJob.setUpIODirectories`, 119-142). */
+  def rotateOldOutput(spark: SparkSession, path: String): Option[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val base = new org.apache.hadoop.fs.Path(p.getParent, "old_jobs")
+      fs.mkdirs(base)
+      var i = 0
+      var dest = new org.apache.hadoop.fs.Path(base, s"${p.getName}_$i")
+      while (fs.exists(dest)) { i += 1; dest = new org.apache.hadoop.fs.Path(base, s"${p.getName}_$i") }
+      fs.rename(p, dest)
+      Some(dest.toString)
+    }
+  }
+
+  /** D11: input-kind detection — does a directory hold serialized records or
+    * raw text? Probe-read like `JobHandler.containsSerializedRecords`
+    * (468-482): try the parquet record schema on one file. */
+  def containsSerializedRecords(spark: SparkSession, dir: String): Boolean =
+    try {
+      val df = spark.read.parquet(dir)
+      Seq("identifier", "rawText").forall(df.columns.contains)
+    } catch { case _: Exception => false }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.model.{Identifier, Record}
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+
+  test("rawTextDir: .txt files become fresh records; empty docs rejected; dups collapse (D3/D8)") {
+    val dir = Files.createTempDirectory("graft-raw")
+    Files.writeString(dir.resolve("a.txt"), "first document text")
+    Files.writeString(dir.resolve("b.txt"), "second document text")
+    Files.writeString(dir.resolve("dup.txt"), "first document text") // duplicate content
+    Files.writeString(dir.resolve("empty.txt"), "")
+    val ds = Sources.rawTextDir(spark, dir.toString)
+    val recs = ds.collect()
+    assert(recs.length == 2, "empty rejected, duplicate collapsed by content hash")
+    assert(recs.forall(r => r.identifier == Identifier.id(r.rawText, false)))
+    assert(recs.forall(r => r.viewNames.isEmpty))
+  }
+
+  test("fromTextColumn: column-form sha1 identity matches the Scala form") {
+    import spark.implicits._
+    val df = Seq("alpha text", "beta text").toDF("text")
+    val recs = Sources.fromTextColumn(df, "text").collect()
+    assert(recs.length == 2)
+    for (r <- recs) assert(r.identifier == Identifier.id(r.rawText, false))
+  }
+
+  test("record store round-trip with id-prefix partitioning (D7)") {
+    import spark.implicits._
+    val recs = (1 to 50).map(i => Record.fresh(s"document number $i"))
+    val ds = spark.createDataset(recs)
+    val out = Files.createTempDirectory("graft-store").toString + "/t"
+    Sources.writeRecords(ds, out, idPrefixPartitions = true)
+    val back = Sources.readRecords(spark, out).collect()
+    assert(back.sortBy(_.identifier).toSeq == recs.sortBy(_.identifier))
+    // partition dirs exist (hash-prefix layout)
+    val parts = new java.io.File(out).listFiles().filter(_.getName.startsWith("id_prefix="))
+    assert(parts.nonEmpty)
+  }
+
+  test("old-output rotation moves existing dir aside (D18)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-rot").toString
+    val out = s"$base/result"
+    spark.createDataset(Seq(Record.fresh("v1"))).write.parquet(out)
+    val moved = Sources.rotateOldOutput(spark, out)
+    assert(moved.exists(_.contains("old_jobs")))
+    assert(!Files.exists(Paths.get(out)))
+    assert(Files.exists(Paths.get(moved.get)))
+    // second rotation of a recreated dir gets a new suffix
+    spark.createDataset(Seq(Record.fresh("v2"))).write.parquet(out)
+    val moved2 = Sources.rotateOldOutput(spark, out)
+    assert(moved2.isDefined && moved2 != moved)
+  }
+
+  test("input-kind detection (D11)") {
+    import spark.implicits._
+    val recDir = Files.createTempDirectory("graft-kind").toString + "/recs"
+    spark.createDataset(Seq(Record.fresh("abc"))).write.parquet(recDir)
+    assert(Sources.containsSerializedRecords(spark, recDir))
+    val plainDir = Files.createTempDirectory("graft-kind2").toString + "/plain"
+    Seq(("x", 1)).toDF("a", "b").write.parquet(plainDir)
+    assert(!Sources.containsSerializedRecords(spark, plainDir))
+    assert(!Sources.containsSerializedRecords(spark, "/nonexistent/dir"))
+  }
+}
