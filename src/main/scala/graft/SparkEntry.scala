@@ -5,6 +5,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *
   * Queries are assembled from per-area catalogs:
   *   - [[graft.queries.Relational]] — SURVEY §2c relational surface
+  *   - [[graft.queries.Annotation]] — SURVEY §2b annotation operators
+  *   - [[graft.queries.Ext]] — SURVEY §2d LLM-pipeline operators
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -13,10 +15,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.Annotation.all ++
+      graft.queries.Ext.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.queries.Annotation.oracles ++
+      graft.queries.Ext.oracles
 }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document fingerprint: polynomial rolling hash over the UTF-8 bytes.
+  *
+  * `fp = sum(byte_i * B^(n-1-i)) mod 2^64` with base B=1000003 (wrapping long
+  * arithmetic). A native Catalyst `Expression` with `doGenCode`, so it stays
+  * inside whole-stage codegen — no UDF serialization, no boxing; at 100 TB
+  * the fingerprint pass is memory-bandwidth-bound, not CPU-bound.
+  *
+  * Used for exact-dedup keys and shift-detection (two documents with the
+  * same fingerprint are byte-identical with overwhelming probability).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * RollingHash.Base + (bytes(i) & 0xffL); i += 1 }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * ${RollingHash.Base}L + ($bytes[$i] & 0xffL);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Winnowing-style minimum window fingerprint: the minimum rolling hash over
+  * all `w`-byte windows (a near-dup signal robust to appends/prefixes —
+  * winnowing, Schleimer et al. SIGMOD'03). Windows shorter than `w` hash the
+  * whole text. */
+case class MinWindowHash(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, "window must be positive")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "min_window_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    java.lang.Long.valueOf(MinWindowHash.eval(bytes, w))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |${ev.value} = graft.functions.MinWindowHash.eval($bytes, $w);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinWindowHash =
+    copy(child = newChild)
+}
+
+object MinWindowHash {
+  /** Rolling update: h' = (h - lead*B^(w-1)) * B + next, wrapping 2^64. */
+  def eval(bytes: Array[Byte], w: Int): Long = {
+    if (bytes.isEmpty) return 0L
+    val n = bytes.length
+    if (n <= w) {
+      var h = 0L; var i = 0
+      while (i < n) { h = h * RollingHash.Base + (bytes(i) & 0xffL); i += 1 }
+      return h
+    }
+    var pow = 1L
+    var i = 0
+    while (i < w - 1) { pow *= RollingHash.Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * RollingHash.Base + (bytes(i) & 0xffL); i += 1 }
+    var min = h
+    i = w
+    while (i < n) {
+      h = (h - (bytes(i - w) & 0xffL) * pow) * RollingHash.Base + (bytes(i) & 0xffL)
+      if (java.lang.Long.compareUnsigned(h, min) < 0) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+object RollingHash {
+  final val Base = 1000003L
+
+  // Spark 4: Column <-> Expression bridging lives in the classic API
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+  def min_window_hash(c: Column, w: Int): Column = column(MinWindowHash(expression(c), w))
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{t, ord}
+import graft.operators.{AnnotationMode => M}
+import graft.plans.AnnotationEngine
+import graft.sources.Sources
+
+/** Annotation-operator queries (SURVEY.md §2b) over the driver test tables.
+  *
+  * Each query ingests a text column into the Record model, runs the real
+  * annotation engine (narrow mapPartitions chain), and flattens a checkable
+  * projection. Where the annotator is a pure regex/lexicon function the
+  * DuckDB oracle replicates it exactly in SQL (tokens, POS tags, chunk
+  * islands, NER runs); structurally nested outputs (parse trees, coref
+  * clusters, SRL) get rows-only checks here and full checks in ScalaTest.
+  *
+  * Keyed by md5(rawText) — content-addressed like the engine's sha1
+  * identifier, but computable by DuckDB 1.0 (which lacks sha1).
+  */
+object Annotation {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def eng = AnnotationEngine.default
+
+  private def corpus(s: SparkSession, dir: String, table: String, column: String) =
+    Sources.fromTextColumn(t(s, dir, table), column)
+
+  /** SQL replica of [[graft.operators.Annotators.PosTagger.tag]] — keep in
+    * sync with the Scala rule cascade. */
+  private def tagCase(tok: String): String =
+    s"""CASE
+       |  WHEN NOT regexp_matches($tok, '[A-Za-z0-9]') THEN 'SYM'
+       |  WHEN regexp_matches($tok, '^[0-9]+([.,][0-9]+)?$$') THEN 'CD'
+       |  WHEN lower($tok) IN ('the','a','an','this','that','these','those') THEN 'DT'
+       |  WHEN lower($tok) IN ('of','in','on','at','by','for','with','to','from','as') THEN 'IN'
+       |  WHEN lower($tok) IN ('and','or','but','nor','so','yet') THEN 'CC'
+       |  WHEN lower($tok) IN ('i','you','he','she','it','we','they','him','her','them','his','its','their','my','your','our') THEN 'PRP'
+       |  WHEN lower($tok) IN ('will','would','can','could','shall','should','may','might','must') THEN 'MD'
+       |  WHEN lower($tok) IN ('is','are','was','were','be','been','am','being') THEN 'VB'
+       |  WHEN lower($tok) LIKE '%ly' AND length($tok) > 3 THEN 'RB'
+       |  WHEN lower($tok) LIKE '%ing' AND length($tok) > 4 THEN 'VBG'
+       |  WHEN lower($tok) LIKE '%ed' AND length($tok) > 3 THEN 'VBD'
+       |  WHEN regexp_matches($tok, '^[A-Z]') THEN 'NNP'
+       |  WHEN lower($tok) LIKE '%s' AND length($tok) > 3 THEN 'NNS'
+       |  ELSE 'NN' END""".stripMargin
+
+  private val tokRegexSql = "'[A-Za-z0-9_'']+|[^A-Za-z0-9_''\\s]'"
+
+  /** Distinct non-empty texts tokenized in SQL: (h, l=token list). */
+  private def toksCte(table: String, column: String): String =
+    s"""toks AS (
+       |  SELECT md5($column) AS h, regexp_extract_all($column, $tokRegexSql) AS l
+       |  FROM (SELECT DISTINCT $column FROM $table WHERE length($column) > 0))""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    // TOKEN + SENTENCE (fused multilabeler)
+    "q_annotate_tokens" -> ((s, dir) => {
+      val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.TOKEN)
+      ord(ann.toDF.select(
+        md5(col("rawText")).as("h"),
+        size(col("labelViews")("tokens")("labels")).as("n_tokens"),
+        size(col("labelViews")("sentences")("labels")).as("n_sentences")))
+    }),
+    // POS: every (token, tag) pair, positionally
+    "q_annotate_pos" -> ((s, dir) => {
+      val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.POS)
+      ord(ann.toDF
+        .selectExpr("md5(rawText) AS h",
+          """posexplode(zip_with(labelViews['tokens'].labels.label,
+            |  labelViews['pos'].labels.label,
+            |  (t, p) -> struct(t AS token, p AS tag)))""".stripMargin)
+        .select(col("h"), col("pos").cast("int").as("idx"),
+          col("col.token").as("token"), col("col.tag").as("tag")))
+    }),
+    // CHUNK: NP/VP island counts per document
+    "q_annotate_chunks" -> ((s, dir) => {
+      val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.CHUNK)
+      ord(ann.toDF.select(
+        md5(col("rawText")).as("h"),
+        expr("size(filter(labelViews['chunk'].labels, x -> x.label = 'NP'))").as("n_np"),
+        expr("size(filter(labelViews['chunk'].labels, x -> x.label = 'VP'))").as("n_vp")))
+    }),
+    // NER on a mixed-case corpus (customer names carry caps + digits)
+    "q_annotate_ner" -> ((s, dir) => {
+      val ann = eng.annotate(corpus(s, dir, "customer", "c_name"), M.NER)
+      ord(ann.toDF.select(
+        md5(col("rawText")).as("h"),
+        expr("size(filter(labelViews['ner'].labels, x -> x.label = 'MISC'))").as("n_entities"),
+        expr("size(filter(labelViews['ner'].labels, x -> x.label = 'CARDINAL'))").as("n_cardinals")))
+    }),
+    // WIKI: entity linking summary (title/url attributes) — rows-only
+    "q_annotate_wiki" -> ((s, dir) => {
+      val ann = eng.annotate(corpus(s, dir, "customer", "c_name"), M.WIKI)
+      ord(ann.toDF.select(
+        md5(col("rawText")).as("h"),
+        expr("size(labelViews['wikifier'].labels)").as("n_links"),
+        expr("labelViews['wikifier'].labels[0].attributes['url']").as("first_url")))
+    }),
+    // PARSE: tree shape summary — rows-only (nested structure in ScalaTest)
+    "q_annotate_parse" -> ((s, dir) => {
+      val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.PARSE)
+      ord(ann.toDF.select(
+        md5(col("rawText")).as("h"),
+        expr("size(parseViews['charniak'].trees)").as("n_trees"),
+        expr("aggregate(parseViews['charniak'].trees, 0, (a, t) -> a + size(t.nodes))").as("n_nodes")))
+    }),
+    // COREF + SRL summary — rows-only
+    "q_annotate_coref" -> ((s, dir) => {
+      val ann = eng.annotate(corpus(s, dir, "customer", "c_name"), M.COREF)
+      ord(ann.toDF.select(
+        md5(col("rawText")).as("h"),
+        expr("size(clusterViews['coref'].clusters)").as("n_clusters"),
+        expr("aggregate(clusterViews['coref'].clusters, 0, (a, c) -> a + size(c.labels))").as("n_mentions")))
+    }),
+    "q_annotate_srl" -> ((s, dir) => {
+      val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.VERB_SRL)
+      ord(ann.toDF.select(
+        md5(col("rawText")).as("h"),
+        expr("size(parseViews['srl'].trees)").as("n_predicates"),
+        expr("aggregate(parseViews['srl'].trees, 0, (a, t) -> a + size(t.nodes) - 1)").as("n_args")))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_annotate_tokens" ->
+      s"""SELECT md5(text) AS h,
+         |  CAST(len(regexp_extract_all(text, $tokRegexSql)) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x) != '')) AS INT) AS n_sentences
+         |FROM (SELECT DISTINCT text FROM documents WHERE length(text) > 0)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_annotate_pos" ->
+      s"""WITH ${toksCte("documents", "text")}
+         |SELECT h, CAST(i - 1 AS INT) AS idx, l[i] AS token,
+         |  ${tagCase("l[i]")} AS tag
+         |FROM toks, unnest(generate_series(1, len(l))) AS u(i)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_annotate_chunks" ->
+      s"""WITH ${toksCte("documents", "text")},
+         |tagged AS (
+         |  SELECT h, i, ${tagCase("l[i]")} AS tag
+         |  FROM toks, unnest(generate_series(1, len(l))) AS u(i)),
+         |kinds AS (
+         |  SELECT h, i,
+         |    CASE WHEN tag IN ('DT','CD','PRP','NN','NNS','NNP') THEN 'NP'
+         |         WHEN tag IN ('MD','VB','VBD','VBG','RB') THEN 'VP'
+         |         ELSE 'O' END AS kind
+         |  FROM tagged),
+         |isl AS (
+         |  SELECT h, kind, i - row_number() OVER (PARTITION BY h, kind ORDER BY i) AS grp
+         |  FROM kinds WHERE kind <> 'O')
+         |SELECT toks.h,
+         |  CAST(coalesce(any_value(np.n), 0) AS INT) AS n_np,
+         |  CAST(coalesce(any_value(vp.n), 0) AS INT) AS n_vp
+         |FROM toks
+         |LEFT JOIN (SELECT h, count(DISTINCT grp) AS n FROM isl WHERE kind = 'NP' GROUP BY h) np ON toks.h = np.h
+         |LEFT JOIN (SELECT h, count(DISTINCT grp) AS n FROM isl WHERE kind = 'VP' GROUP BY h) vp ON toks.h = vp.h
+         |GROUP BY toks.h
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_annotate_ner" ->
+      s"""WITH ${toksCte("customer", "c_name")},
+         |kinds AS (
+         |  SELECT h, i,
+         |    CASE WHEN regexp_matches(l[i], '^[A-Z]') THEN 'CAP'
+         |         WHEN regexp_matches(l[i], '^[0-9]+([.,][0-9]+)?$$') THEN 'NUM'
+         |         ELSE 'O' END AS kind
+         |  FROM toks, unnest(generate_series(1, len(l))) AS u(i)),
+         |caps AS (
+         |  SELECT h, i - row_number() OVER (PARTITION BY h ORDER BY i) AS grp
+         |  FROM kinds WHERE kind = 'CAP'),
+         |nums AS (SELECT h, count(*) AS n FROM kinds WHERE kind = 'NUM' GROUP BY h)
+         |SELECT toks.h,
+         |  CAST(coalesce(any_value(c.n), 0) AS INT) AS n_entities,
+         |  CAST(coalesce(any_value(nums.n), 0) AS INT) AS n_cardinals
+         |FROM toks
+         |LEFT JOIN (SELECT h, count(DISTINCT grp) AS n FROM caps GROUP BY h) c ON toks.h = c.h
+         |LEFT JOIN nums ON toks.h = nums.h
+         |GROUP BY toks.h
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+  )
+}

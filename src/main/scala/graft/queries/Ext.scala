@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{t, ord}
+
+/** [EXT] LLM-data-pipeline operators (SURVEY.md §2d): deduplication families,
+  * similarity search over embeddings, text analysis, multimodal plumbing.
+  *
+  * Scale design notes (100 TB):
+  *   - exact dedup is a hash-groupBy — one shuffle on a 16-byte key;
+  *   - n-gram Jaccard uses the shingle-inverted-index join (the scalable
+  *     exact algorithm: candidates only from shared shingles, never the
+  *     O(n²) cross join); at petabyte scale add document-frequency pruning
+  *     of ubiquitous shingles;
+  *   - MinHash/LSH banding turns near-dup into an equi-join on
+  *     (band, band_hash) — shuffle size is |docs|·bands, independent of
+  *     pair count; SimHash packs a signature into one BIGINT;
+  *   - ANN: brute-force top-k broadcasts the (small) query set and scans the
+  *     corpus once — embarrassingly parallel; the LSH-bucketed variant cuts
+  *     the scanned fraction, trading recall;
+  *   - multimodal payloads stay opaque BINARY columns; per-batch decode via
+  *     mapPartitions (the container has no codec libs, so decode is a
+  *     clearly-marked deterministic stub — the schema/partitioning/batching
+  *     is the real, tested part).
+  */
+object Ext {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- deduplication --------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    // exact dedup: content-hash groupBy (generalizes the engine's sha1 identity)
+    "q_dedup_exact" -> ((s, dir) => {
+      ord(t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")))
+    }),
+    // exact n-gram Jaccard via shingle inverted-index join
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+        .filter(size(col("w")) >= 3)
+      val sh = w.select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("s")).distinct()
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      ord(inter
+        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_inter", "jaccard"))
+    }),
+    // MinHash + LSH banding (engine-specific hash family -> rows-only);
+    // candidates verified with exact Jaccard so precision is checkable
+    "q_dedup_minhash" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+        .filter(size(col("w")) >= 3)
+      val sh = w.select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("s")).distinct()
+      // k=32 hash family h_i(s) = xxhash64(s, i); signature = elementwise min
+      val sig = sh.select(col("doc_id"), explode(
+          expr("transform(sequence(0, 31), i -> struct(i AS i, xxhash64(s, i) AS h))")).as("x"))
+        .groupBy(col("doc_id"), col("x.i").as("i"))
+        .agg(min(col("x.h")).as("mh"))
+      // 8 bands x 4 rows: band key = hash of the band's signature slice
+      val bands = sig.withColumn("band", (col("i") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(xxhash64(sort_array(collect_list(struct(col("i"), col("mh"))))).as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      // verify candidates with exact Jaccard (precision pass)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand.join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      ord(inter
+        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard"))
+    }),
+    // SimHash: 64-bit bit-vote signature packed into one BIGINT (rows-only)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("transform(split(text, '\\\\s+'), w -> xxhash64(w))").as("hs"))
+      val sim = d.select(col("doc_id"), expr(
+        // shiftleft wraps (no ANSI overflow check), unlike `* 2` — the top
+        // vote lands in the sign bit by design
+        """aggregate(sequence(0, 63), 0L, (acc, b) ->
+          |  shiftleft(acc, 1) | CASE WHEN aggregate(hs, 0L, (a, h) ->
+          |    a + CASE WHEN (shiftright(h, 63 - b) & 1) = 1 THEN 1L ELSE -1L END) > 0
+          |  THEN 1L ELSE 0L END)""".stripMargin).as("simhash"))
+      // near-dup pairs by hamming distance on the packed signature
+      ord(sim.as("x").join(sim.as("y"), col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 8)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")))
+    }),
+    // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
+    // the LSH-bucketed q_knn_ivf below is the scale path)
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val n = e.select(col("vec_id"), col("v"),
+        expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)").as("n2"))
+      ord(n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .withColumn("cos", round(
+          expr("aggregate(zip_with(x.v, y.v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
+            (sqrt(col("x.n2")) * sqrt(col("y.n2"))), 4))
+        .filter(col("cos") >= 0.95)
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos")))
+    }),
+
+    // ---- similarity search ------------------------------------------
+
+    // brute-force cosine top-k: broadcast the query set, scan corpus once
+    "q_knn_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val n = e.select(col("vec_id"), col("v"),
+        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)")).as("nrm"))
+      val q = broadcast(n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+      val scored = n.join(q, col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
+            (col("qn") * col("nrm")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk")))
+    }),
+    // LSH-bucketed ANN: deterministic sign-sketch buckets (scale path,
+    // engine-specific hashing -> rows-only)
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // bucket = sign pattern of the first 8 dims (a fixed orthant sketch —
+      // deterministic stand-in for trained IVF centroids)
+      val b = e.withColumn("bucket",
+        expr("aggregate(slice(v, 1, 8), 0L, (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)"))
+      val n = b.withColumn("nrm",
+        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)")))
+      val q = broadcast(n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+          col("bucket").as("qb")))
+      val scored = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(
+          expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
+            (col("qn") * col("nrm")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk")))
+    }),
+
+    // ---- text analysis ----------------------------------------------
+
+    "q_text_quality" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+      ord(t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          split(col("text"), "\\s+").as("w"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("w")).as("n_tokens"),
+          round(expr("aggregate(w, 0, (a, x) -> a + length(x))") /
+            col("n_chars").cast("double"), 6).as("alpha_ratio"),
+          round(size(expr(s"filter(w, x -> x IN (${stop.map("'" + _ + "'").mkString(",")}))")) /
+            size(col("w")).cast("double"), 6).as("stop_ratio"),
+          round(size(expr("filter(w, x -> length(x) <= 2)")) /
+            size(col("w")).cast("double"), 6).as("short_ratio")))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      val en = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+      val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+      val fr = Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "un", "une")
+      def cnt(ws: Seq[String]) =
+        size(expr(s"filter(split(text, '\\\\s+'), x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))"))
+      ord(t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          cnt(en).as("c_en"), cnt(de).as("c_de"), cnt(fr).as("c_fr"))
+        .withColumn("pred_lang",
+          when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
+            .when(col("c_de") >= col("c_fr"), "de")
+            .otherwise("fr")))
+    }),
+    // document fingerprinting: custom codegen'd Catalyst expressions
+    // (rolling polynomial hash + winnowing-style min-window hash)
+    "q_fingerprint" -> ((s, dir) => {
+      import graft.functions.RollingHash.{rolling_hash, min_window_hash}
+      ord(t(s, dir, "documents").select(col("doc_id"),
+        rolling_hash(col("text")).as("fp"),
+        min_window_hash(col("text"), 32).as("fp_min32")))
+    }),
+
+    // ---- multimodal plumbing ----------------------------------------
+
+    // opaque binary payload + typed metadata; batch "decode" in
+    // mapPartitions (deterministic stub standing in for a real codec)
+    "q_mm_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      val meta = bin.mapPartitions { batch =>
+        // STUB: a real pipeline would decode image/audio bytes here (no
+        // codec libs in this container). The deterministic fake derives
+        // "dimensions" from payload size; schema/batching are the real part.
+        batch.map { case (id, payload) =>
+          val n = payload.length
+          (id, n, (n % 640 + 1).toInt, ((n * 31) % 480 + 1).toInt, "stub")
+        }
+      }.toDF("doc_id", "n_bytes", "width", "height", "codec")
+      ord(meta)
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text) ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
+        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM v)
+        |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |  round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
+        |    (sqrt(x.n2) * sqrt(y.n2)), 4) AS cos
+        |FROM n x JOIN n y ON x.vec_id < y.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
+        |    (sqrt(x.n2) * sqrt(y.n2)), 4) >= 0.95
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_bruteforce" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+        |  FROM n JOIN q ON vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id AS neighbor, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM scored)
+        |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |  round(list_sum(list_transform(string_split_regex(text, '\s+'), x -> length(x))) /
+        |    CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+        |  round(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) /
+        |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 6) AS stop_ratio,
+        |  round(len(list_filter(string_split_regex(text, '\s+'), x -> length(x) <= 2)) /
+        |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE), 6) AS short_ratio
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_lang_id" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS INT) AS c_en,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS INT) AS c_de,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('le','la','les','et','est','pas','pour','dans','un','une'))) AS INT) AS c_fr
+        |  FROM documents)
+        |SELECT doc_id, lang, c_en, c_de, c_fr,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |       WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_mm_decode" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INT) AS height,
+        |  'stub' AS codec
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+  )
+}
