@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  private def eventsOf(rows: Event*): MemoryStream[Event] = {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    ms.addData(rows: _*)
+    ms
+  }
+
+  test("tumbling window counts over a stream (watermark + windowed agg)") {
+    val ms = eventsOf(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(59), 2, "view", 3.0))
+    val q = Streams.tumblingCounts(ms.toDF(), width = "30 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tumb").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 00:30:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap") {
+    val ms = eventsOf(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(5), 7, "click", 1.0),  // same session (gap 15m)
+      Event(3, ts(40), 7, "click", 1.0)) // new session
+    val q = Streams.sessionCounts(ms.toDF(), gap = "15 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", 7L, 2L),
+        ("2024-01-01 00:40:00.0", 7L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps one row per (user, type)") {
+    val ms = eventsOf(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 1, "click", 9.0),
+      Event(3, ts(3), 1, "view", 2.0))
+    val q = Streams.dedupStream(ms.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates running totals across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = Streams.runningUserTotals(ms.toDS())
+      .toDF("user_id", "n", "sum_value")
+      .writeStream.format("memory").queryName("tot").outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(Event(1, ts(1), 5, "click", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(2, ts(2), 5, "click", 3.0))
+      q.processAllAvailable()
+      val last = spark.table("tot").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(last.contains((5L, 1L, 2.0)), "first batch state")
+      assert(last.contains((5L, 2L, 5.0)), "second batch accumulated state")
+    } finally q.stop()
+  }
+
+  test("sliding windows assign each event to two windows") {
+    val ms = eventsOf(Event(1, ts(45), 1, "click", 1.0))
+    val q = Streams.slidingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val starts = spark.table("slide").collect().map(_.getTimestamp(0).toString).toSet
+      assert(starts == Set("2024-01-01 00:00:00.0", "2024-01-01 00:30:00.0"))
+    } finally q.stop()
+  }
+}
