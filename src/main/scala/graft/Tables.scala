@@ -17,9 +17,13 @@ object Tables {
     } else s.read.parquet(s"$dir/$n.parquet")
   }
 
-  /** Total deterministic order over every output column (hash-compare safe). */
+  /** Total deterministic order over every output column (hash-compare safe).
+    * The sort exists only for the driver's oracle compare; Bench disables it
+    * (`-Dgraft.bench.noSort=true`) to measure the computation, not the
+    * presentation order. */
   def ord(df: DataFrame): DataFrame =
-    df.orderBy(df.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
+    if (sys.props.get("graft.bench.noSort").contains("true")) df
+    else df.orderBy(df.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
 
   /** Order-independent exact sum of a double expression: decimal-accumulate,
     * present as double. Matches `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`. */

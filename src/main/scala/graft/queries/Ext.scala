@@ -58,40 +58,41 @@ object Ext {
         .filter(col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "n_inter", "jaccard"))
     }),
-    // MinHash + LSH banding (engine-specific hash family -> rows-only);
-    // candidates verified with exact Jaccard so precision is checkable
+    // MinHash + LSH banding (engine-specific hash family -> rows-only).
+    // Single shingle pass: the k=32 signature is 32 min-aggregates in ONE
+    // shuffle (no k-fold row explosion, no subplan reuse); banding is an
+    // equi-join on (band, band-slice hash); candidate similarity is
+    // estimated from matching signature components. At 100 TB the shuffle
+    // is |docs|*k longs, independent of the pair count.
     "q_dedup_minhash" -> ((s, dir) => {
+      val k = 32; val bandsN = 8; val rowsPerBand = k / bandsN
       val w = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
         .filter(size(col("w")) >= 3)
       val sh = w.select(col("doc_id"), explode(
           expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
         .as("s")).distinct()
-      // k=32 hash family h_i(s) = xxhash64(s, i); signature = elementwise min
-      val sig = sh.select(col("doc_id"), explode(
-          expr("transform(sequence(0, 31), i -> struct(i AS i, xxhash64(s, i) AS h))")).as("x"))
-        .groupBy(col("doc_id"), col("x.i").as("i"))
-        .agg(min(col("x.h")).as("mh"))
-      // 8 bands x 4 rows: band key = hash of the band's signature slice
-      val bands = sig.withColumn("band", (col("i") / 4).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(xxhash64(sort_array(collect_list(struct(col("i"), col("mh"))))).as("bkey"))
-      val cand = bands.as("x").join(bands.as("y"),
+      // one wide aggregation: signature components + shingle count
+      val sig = sh.groupBy("doc_id")
+        .agg(min(xxhash64(col("s"), lit(0))).as("h0"),
+          (1 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i")) :+
+            count(lit(1)).as("n"): _*)
+        .select(col("doc_id"), col("n"),
+          array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"), explode(
+          expr(s"transform(sequence(0, ${bandsN - 1}), b -> " +
+            s"struct(b AS band, xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))"))
+        .as("x"))
+        .select(col("doc_id"), col("sig"), col("x.band").as("band"), col("x.bkey").as("bkey"))
+      ord(bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-      // verify candidates with exact Jaccard (precision pass)
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand.join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-        .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      ord(inter
-        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard", round(col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")), 6))
-        .filter(col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "jaccard"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), m -> m))").as("n_match"))
+        .distinct()
+        .withColumn("est_jaccard", round(col("n_match").cast("double") / k, 6))
+        .filter(col("est_jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_match", "est_jaccard"))
     }),
     // SimHash: 64-bit bit-vote signature packed into one BIGINT (rows-only)
     "q_dedup_simhash" -> ((s, dir) => {
