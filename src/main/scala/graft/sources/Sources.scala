@@ -27,9 +27,9 @@ object Sources {
       .load(s"$dir/*.txt")
       .select(col("value").as("rawText"))
       .filter(length(col("rawText")) > 0)
+      .distinct() // content dedup on the string (hash-aggregable), not the record
       .as[String]
       .map(t => Record.fresh(t, whitespaced))
-      .dropDuplicates("identifier")
   }
 
   /** Ingest from any DataFrame with a text column (e.g. the `documents`
@@ -38,8 +38,12 @@ object Sources {
   def fromTextColumn(df: DataFrame, textCol: String, whitespaced: Boolean = false): Dataset[Record] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // dedup on the bare text BEFORE attaching the (map-typed) view columns:
+    // a distinct over maps can only SortAggregate; over one string column it
+    // is a codegen'd HashAggregate
     df.select(col(textCol).as("rawText"))
       .filter(length(col("rawText")) > 0)
+      .distinct()
       .select(
         Identifier.idColumn(col("rawText"), lit(whitespaced)).as("identifier"),
         col("rawText"),
@@ -48,7 +52,6 @@ object Sources {
         typedLit(Map.empty[String, graft.model.Forest]).as("parseViews"),
         typedLit(Map.empty[String, graft.model.GView]).as("views"),
         lit(whitespaced).as("whitespaced"))
-      .dropDuplicates("identifier")
       .as[Record]
   }
 

@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan property checks: the 100-TB design contract, asserted.
+  * These catch regressions like a lost pushdown, a dropped broadcast, or a
+  * new shuffle in the annotation chain — things correctness tests can't see. */
+class PlanCheckSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("scan: filter and projection reach the parquet reader") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"), "column pruning lost")
+  }
+
+  test("date filter is pushed down to the scan") {
+    val p = plan("q_filter_date")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p.take(800))
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dim join must not sort-merge")
+  }
+
+  test("aggregation is partial (map-side combine) + final") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+    // one hash shuffle for the groupBy; the rangepartitioning exchange is
+    // the oracle-only presentation sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "q1 needs exactly one computation shuffle")
+  }
+
+  test("per-group top-k uses WindowGroupLimit pushdown (partial rank filter)") {
+    val p = plan("q_topk_pergroup")
+    assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
+  }
+
+  test("ingest dedup is a hash aggregate over the text, not a sort aggregate over maps") {
+    val ds = graft.sources.Sources.fromTextColumn(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+    val p = ds.queryExecution.executedPlan.toString
+    assert(!p.contains("SortAggregate"), s"map-column dedup fell back to sort agg:\n${p.take(600)}")
+  }
+
+  test("whole-stage codegen covers the custom fingerprint expressions") {
+    // AQE reports 0 codegen subtrees before execution — inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_fingerprint")(spark, dir)
+      val code = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+      assert(code.contains("WholeStageCodegen"), "fingerprint fell out of codegen")
+      assert(code.contains("1000003L"), "rolling-hash doGenCode not inlined")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
