@@ -364,6 +364,38 @@ object Relational {
         .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n")))
     }),
 
+    // ---- JSON struct parsing + map functions ----
+    "q_from_json" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, INT>")).as("m"))
+        .select(col("event_id"),
+          element_at(map_keys(col("m")), 1).as("first_key"),
+          element_at(map_values(col("m")), 1).as("first_val"),
+          size(map_keys(col("m"))).as("n_keys")))
+    }),
+    "q_unionbyname" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      val b = t(s, dir, "supplier").select(col("s_acctbal").as("bal"), col("s_suppkey").as("k"))
+      ord(a.unionByName(b)) // b's columns are in the other order on purpose
+    }),
+    "q_sort_within_partitions" -> ((s, dir) => {
+      // declared operator: partition-local sort (no global shuffle); the
+      // outer ord() restores a deterministic order for the oracle compare
+      ord(t(s, dir, "lineitem")
+        .repartition(col("l_returnflag"))
+        .sortWithinPartitions(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag"))
+    }),
+    "q_array_union" -> ((s, dir) => {
+      ord(t(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(sort_array(array_union(
+          slice(split(col("text"), "\\s+"), 1, 5),
+          array(lit("graft"), lit("data")))), ",").as("u")))
+    }),
+
     // ---- reference dataflow ops as relational queries ----
     // D9: deterministic-size random sample; engine-specific RNG → rows-only.
     "q_sample" -> ((s, dir) => {
@@ -631,6 +663,24 @@ object Relational {
         |cnt AS (SELECT source, token, COUNT(*) AS n_with FROM tok GROUP BY source, token)
         |SELECT cnt.source, cnt.token FROM cnt JOIN dc ON cnt.source = dc.source
         |WHERE cnt.n_with = dc.n_docs ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_from_json" ->
+      """SELECT event_id,
+        |  json_keys(props)[1] AS first_key,
+        |  CAST(props -> json_keys(props)[1] AS INTEGER) AS first_val,
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+        |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_unionbyname" ->
+      """SELECT c_custkey AS k, c_acctbal AS bal FROM customer
+        |UNION ALL SELECT s_suppkey AS k, s_acctbal AS bal FROM supplier
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sort_within_partitions" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_array_union" ->
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(
+        |    string_split_regex(text, '\s+')[1:5] || ['graft', 'data'])), ',') AS u
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_upsert_merge" ->
       """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders WHERE o_orderkey % 3 < 2),
         |delta AS (SELECT o_orderkey AS k, o_totalprice + 1000 AS price FROM orders WHERE o_orderkey % 2 = 0)
