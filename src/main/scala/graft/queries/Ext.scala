@@ -209,6 +209,31 @@ object Ext {
         min_window_hash(col("text"), 32).as("fp_min32")))
     }),
 
+    // ---- UDF surface (SURVEY §2c): scalar UDF, array UDF + explode,
+    // typed Aggregator UDAF ------------------------------------------
+
+    // array-returning tokenizer UDF + explode (generator pattern) + scalar
+    // tag UDF — same algorithms as the engine operators, exposed through
+    // the spark.sql.functions.udf registration path
+    "q_udf_tokenize" -> ((s, dir) => {
+      val tokenizeUdf = udf((text: String) =>
+        graft.operators.Annotators.TokenPattern.findAllIn(text).toSeq)
+      val tagUdf = udf((tok: String) => graft.operators.Annotators.PosTagger.tag(tok))
+      ord(t(s, dir, "documents")
+        .select(md5(col("text")).as("h"), explode(tokenizeUdf(col("text"))).as("token"))
+        .groupBy(col("h"), tagUdf(col("token")).as("tag"))
+        .agg(count(lit(1)).as("n")))
+    }),
+    // typed Aggregator UDAF: per-source common-token intersection fold
+    // (the aggregator form of the reference's common-annotation detection)
+    "q_agg_intersect" -> ((s, dir) => {
+      val common = udaf(graft.functions.SetIntersect)
+      ord(t(s, dir, "documents")
+        .select(col("source"), split(col("text"), "\\s+").as("toks"))
+        .groupBy("source")
+        .agg(array_join(common(col("toks")), ",").as("common_tokens")))
+    }),
+
     // ---- multimodal plumbing ----------------------------------------
 
     // opaque binary payload + typed metadata; batch "decode" in
@@ -303,6 +328,41 @@ object Ext {
         |  CASE WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
         |       WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred_lang
         |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_udf_tokenize" ->
+      """SELECT md5(text) AS h,
+        |  CASE
+        |    WHEN NOT regexp_matches(token, '[A-Za-z0-9]') THEN 'SYM'
+        |    WHEN regexp_matches(token, '^[0-9]+([.,][0-9]+)?$') THEN 'CD'
+        |    WHEN lower(token) IN ('the','a','an','this','that','these','those') THEN 'DT'
+        |    WHEN lower(token) IN ('of','in','on','at','by','for','with','to','from','as') THEN 'IN'
+        |    WHEN lower(token) IN ('and','or','but','nor','so','yet') THEN 'CC'
+        |    WHEN lower(token) IN ('i','you','he','she','it','we','they','him','her','them','his','its','their','my','your','our') THEN 'PRP'
+        |    WHEN lower(token) IN ('will','would','can','could','shall','should','may','might','must') THEN 'MD'
+        |    WHEN lower(token) IN ('is','are','was','were','be','been','am','being') THEN 'VB'
+        |    WHEN lower(token) LIKE '%ly' AND length(token) > 3 THEN 'RB'
+        |    WHEN lower(token) LIKE '%ing' AND length(token) > 4 THEN 'VBG'
+        |    WHEN lower(token) LIKE '%ed' AND length(token) > 3 THEN 'VBD'
+        |    WHEN regexp_matches(token, '^[A-Z]') THEN 'NNP'
+        |    WHEN lower(token) LIKE '%s' AND length(token) > 3 THEN 'NNS'
+        |    ELSE 'NN' END AS tag,
+        |  COUNT(*) AS n
+        |FROM (SELECT text, unnest(regexp_extract_all(text, '[A-Za-z0-9_'']+|[^A-Za-z0-9_''\s]')) AS token
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_intersect" ->
+      """WITH dc AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |tok AS (SELECT DISTINCT source, doc_id, token FROM (
+        |  SELECT source, doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)),
+        |common AS (
+        |  SELECT t.source, t.token FROM (
+        |    SELECT source, token, COUNT(*) AS n_with FROM tok GROUP BY source, token) t
+        |  JOIN dc ON t.source = dc.source WHERE t.n_with = dc.n_docs)
+        |SELECT dc.source,
+        |  coalesce(any_value(c.ct), '') AS common_tokens
+        |FROM dc LEFT JOIN (
+        |  SELECT source, string_agg(token, ',' ORDER BY token) AS ct FROM common GROUP BY source) c
+        |ON dc.source = c.source
+        |GROUP BY dc.source ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_decode" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,

@@ -245,6 +245,7 @@ object Relational {
         lower(col("c_mktsegment")).as("lo"),
         substring(col("c_name"), 10, 9).as("cnum_str"),
         length(col("c_name")).as("name_len"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"),
         format_string("%s|%d", col("c_mktsegment"), col("c_custkey")).as("fmt")))
     }),
     "q_regexp" -> ((s, dir) => {
@@ -566,6 +567,7 @@ object Relational {
         |  lower(c_mktsegment) AS lo,
         |  substring(c_name, 10, 9) AS cnum_str,
         |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  trim('  ' || c_mktsegment || '  ') AS trimmed,
         |  printf('%s|%d', c_mktsegment, c_custkey) AS fmt
         |FROM customer ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_regexp" ->

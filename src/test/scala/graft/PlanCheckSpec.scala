@@ -42,6 +42,14 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
   }
 
+  test("big-big equi join falls back to sort-merge when broadcast is off") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_join_inner")
+      assert(p.contains("SortMergeJoin"), p.take(600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("ingest dedup is a hash aggregate over the text, not a sort aggregate over maps") {
     val ds = graft.sources.Sources.fromTextColumn(
       spark.read.parquet(s"$dir/documents.parquet"), "text")
