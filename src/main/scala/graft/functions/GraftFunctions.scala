@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for the engine's custom expressions, via both paths:
+  *
+  *   - `spark.sql.extensions=graft.functions.GraftExtensions` (cluster-wide,
+  *     the `SparkSessionExtensions` route), or
+  *   - `GraftFunctions.register(spark)` on an existing session.
+  *
+  * After either, `SELECT rolling_hash(text), min_window_hash(text, 32)`
+  * works from plain SQL.
+  */
+object GraftFunctions {
+
+  private def mwh(exprs: Seq[Expression]): Expression = {
+    val w = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"min_window_hash window must be an integer literal, got $other")
+    }
+    MinWindowHash(exprs.head, w)
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    (FunctionIdentifier("min_window_hash"),
+      new ExpressionInfo(classOf[MinWindowHash].getName, "min_window_hash"),
+      (exprs: Seq[Expression]) => mwh(exprs)))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.model._
+import graft.sources.ThriftCompat
+
+/** ScalaCheck round-trip properties over randomly generated Records
+  * (SURVEY.md §5: "random Records, write∘read == id"), modeled on the
+  * reference's DummyInputCreator-style synthetic corpora. */
+class RecordPropertySpec extends SparkSpec {
+
+  private val genText: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.const("the"), Gen.const("Dog"),
+      Gen.const("42"), Gen.const("."))).map(_.mkString(" ")).suchThat(_.nonEmpty)
+
+  private def genSpan(len: Int): Gen[Span] = for {
+    start <- Gen.choose(0, math.max(0, len - 2))
+    end <- Gen.choose(start + 1, len)
+    label <- Gen.alphaStr
+    score <- Gen.choose(0.0, 1.0)
+    src <- Gen.identifier
+    attrs <- Gen.mapOfN(2, Gen.zip(Gen.identifier, Gen.identifier))
+  } yield Span(start, end, label, score, src, attrs)
+
+  private val genRecord: Gen[Record] = for {
+    text <- genText
+    ws <- Gen.oneOf(true, false)
+    nSpans <- Gen.choose(0, 5)
+    spans <- Gen.listOfN(nSpans, genSpan(text.length))
+    src <- Gen.identifier
+    withCluster <- Gen.oneOf(true, false)
+    withTree <- Gen.oneOf(true, false)
+  } yield {
+    val base = Record.fresh(text, ws)
+    val lab = Map("tokens" -> Labeling(spans.toVector, src, 1.0))
+    val clu = if (withCluster)
+      Map("coref" -> Clustering(Vector(Labeling(spans.toVector, src, 0.5)), src, 1.0))
+    else Map.empty[String, Clustering]
+    val par = if (withTree && spans.nonEmpty)
+      Map("charniak" -> Forest(Vector(Tree(
+        spans.toVector.zipWithIndex.map { case (s, i) =>
+          TreeNode(s.label, s, if (i == 0) Map(1 -> "e").filter(_ => spans.size > 1) else Map.empty, 1.0)
+        }, 0, 1.0)), src))
+    else Map.empty[String, Forest]
+    base.copy(labelViews = lab, clusterViews = clu, parseViews = par)
+  }
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("thrift codec round-trip is the identity on random records") {
+    check(Prop.forAll(genRecord) { r =>
+      ThriftCompat.readRecord(ThriftCompat.writeRecord(r)) == r
+    })
+  }
+
+  test("generated records satisfy the structural invariants") {
+    check(Prop.forAll(genRecord) { r => Invariants.violations(r).isEmpty })
+  }
+
+  test("parquet store round-trip is the identity on a random corpus") {
+    import spark.implicits._
+    val recs = Gen.listOfN(30, genRecord).sample.get
+      .groupBy(_.identifier).values.map(_.head).toSeq // content-dedup like ingest
+    val out = java.nio.file.Files.createTempDirectory("graft-prop").toString + "/t"
+    spark.createDataset(recs).write.parquet(out)
+    val back = spark.read.parquet(out).as[Record].collect()
+    assert(back.sortBy(_.identifier).toSeq == recs.sortBy(_.identifier))
+  }
+
+  test("sql registration: rolling_hash/min_window_hash callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash('abc') AS a, min_window_hash('abc', 32) AS b").head()
+    // 'abc' shorter than the window: both hash the whole string
+    val expected = "abc".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => h * graft.functions.RollingHash.Base + (b & 0xffL))
+    assert(r.getLong(0) == expected && r.getLong(1) == expected)
+  }
+}
