@@ -86,6 +86,7 @@ object Relational {
         .groupBy("lang")
         .agg(
           array_join(sort_array(collect_list(col("source"))), ",").as("sources"),
+          array_join(sort_array(collect_set(col("source"))), ",").as("distinct_sources"),
           count(lit(1)).as("n")))
     }),
     // HLL sketch — engine-specific estimate, so no DuckDB oracle (rows-only).
@@ -174,7 +175,8 @@ object Relational {
       ord(e.select(col("user_id"), col("event_id"), col("value"),
         lag(col("value"), 1).over(w).as("prev_value"),
         lead(col("value"), 1).over(w).as("next_value"),
-        first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("first_value")))
+        first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("first_value"),
+        last(col("value")).over(w.rowsBetween(0, Window.unboundedFollowing)).as("last_value")))
     }),
     "q_window_running" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -374,7 +376,8 @@ object Relational {
         .select(col("event_id"),
           element_at(map_keys(col("m")), 1).as("first_key"),
           element_at(map_values(col("m")), 1).as("first_val"),
-          size(map_keys(col("m"))).as("n_keys")))
+          size(map_keys(col("m"))).as("n_keys"),
+          to_json(col("m")).as("js")))
     }),
     "q_unionbyname" -> ((s, dir) => {
       val a = t(s, dir, "customer").select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
@@ -463,7 +466,9 @@ object Relational {
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_collect" ->
-      """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources, COUNT(*) AS n
+      """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS distinct_sources,
+        |  COUNT(*) AS n
         |FROM documents GROUP BY lang ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_inner" ->
       """SELECT l_orderkey, l_linenumber, o_orderdate, l_quantity, o_totalprice
@@ -519,7 +524,9 @@ object Relational {
         |  lag(value, 1) OVER w AS prev_value,
         |  lead(value, 1) OVER w AS next_value,
         |  first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value,
+        |  last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
@@ -669,7 +676,8 @@ object Relational {
       """SELECT event_id,
         |  json_keys(props)[1] AS first_key,
         |  CAST(props -> json_keys(props)[1] AS INTEGER) AS first_val,
-        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys
+        |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+        |  to_json(map([json_keys(props)[1]], [CAST(props -> json_keys(props)[1] AS INTEGER)])) AS js
         |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_unionbyname" ->
       """SELECT c_custkey AS k, c_acctbal AS bal FROM customer
