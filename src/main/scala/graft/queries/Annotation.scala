@@ -28,6 +28,13 @@ object Annotation {
   private def corpus(s: SparkSession, dir: String, table: String, column: String) =
     Sources.fromTextColumn(t(s, dir, table), column)
 
+  /** md5 hex of the raw text — the Scala twin of `functions.md5` used on
+    * the oracle side, applied inside the typed pipeline so the projection
+    * happens object-side (no serialization of the full nested record). */
+  private[queries] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
   /** SQL replica of [[graft.operators.Annotators.PosTagger.tag]] — keep in
     * sync with the Scala rule cascade. */
   private def tagCase(tok: String): String =
@@ -56,24 +63,29 @@ object Annotation {
        |  FROM (SELECT DISTINCT $column FROM $table WHERE length($column) > 0))""".stripMargin
 
   val all: Map[String, Q] = Map(
-    // TOKEN + SENTENCE (fused multilabeler)
+    // TOKEN + SENTENCE (fused multilabeler). The projection runs inside the
+    // typed pipeline (map on Record), so only (h, n, n) crosses the
+    // object->Tungsten boundary — not the full nested view maps.
     "q_annotate_tokens" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
       val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.TOKEN)
-      ord(ann.toDF.select(
-        md5(col("rawText")).as("h"),
-        size(col("labelViews")("tokens")("labels")).as("n_tokens"),
-        size(col("labelViews")("sentences")("labels")).as("n_sentences")))
+      ord(ann.map(r => (md5Hex(r.rawText),
+          r.labelViews("tokens").labels.size,
+          r.labelViews("sentences").labels.size))
+        .toDF("h", "n_tokens", "n_sentences"))
     }),
     // POS: every (token, tag) pair, positionally
     "q_annotate_pos" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
       val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.POS)
-      ord(ann.toDF
-        .selectExpr("md5(rawText) AS h",
-          """posexplode(zip_with(labelViews['tokens'].labels.label,
-            |  labelViews['pos'].labels.label,
-            |  (t, p) -> struct(t AS token, p AS tag)))""".stripMargin)
-        .select(col("h"), col("pos").cast("int").as("idx"),
-          col("col.token").as("token"), col("col.tag").as("tag")))
+      ord(ann.flatMap { r =>
+          val h = md5Hex(r.rawText)
+          val toks = r.labelViews("tokens").labels
+          val tags = r.labelViews("pos").labels
+          toks.indices.map(i => (h, i, toks(i).label, tags(i).label))
+        }.toDF("h", "idx", "token", "tag"))
     }),
     // CHUNK: NP/VP island counts per document
     "q_annotate_chunks" -> ((s, dir) => {

@@ -255,6 +255,26 @@ object Ext {
       }.toDF("doc_id", "n_bytes", "width", "height", "codec")
       ord(meta)
     }),
+    // multimodal feature extraction: per-batch over the opaque payload —
+    // a deterministic 8-bin byte histogram standing in for an image/audio
+    // feature extractor (the batch shape, schema, and partitioning are the
+    // real part; swap the loop body for a codec at deploy time)
+    "q_mm_features" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      val feats = bin.mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val hist = new Array[Long](8)
+          payload.foreach(b => hist((b & 0xff) >> 5) += 1)
+          (id, hist.toSeq, payload.length)
+        }
+      }.toDF("doc_id", "byte_hist", "n_bytes")
+      ord(feats.select(col("doc_id"), col("n_bytes"),
+        array_join(col("byte_hist"), ",").as("hist")))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
