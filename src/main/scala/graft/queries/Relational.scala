@@ -89,6 +89,18 @@ object Relational {
           array_join(sort_array(collect_set(col("source"))), ",").as("distinct_sources"),
           count(lit(1)).as("n")))
     }),
+    // Skew-safe exact distinct: two-phase aggregation (dedupe on the
+    // composite key first, then count) — the shuffle key space is
+    // (group, value), so one hot group spreads over the cluster instead of
+    // landing on one reducer. Same result as COUNT(DISTINCT ...), different
+    // scaling on skewed keys; 5 event types over 10k events is exactly that
+    // shape at 100 TB.
+    "q_agg_distinct_twophase" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users")))
+    }),
     // HLL sketch — engine-specific estimate, so no DuckDB oracle (rows-only).
     "q_agg_approx_distinct" -> ((s, dir) => {
       ord(t(s, dir, "lineitem")
@@ -465,6 +477,9 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_distinct_twophase" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_collect" ->
       """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources,
         |  string_agg(DISTINCT source, ',' ORDER BY source) AS distinct_sources,
