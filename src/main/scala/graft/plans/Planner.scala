@@ -42,7 +42,11 @@ object Planner {
       // forced start: everything before it in the dependency chain is
       // asserted present (JobHandler.java:273-285)
       case Some(start) if full.contains(start) => full.dropWhile(_ != start)
-      case _ => full.filterNot(m => m != target && present.contains(m))
+      // prune present views INCLUDING the target: a corpus that already
+      // carries a fresh target view plans zero jobs (work-skipping at the
+      // corpus level; the reference reaches the same end state by running
+      // a job whose every record-level annotate is a skip)
+      case _ => full.filterNot(present.contains)
     }
     // fusion rewrite: CHUNK's in-process handler also emits TOKEN and POS
     val fused =

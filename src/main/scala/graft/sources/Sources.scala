@@ -126,7 +126,17 @@ object Sources {
     * (468-482): try the parquet record schema on one file. */
   def containsSerializedRecords(spark: SparkSession, dir: String): Boolean =
     try {
-      val df = spark.read.parquet(dir)
-      Seq("identifier", "rawText").forall(df.columns.contains)
+      // cheap layout probe first so raw-text dirs don't spam footer errors
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val looksParquet = fs.exists(p) && fs.listStatus(p).exists { st =>
+        st.getPath.getName.endsWith(".parquet") ||
+          st.getPath.getName.startsWith("id_prefix=") ||
+          st.getPath.getName == "_SUCCESS"
+      }
+      looksParquet && {
+        val df = spark.read.parquet(dir)
+        Seq("identifier", "rawText").forall(df.columns.contains)
+      }
     } catch { case _: Exception => false }
 }
