@@ -66,6 +66,50 @@ object Streams {
       }
   }
 
+  final case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Long)
+  final case class ClosedSession(user_id: Long, start: java.sql.Timestamp, n: Long)
+
+  /** Sessionization with explicit state + event-time timeout via
+    * flatMapGroupsWithState: emits a session only when it CLOSES (gap
+    * exceeded or state timed out past the watermark) — the pattern for
+    * unbounded keyed state with bounded memory. */
+  def closedSessions(events: Dataset[Event], gapMs: Long = 15 * 60 * 1000L): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => ClosedSession(user, s.start, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            for (e <- sorted) {
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime < gapMs =>
+                  cur = Some(s.copy(last = e.ts, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, s.start, s.n)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Convenience: file-stream source over a directory of event parquet. */
   def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

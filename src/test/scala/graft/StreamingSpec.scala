@@ -87,6 +87,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits sessions when the gap closes them") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = Streams.closedSessions(ms.toDS())
+      .writeStream.format("memory").queryName("closed").outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: two events 5m apart; then a 40m gap starts session 2
+      ms.addData(Event(1, ts(0), 9, "click", 1.0), Event(2, ts(5), 9, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(3, ts(45), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("closed").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      assert(rows.contains((9L, "2024-01-01 00:00:00.0", 2L)),
+        s"first session must close when the 40m-later event arrives, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to two windows") {
     val ms = eventsOf(Event(1, ts(45), 1, "click", 1.0))
     val q = Streams.slidingCounts(ms.toDF())
