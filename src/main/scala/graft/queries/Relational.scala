@@ -157,6 +157,19 @@ object Relational {
       ord(sp.join(c, sp("s_nationkey") === c("c_nationkey") && c("c_acctbal") > sp("s_acctbal"))
         .groupBy("s_suppkey").agg(count(lit(1)).as("n_richer")))
     }),
+    // Range (BETWEEN) join: 5 balance bands derived from region keys,
+    // matched to customers by interval containment. No equi key -> Spark
+    // picks BroadcastNestedLoopJoin with the tiny band table as build side,
+    // which is exactly right: the fact side streams once, never shuffles.
+    "q_join_range" -> ((s, dir) => {
+      val bands = broadcast(t(s, dir, "region").select(
+        col("r_regionkey").as("band"),
+        (col("r_regionkey") * 2000.0).as("lo"),
+        ((col("r_regionkey") + 1) * 2000.0).as("hi")))
+      val c = t(s, dir, "customer")
+      ord(c.join(bands, c("c_acctbal") >= bands("lo") && c("c_acctbal") < bands("hi"))
+        .select("c_custkey", "band", "c_acctbal"))
+    }),
     // As-of join: for each purchase, timestamp of the latest error by the
     // same user at-or-before it. One shuffle on user_id; O(n) window scan —
     // the scalable formulation (vs. a quadratic correlated subquery).
@@ -521,6 +534,13 @@ object Relational {
       """SELECT s_suppkey, COUNT(*) AS n_richer
         |FROM supplier JOIN customer ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
         |GROUP BY s_suppkey ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_range" ->
+      """SELECT c_custkey, band, c_acctbal
+        |FROM customer JOIN (
+        |  SELECT r_regionkey AS band, r_regionkey * 2000.0 AS lo,
+        |    (r_regionkey + 1) * 2000.0 AS hi FROM region) bands
+        |ON c_acctbal >= lo AND c_acctbal < hi
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_asof" ->
       """SELECT event_id, user_id, ts,
         |  (SELECT max(e2.ts) FROM events e2
