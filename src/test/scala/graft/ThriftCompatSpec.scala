@@ -77,6 +77,23 @@ class ThriftCompatSpec extends SparkSpec {
     assert(back == full)
   }
 
+  test("golden flow: reference job output preserves input views and adds pos (verifyRecords semantics)") {
+    val inFiles = fixtureFiles(serializedDir); val outFiles = fixtureFiles(outputDir)
+    assume(inFiles.nonEmpty && outFiles.nonEmpty, "reference fixtures not available")
+    val before = ThriftCompat.readThriftDir(spark, serializedDir)
+    val after = ThriftCompat.readThriftDir(spark, outputDir)
+    // D17: raw text unchanged through the reference's own hadoop job
+    val drift = AnnotationEngine.default.textConsistent(before, after, tol = 0).collect()
+    assert(drift.nonEmpty && drift.forall(_._2), "rawText must be identical")
+    // D16: per-view diff — the reference's serialized fixtures already
+    // carry tokens/sentences/pos (FIXTURES.md A2), and its job output
+    // preserves them verbatim: every view diff must report a match
+    val diff = AnnotationEngine.default.verify(before, after).collect()
+    assert(diff.map(_._2).toSet == Set("tokens", "sentences", "pos"))
+    assert(diff.forall(_._3),
+      s"golden diff must be clean, got mismatches: ${diff.filterNot(_._3).toSeq}")
+  }
+
   test("spark source: thrift dir -> Dataset[Record] -> annotate -> thrift sink -> read back") {
     val files = fixtureFiles(serializedDir)
     assume(files.nonEmpty, "reference fixtures not available")
