@@ -25,13 +25,20 @@ object Bench {
     "q_window_rank",
     "q_topk_pergroup",
     "q_window_tumbling",
+    "q_session_window",
     "q_explode_tokens",
     "q_annotate_tokens",
     "q_annotate_pos",
+    "q_annotate_srl",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
-    "q_knn_bruteforce")
+    "q_dedup_simhash",
+    "q_knn_bruteforce",
+    "q_text_quality",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_mm_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,7 +31,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => RollingHash(exprs.head)),
     (FunctionIdentifier("min_window_hash"),
       new ExpressionInfo(classOf[MinWindowHash].getName, "min_window_hash"),
-      (exprs: Seq[Expression]) => mwh(exprs)))
+      (exprs: Seq[Expression]) => mwh(exprs)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, _, builder) =>

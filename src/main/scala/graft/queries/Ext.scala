@@ -116,13 +116,11 @@ object Ext {
       val d = canonicalDocs(s, dir)
         .select(col("doc_id"),
           expr("transform(split(text, '\\\\s+'), w -> xxhash64(w))").as("hs"))
-      val sim = d.select(col("doc_id"), expr(
-        // shiftleft wraps (no ANSI overflow check), unlike `* 2` — the top
-        // vote lands in the sign bit by design
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  shiftleft(acc, 1) | CASE WHEN aggregate(hs, 0L, (a, h) ->
-          |    a + CASE WHEN (shiftright(h, 63 - b) & 1) = 1 THEN 1L ELSE -1L END) > 0
-          |  THEN 1L ELSE 0L END)""".stripMargin).as("simhash"))
+      // native codegen'd bit-vote: the SQL higher-order equivalent runs
+      // ~64x|tokens| interpreted lambdas per row (measured 15.7s vs 0.2s
+      // at sf0.1) — see graft.functions.SimHash64
+      val sim = d.select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("hs")).as("simhash"))
       val banded = sim.select(col("doc_id"), col("simhash"), explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band, " +
             "shiftright(simhash, b * 16) & 65535 AS bkey))")).as("x"))

@@ -106,6 +106,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file stream over the driver events table: tumbling counts match the batch form") {
+    import org.apache.spark.sql.functions._
+    // the events parquet carries TIMESTAMP(NANOS); stream it as raw longs
+    // and truncate to micros, exactly like the batch loader Tables.t
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming parquet source wants a directory — stage the file
+    val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filestream")
+        .select("wstart", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("event_type"), col("n")).collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch, "streaming and batch window counts must agree")
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to two windows") {
     val ms = eventsOf(Event(1, ts(45), 1, "click", 1.0))
     val q = Streams.slidingCounts(ms.toDF())
