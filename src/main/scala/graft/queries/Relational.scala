@@ -228,6 +228,38 @@ object Relational {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
     }),
 
+    "q_window_pct" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      ord(t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist")))
+    }),
+    "q_agg_stats" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        count(lit(1)).as("n")))
+    }),
+    "q_bit_funcs" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bxor"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("band"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("bor"),
+        shiftleft(col("l_linenumber"), 2).as("shl"),
+        shiftright(col("l_orderkey"), 1).as("shr")))
+    }),
+    "q_date_more" -> ((s, dir) => {
+      ord(t(s, dir, "orders").select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        last_day(col("o_orderdate")).as("eom"),
+        add_months(col("o_orderdate"), 1).as("next_month")))
+    }),
+
     // ---- sort / limit ----
     "q_sort_limit" -> ((s, dir) => {
       ord(t(s, dir, "orders")
@@ -582,6 +614,34 @@ object Relational {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_pct" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_bit_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  xor(l_orderkey, l_partkey) AS bxor,
+        |  l_orderkey & l_partkey AS band,
+        |  l_orderkey | l_partkey AS bor,
+        |  CAST(l_linenumber << 2 AS INTEGER) AS shl,
+        |  l_orderkey >> 1 AS shr
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_date_more" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(last_day(o_orderdate) AS DATE) AS eom,
+        |  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
