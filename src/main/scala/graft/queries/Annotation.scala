@@ -75,6 +75,18 @@ object Annotation {
           r.labelViews("sentences").labels.size))
         .toDF("h", "n_tokens", "n_sentences"))
     }),
+    // whitespaced (ws*) ingest path: pre-tokenized documents split on
+    // whitespace only, one sentence per doc (CuratorHandler.wsprovide)
+    "q_annotate_ws_tokens" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ws = Sources.fromTextColumn(t(s, dir, "documents"), "text", whitespaced = true)
+      val ann = eng.annotate(ws, M.TOKEN)
+      ord(ann.map(r => (md5Hex(r.rawText),
+          r.labelViews("tokens").labels.size,
+          r.labelViews("sentences").labels.size))
+        .toDF("h", "n_tokens", "n_sentences"))
+    }),
     // POS: every (token, tag) pair, positionally
     "q_annotate_pos" -> ((s, dir) => {
       val spark = s
@@ -143,6 +155,12 @@ object Annotation {
          |  CAST(len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x) != '')) AS INT) AS n_sentences
          |FROM (SELECT DISTINCT text FROM documents WHERE length(text) > 0)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_annotate_ws_tokens" ->
+      """SELECT md5(text) AS h,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |  1 AS n_sentences
+        |FROM (SELECT DISTINCT text FROM documents WHERE length(text) > 0)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_annotate_pos" ->
       s"""WITH ${toksCte("documents", "text")}
          |SELECT h, CAST(i - 1 AS INT) AS idx, l[i] AS token,
