@@ -58,7 +58,7 @@ case class MinWindowHash(child: Expression, w: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    java.lang.Long.valueOf(MinWindowHash.eval(bytes, w))
+    java.lang.Long.valueOf(MinWindowHash.evalBytes(bytes, w))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,7 +66,7 @@ case class MinWindowHash(child: Expression, w: Int) extends UnaryExpression {
       val bytes = ctx.freshName("bytes")
       s"""
          |byte[] $bytes = $c.getBytes();
-         |${ev.value} = graft.functions.MinWindowHash.eval($bytes, $w);
+         |${ev.value} = graft.functions.MinWindowHash.evalBytes($bytes, $w);
        """.stripMargin
     })
 
@@ -75,8 +75,12 @@ case class MinWindowHash(child: Expression, w: Int) extends UnaryExpression {
 }
 
 object MinWindowHash {
-  /** Rolling update: h' = (h - lead*B^(w-1)) * B + next, wrapping 2^64. */
-  def eval(bytes: Array[Byte], w: Int): Long = {
+  /** Rolling update: h' = (h - lead*B^(w-1)) * B + next, wrapping 2^64.
+    * Named `evalBytes` (not `eval`) on purpose: a companion method named
+    * `eval` collides with the inherited `Expression.eval(InternalRow)`, so
+    * scalac emits no static forwarder and generated code can't call it —
+    * Janino fails and Spark silently falls back to interpreted execution. */
+  def evalBytes(bytes: Array[Byte], w: Int): Long = {
     if (bytes.isEmpty) return 0L
     val n = bytes.length
     if (n <= w) {

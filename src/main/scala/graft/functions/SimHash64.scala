@@ -19,18 +19,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(SimHash64.eval(input.asInstanceOf[ArrayData]))
+    java.lang.Long.valueOf(SimHash64.evalVotes(input.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHash64.eval($c);")
+      s"${ev.value} = graft.functions.SimHash64.evalVotes($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
 object SimHash64 {
-  def eval(hashes: ArrayData): Long = {
+  /** Named `evalVotes` (not `eval`): a companion `eval` collides with the
+    * inherited `Expression.eval(InternalRow)`, so scalac emits no static
+    * forwarder and codegen falls back to interpreted execution. */
+  def evalVotes(hashes: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = hashes.numElements()
     var i = 0

@@ -25,16 +25,19 @@ final class AnnotationEngine(val registry: Map[AnnotationMode, ViewOperator]) ex
     new AnnotationEngine(registry + (op.mode -> op))
 
   /** Annotate a corpus up to `target`, skipping fresh views, recomputing
-    * stale ones plus (sticky cascade) their dependents. One narrow stage. */
+    * stale ones plus (sticky cascade) their dependents. One narrow stage.
+    * `assumeFresh` modes (a forced-start assertion) are never recomputed,
+    * even when their stored `source` differs from the registry's. */
   def annotate(
       ds: Dataset[Record],
       target: AnnotationMode,
-      force: Boolean = false): Dataset[Record] = {
+      force: Boolean = false,
+      assumeFresh: Set[AnnotationMode] = Set.empty): Dataset[Record] = {
     val order = Planner.chain(target)
     val reg = registry
     implicit val enc = ds.encoder
     ds.mapPartitions { it =>
-      val f = Planner.provide(reg, order, force) _
+      val f = Planner.provide(reg, order, force, assumeFresh) _
       it.map(f)
     }
   }
@@ -90,16 +93,20 @@ final class AnnotationEngine(val registry: Map[AnnotationMode, ViewOperator]) ex
 
   /** D16: per-view verification/diff of two corpora joined by identifier
     * (`CuratorClient.verifyRecords`, 660-853). Returns (identifier, view,
-    * matches) rows for every view present on either side. */
+    * matches) rows for every view present on either side; a record present
+    * in only one corpus yields (id, "<record>", false) — a missing record
+    * is the most important mismatch to surface, so the join is full outer,
+    * not inner. */
   def verify(actual: Dataset[Record], expected: Dataset[Record]):
       Dataset[(String, String, Boolean)] = {
     val spark = actual.sparkSession
     import spark.implicits._
     actual.map(r => r.identifier -> r).toDF("id", "a")
-      .join(expected.map(r => r.identifier -> r).toDF("id", "e"), "id")
+      .join(expected.map(r => r.identifier -> r).toDF("id", "e"), Seq("id"), "full_outer")
       .as[(String, Record, Record)]
       .flatMap { case (id, a, e) =>
-        (a.viewNames ++ e.viewNames).toSeq.sorted.map { v =>
+        if (a == null || e == null) Seq((id, "<record>", false))
+        else (a.viewNames ++ e.viewNames).toSeq.sorted.map { v =>
           val m = (a.labelViews.get(v) == e.labelViews.get(v)) &&
             (a.clusterViews.get(v) == e.clusterViews.get(v)) &&
             (a.parseViews.get(v) == e.parseViews.get(v)) &&

@@ -65,7 +65,8 @@ final class Pipeline(engine: AnnotationEngine) {
     val plan = engine.planForCorpus(input, target, forcedStart)
     val annotated =
       if (plan.isEmpty) input // everything already present and fresh
-      else engine.annotate(input, target)
+      else engine.annotate(input, target,
+        assumeFresh = Planner.assertedPresent(target, forcedStart))
     Sources.rotateOldOutput(spark, outputDir)
     Sources.writeRecords(annotated, outputDir, idPrefixPartitions = true)
     val result = Sources.readRecords(spark, outputDir)

@@ -59,24 +59,41 @@ object Planner {
   }
 
   /** Apply a chain to one record with work-skipping + sticky-force cascade.
-    * Pure per-record function — the engine maps it over partitions. */
+    * Pure per-record function — the engine maps it over partitions.
+    * `assumeFresh` modes are never recomputed regardless of source-version
+    * staleness — the forced-start assertion (`JobHandler.java:273-285`):
+    * a view produced by a foreign tool (different source string) upstream of
+    * the forced start must be consumed as-is, not overwritten. */
   def provide(
       registry: Map[AnnotationMode, ViewOperator],
       order: Seq[AnnotationMode],
-      force: Boolean)(r0: Record): Record = {
+      force: Boolean,
+      assumeFresh: Set[AnnotationMode] = Set.empty)(r0: Record): Record = {
     var r = r0
     var dirty = Set.empty[AnnotationMode]
     for (m <- order) {
-      val op = registry.getOrElse(m,
-        throw new IllegalStateException(s"no operator registered for $m"))
-      val depDirty = m.deps.exists(dirty)
-      if (force || depDirty || !op.isFresh(r)) {
-        r = op(r)
-        dirty += m
+      if (!assumeFresh(m)) {
+        val op = registry.getOrElse(m,
+          throw new IllegalStateException(s"no operator registered for $m"))
+        val depDirty = m.deps.exists(dirty)
+        if (force || depDirty || !op.isFresh(r)) {
+          r = op(r)
+          dirty += m
+        }
       }
     }
     r
   }
+
+  /** Modes a forced start asserts present: everything strictly before the
+    * start in the target's chain (`JobHandler.java:273-285`). Empty when the
+    * start is absent from the chain. */
+  def assertedPresent(target: AnnotationMode, forcedStart: Option[AnnotationMode]): Set[AnnotationMode] =
+    forcedStart match {
+      case Some(start) if chain(target).contains(start) =>
+        chain(target).takeWhile(_ != start).toSet
+      case _ => Set.empty
+    }
 
   /** Transitive dependents of `modes` (inverted DAG) — the set whose views a
     * cascade invalidation must clear (`cascadeRemoveStaleFields`,

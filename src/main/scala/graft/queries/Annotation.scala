@@ -157,7 +157,7 @@ object Annotation {
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_annotate_ws_tokens" ->
       """SELECT md5(text) AS h,
-        |  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS INT) AS n_tokens,
         |  1 AS n_sentences
         |FROM (SELECT DISTINCT text FROM documents WHERE length(text) > 0)
         |ORDER BY ALL NULLS FIRST""".stripMargin,

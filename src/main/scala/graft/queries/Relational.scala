@@ -772,7 +772,7 @@ object Relational {
         |  json_keys(props)[1] AS first_key,
         |  CAST(props -> json_keys(props)[1] AS INTEGER) AS first_val,
         |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
-        |  to_json(map([json_keys(props)[1]], [CAST(props -> json_keys(props)[1] AS INTEGER)])) AS js
+        |  to_json(map(json_keys(props), [CAST(props -> k AS INTEGER) FOR k IN json_keys(props)])) AS js
         |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_unionbyname" ->
       """SELECT c_custkey AS k, c_acctbal AS bal FROM customer

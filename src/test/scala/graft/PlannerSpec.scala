@@ -53,6 +53,22 @@ class PlannerSpec extends AnyFunSuite {
     assert(once == twice, "second provide must be a no-op on fresh views")
   }
 
+  test("forced start never overwrites foreign-tool upstream views (JobHandler.java:273-285)") {
+    val r0 = Record.fresh("the quick dog runs fast.")
+    val annotated = Planner.provide(Annotators.registry, Planner.chain(M.POS), force = false)(r0)
+    // foreign tokenizer: different source string — normally stale, but a
+    // forced start at POS asserts TOKEN present and must consume it as-is
+    val foreign = annotated.copy(labelViews = annotated.labelViews.updatedWith("tokens")(
+      _.map(l => l.copy(source = "other-tokenizer-2.1"))))
+    val asserted = Planner.assertedPresent(M.POS, Some(M.POS))
+    assert(asserted == Set(M.TOKEN))
+    val out = Planner.provide(Annotators.registry, Planner.chain(M.POS), force = false, asserted)(foreign)
+    assert(out.labelViews("tokens").source == "other-tokenizer-2.1",
+      "forced-start-asserted views must not be recomputed")
+    // a forced start outside the chain asserts nothing
+    assert(Planner.assertedPresent(M.POS, Some(M.NER)).isEmpty)
+  }
+
   test("stale dependency triggers sticky recompute cascade (CuratorHandler.java:1036-1045)") {
     val r0 = Record.fresh("the quick dog runs fast.")
     val annotated = Planner.provide(Annotators.registry, Planner.chain(M.POS), force = false)(r0)

@@ -36,8 +36,8 @@ class QueriesContractSpec extends SparkSpec {
     // min-window hash is invariant under appends that don't create a
     // smaller window (winnowing property on a shared prefix)
     val base = "x" * 100
-    val m1 = MinWindowHash.eval((base + "zzz").getBytes("UTF-8"), 32)
-    val m2 = MinWindowHash.eval(base.getBytes("UTF-8"), 32)
+    val m1 = MinWindowHash.evalBytes((base + "zzz").getBytes("UTF-8"), 32)
+    val m2 = MinWindowHash.evalBytes(base.getBytes("UTF-8"), 32)
     assert(java.lang.Long.compareUnsigned(m1, m2) <= 0,
       "appending can only add windows, so the min can only decrease")
   }
