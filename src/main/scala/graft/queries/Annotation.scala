@@ -56,6 +56,36 @@ object Annotation {
 
   private val tokRegexSql = "'[A-Za-z0-9_'']+|[^A-Za-z0-9_''\\s]'"
 
+  /** DuckDB whitespace trim matching Scala `Character.isWhitespace` for the
+    * chars that occur in text: space, tab, LF, CR. chr() concatenation
+    * avoids backslash-escape ambiguity in SQL string literals. */
+  private val wsChars = "' ' || chr(9) || chr(10) || chr(13)"
+
+  /** Shared CTE chain reconstructing NER mention spans WITH true character
+    * offsets (start = sum of gap+token lengths before the token, where the
+    * gaps come from splitting the text BY the token regex) — so multi-token
+    * capitalized runs get their exact surface substring, not a guessed
+    * re-join. Ends with `mentions(h, st, surf)`. */
+  private def mentionsCte(table: String, column: String): String =
+    s"""WITH base AS (SELECT DISTINCT $column AS text FROM $table WHERE length($column) > 0),
+       |toks AS (SELECT md5(text) AS h, text, regexp_extract_all(text, $tokRegexSql) AS l,
+       |    string_split_regex(text, $tokRegexSql) AS g FROM base),
+       |off AS (SELECT h, text, l,
+       |  [CAST(coalesce(list_sum(list_transform(g[1:i], x -> length(x))), 0)
+       |   + coalesce(list_sum(list_transform(l[1:i-1], x -> length(x))), 0) AS INT)
+       |   FOR i IN range(1, len(l) + 1)] AS st FROM toks),
+       |tk AS (SELECT h, text, i, l[i] AS tok, st[i] AS st, st[i] + length(l[i]) AS en,
+       |    CASE WHEN regexp_matches(l[i], '^[A-Z]') THEN 'CAP'
+       |         WHEN regexp_matches(l[i], '^[0-9]+([.,][0-9]+)?$$') THEN 'NUM' ELSE 'O' END AS kind
+       |  FROM off, unnest(generate_series(1, len(l))) AS u(i)),
+       |runs AS (SELECT h, any_value(text) AS text, grp, min(st) AS rst, max(en) AS ren FROM (
+       |    SELECT h, text, i, st, en, i - row_number() OVER (PARTITION BY h ORDER BY i) AS grp
+       |    FROM tk WHERE kind = 'CAP') GROUP BY h, grp),
+       |mentions AS (
+       |  SELECT h, rst AS st, substr(text, rst + 1, ren - rst) AS surf FROM runs
+       |  UNION ALL
+       |  SELECT h, st, tok AS surf FROM tk WHERE kind = 'NUM')""".stripMargin
+
   /** Distinct non-empty texts tokenized in SQL: (h, l=token list). */
   private def toksCte(table: String, column: String): String =
     s"""toks AS (
@@ -115,7 +145,7 @@ object Annotation {
         expr("size(filter(labelViews['ner'].labels, x -> x.label = 'MISC'))").as("n_entities"),
         expr("size(filter(labelViews['ner'].labels, x -> x.label = 'CARDINAL'))").as("n_cardinals")))
     }),
-    // WIKI: entity linking summary (title/url attributes) — rows-only
+    // WIKI: entity linking summary (title/url attributes)
     "q_annotate_wiki" -> ((s, dir) => {
       val ann = eng.annotate(corpus(s, dir, "customer", "c_name"), M.WIKI)
       ord(ann.toDF.select(
@@ -123,7 +153,7 @@ object Annotation {
         expr("size(labelViews['wikifier'].labels)").as("n_links"),
         expr("labelViews['wikifier'].labels[0].attributes['url']").as("first_url")))
     }),
-    // PARSE: tree shape summary — rows-only (nested structure in ScalaTest)
+    // PARSE: tree shape summary (full nested structure in ScalaTest)
     "q_annotate_parse" -> ((s, dir) => {
       val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.PARSE)
       ord(ann.toDF.select(
@@ -131,7 +161,7 @@ object Annotation {
         expr("size(parseViews['charniak'].trees)").as("n_trees"),
         expr("aggregate(parseViews['charniak'].trees, 0, (a, t) -> a + size(t.nodes))").as("n_nodes")))
     }),
-    // COREF + SRL summary — rows-only
+    // COREF + SRL summary
     "q_annotate_coref" -> ((s, dir) => {
       val ann = eng.annotate(corpus(s, dir, "customer", "c_name"), M.COREF)
       ord(ann.toDF.select(
@@ -152,7 +182,7 @@ object Annotation {
     "q_annotate_tokens" ->
       s"""SELECT md5(text) AS h,
          |  CAST(len(regexp_extract_all(text, $tokRegexSql)) AS INT) AS n_tokens,
-         |  CAST(len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x) != '')) AS INT) AS n_sentences
+         |  CAST(len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'), x -> trim(x, $wsChars) != '')) AS INT) AS n_sentences
          |FROM (SELECT DISTINCT text FROM documents WHERE length(text) > 0)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_annotate_ws_tokens" ->
@@ -208,6 +238,67 @@ object Annotation {
          |LEFT JOIN (SELECT h, count(DISTINCT grp) AS n FROM caps GROUP BY h) c ON toks.h = c.h
          |LEFT JOIN nums ON toks.h = nums.h
          |GROUP BY toks.h
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // PARSE: the shallow tree is S -> chunk-kind islands -> token leaves,
+    // so per sentence nodes = 1 + n_islands + n_tokens; sentences replicate
+    // the trimmed sentence regex, islands the tag->kind cascade.
+    "q_annotate_parse" ->
+      s"""WITH base AS (SELECT DISTINCT text FROM documents WHERE length(text) > 0),
+         |sents AS (SELECT md5(text) AS h, unnest(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+         |    x -> trim(x, $wsChars) != '')) AS sent FROM base),
+         |pers AS (SELECT h, regexp_extract_all(sent, $tokRegexSql) AS toks FROM sents),
+         |tags AS (SELECT h, len(toks) AS n_toks, [${tagCase("tok")} FOR tok IN toks] AS tg FROM pers),
+         |kinds AS (SELECT h, n_toks, [CASE WHEN t IN ('DT','CD','PRP','NN','NNS','NNP') THEN 'NP'
+         |    WHEN t IN ('MD','VB','VBD','VBG','RB') THEN 'VP' ELSE 'X' END FOR t IN tg] AS k FROM tags),
+         |per AS (SELECT h, 1 + len([i FOR i IN range(1, len(k)+1) IF i = 1 OR k[i] != k[i-1]]) + n_toks AS nodes FROM kinds),
+         |agg AS (SELECT h, count(*) AS n_trees, sum(nodes) AS n_nodes FROM per GROUP BY h)
+         |SELECT b.h, CAST(coalesce(any_value(agg.n_trees), 0) AS INT) AS n_trees,
+         |  CAST(coalesce(any_value(agg.n_nodes), 0) AS INT) AS n_nodes
+         |FROM (SELECT md5(text) AS h FROM base) b LEFT JOIN agg ON b.h = agg.h GROUP BY b.h
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // VERB_SRL: predicates = VP islands over the whole-document chunk
+    // sequence; args = nearest NP island strictly left / strictly right.
+    "q_annotate_srl" ->
+      s"""WITH base AS (SELECT DISTINCT text FROM documents WHERE length(text) > 0),
+         |toks AS (SELECT md5(text) AS h, regexp_extract_all(text, $tokRegexSql) AS l FROM base),
+         |tk AS (SELECT h, i, ${tagCase("l[i]")} AS tag
+         |  FROM toks, unnest(generate_series(1, len(l))) AS u(i)),
+         |kinds AS (SELECT h, i, CASE WHEN tag IN ('DT','CD','PRP','NN','NNS','NNP') THEN 'NP'
+         |    WHEN tag IN ('MD','VB','VBD','VBG','RB') THEN 'VP' ELSE 'O' END AS kind FROM tk),
+         |isl AS (SELECT h, kind, min(i) AS fi, max(i) AS li FROM (
+         |    SELECT h, i, kind, i - row_number() OVER (PARTITION BY h, kind ORDER BY i) AS grp
+         |    FROM kinds WHERE kind <> 'O') GROUP BY h, kind, grp),
+         |vp AS (SELECT h, fi, li FROM isl WHERE kind = 'VP'),
+         |np AS (SELECT h, fi, li FROM isl WHERE kind = 'NP'),
+         |args AS (SELECT vp.h,
+         |    (CASE WHEN EXISTS (SELECT 1 FROM np WHERE np.h = vp.h AND np.li < vp.fi) THEN 1 ELSE 0 END)
+         |  + (CASE WHEN EXISTS (SELECT 1 FROM np WHERE np.h = vp.h AND np.fi > vp.li) THEN 1 ELSE 0 END) AS n_args
+         |  FROM vp),
+         |agg AS (SELECT h, count(*) AS n_predicates, sum(n_args) AS n_args FROM args GROUP BY h)
+         |SELECT t.h, CAST(coalesce(any_value(agg.n_predicates), 0) AS INT) AS n_predicates,
+         |  CAST(coalesce(any_value(agg.n_args), 0) AS INT) AS n_args
+         |FROM toks t LEFT JOIN agg ON t.h = agg.h GROUP BY t.h
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // COREF: clusters = distinct case-insensitive mention surfaces.
+    "q_annotate_coref" ->
+      s"""${mentionsCte("customer", "c_name")},
+         |agg AS (SELECT h, count(DISTINCT lower(surf)) AS n_clusters, count(*) AS n_mentions
+         |  FROM mentions GROUP BY h)
+         |SELECT t.h, CAST(coalesce(any_value(agg.n_clusters), 0) AS INT) AS n_clusters,
+         |  CAST(coalesce(any_value(agg.n_mentions), 0) AS INT) AS n_mentions
+         |FROM toks t LEFT JOIN agg ON t.h = agg.h GROUP BY t.h
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // WIKI: link count + url attribute of the first mention (token order).
+    "q_annotate_wiki" ->
+      s"""${mentionsCte("customer", "c_name")},
+         |firstm AS (SELECT h, surf, row_number() OVER (PARTITION BY h ORDER BY st) AS rn FROM mentions),
+         |agg AS (SELECT f.h, any_value(c.n) AS n_links,
+         |    'https://en.wikipedia.org/wiki/' || replace(any_value(f.surf), ' ', '_') AS first_url
+         |  FROM firstm f JOIN (SELECT h, count(*) AS n FROM mentions GROUP BY h) c ON f.h = c.h
+         |  WHERE f.rn = 1 GROUP BY f.h)
+         |SELECT t.h, CAST(coalesce(any_value(agg.n_links), 0) AS INT) AS n_links,
+         |  any_value(agg.first_url) AS first_url
+         |FROM toks t LEFT JOIN agg ON t.h = agg.h GROUP BY t.h
          |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -28,6 +28,21 @@ import graft.Tables.{t, ord}
 object Ext {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Portable MinHash family, identical in Spark and DuckDB: base = 28-bit
+    * md5 prefix (`conv(substring(md5(s),1,7),16,10)` ≡ DuckDB
+    * `CAST('0x'||substr(md5(s),1,7) AS BIGINT)`), then k affine maps
+    * h_i = (a_i·base + b_i) mod p over the Mersenne prime p = 2^31-1.
+    * Products stay < 2^59, so 64-bit arithmetic never overflows in either
+    * engine — which is what makes the LSH pipeline oracle-checkable. */
+  private[queries] val MinHashP = 2147483647L
+  private[queries] def aCoef(i: Int): Long = (2654435761L * (2 * i + 1)) % MinHashP
+  private[queries] def bCoef(i: Int): Long = (2246822519L * (i + 1)) % MinHashP
+
+  /** 60-bit md5-derived token hash, same in both engines (15 hex chars
+    * always fit a signed 64-bit int, so no sign-wrap divergence). */
+  private def md5Hash60(colName: String): String =
+    s"CAST(conv(substring(md5($colName), 1, 15), 16, 10) AS BIGINT)"
+
   /** Exact-dup canonicalization: one representative (min doc_id) per
     * distinct text. Near-dup operators run over representatives — with d
     * exact copies of a document, pairwise candidate generation would
@@ -72,12 +87,12 @@ object Ext {
         .filter(col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "n_inter", "jaccard"))
     }),
-    // MinHash + LSH banding (engine-specific hash family -> rows-only).
-    // Single shingle pass: the k=32 signature is 32 min-aggregates in ONE
-    // shuffle (no k-fold row explosion, no subplan reuse); banding is an
-    // equi-join on (band, band-slice hash); candidate similarity is
-    // estimated from matching signature components. At 100 TB the shuffle
-    // is |docs|*k longs, independent of the pair count.
+    // MinHash + LSH banding, fully oracle-checked (portable affine hash
+    // family, see MinHashP above). Single shingle pass: the k=32 signature
+    // is 32 min-aggregates in ONE shuffle (one md5 per shingle + 32 cheap
+    // affine maps — no k-fold row explosion, no k-fold hashing); banding is
+    // an equi-join on (band, band-slice key). At 100 TB the shuffle is
+    // |docs|*k ints, independent of the pair count.
     "q_dedup_minhash" -> ((s, dir) => {
       val k = 32; val bandsN = 8; val rowsPerBand = k / bandsN
       val w = canonicalDocs(s, dir)
@@ -86,16 +101,15 @@ object Ext {
       val sh = w.select(col("doc_id"), explode(
           expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
         .as("s")).distinct()
-      // one wide aggregation: signature components + shingle count
+        .withColumn("base", conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long"))
       val sig = sh.groupBy("doc_id")
-        .agg(min(xxhash64(col("s"), lit(0))).as("h0"),
-          (1 until k).map(i => min(xxhash64(col("s"), lit(i))).as(s"h$i")) :+
-            count(lit(1)).as("n"): _*)
-        .select(col("doc_id"), col("n"),
-          array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+        .agg(min((lit(aCoef(0)) * col("base") + lit(bCoef(0))) % MinHashP).as("h0"),
+          (1 until k).map(i =>
+            min((lit(aCoef(i)) * col("base") + lit(bCoef(i))) % MinHashP).as(s"h$i")): _*)
+        .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
       val bands = sig.select(col("doc_id"), col("sig"), explode(
           expr(s"transform(sequence(0, ${bandsN - 1}), b -> " +
-            s"struct(b AS band, xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))"))
+            s"struct(b AS band, concat_ws('_', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))"))
         .as("x"))
         .select(col("doc_id"), col("sig"), col("x.band").as("band"), col("x.bkey").as("bkey"))
       ord(bands.as("x").join(bands.as("y"),
@@ -108,14 +122,16 @@ object Ext {
         .filter(col("est_jaccard") >= 0.2)
         .select("doc_a", "doc_b", "n_match", "est_jaccard"))
     }),
-    // SimHash: 64-bit bit-vote signature packed into one BIGINT (rows-only).
-    // Candidate generation is BANDED (4 x 16-bit bands): two signatures
-    // within hamming distance 3 share at least one exact band (pigeonhole),
-    // so the theta self-join becomes an equi-join — the scale-correct form.
+    // SimHash: bit-vote signature packed into one BIGINT, oracle-checked
+    // (60-bit md5-derived token hashes, same in both engines). Candidate
+    // generation is BANDED (4 x 15-bit bands): two signatures within
+    // hamming distance 3 share at least one exact band (pigeonhole), so
+    // the theta self-join becomes an equi-join — the scale-correct form.
     "q_dedup_simhash" -> ((s, dir) => {
       val d = canonicalDocs(s, dir)
         .select(col("doc_id"),
-          expr("transform(split(text, '\\\\s+'), w -> xxhash64(w))").as("hs"))
+          expr("transform(filter(split(text, '\\\\s+'), w -> w != ''), " +
+            s"w -> ${md5Hash60("w")})").as("hs"))
       // native codegen'd bit-vote: the SQL higher-order equivalent runs
       // ~64x|tokens| interpreted lambdas per row (measured 15.7s vs 0.2s
       // at sf0.1) — see graft.functions.SimHash64
@@ -123,7 +139,7 @@ object Ext {
         graft.functions.SimHash64.simhash64(col("hs")).as("simhash"))
       val banded = sim.select(col("doc_id"), col("simhash"), explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band, " +
-            "shiftright(simhash, b * 16) & 65535 AS bkey))")).as("x"))
+            "shiftright(simhash, b * 15) & 32767 AS bkey))")).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bkey").as("bkey"))
       ord(banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -298,7 +314,86 @@ object Ext {
     }),
   )
 
+  /** DuckDB HUGEINT constants for unsigned-64 wrap arithmetic. */
+  private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val M63 = "CAST('9223372036854775808' AS HUGEINT)"
+
+  private val minhashMins: String = (0 until 32).map(i =>
+    s"min((${aCoef(i)} * base + ${bCoef(i)}) % $MinHashP) AS h$i").mkString(",\n  ")
+  private val minhashArr: String = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM canon
+         |      WHERE len(string_split_regex(text, '\\s+')) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+         |hb AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS base FROM sh),
+         |sig0 AS (SELECT doc_id,
+         |  $minhashMins
+         |  FROM hb GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $minhashArr AS sig FROM sig0),
+         |banded AS (SELECT doc_id, sig, b AS band, array_to_string(sig[b*4+1:b*4+4], '_') AS bkey
+         |           FROM sig, range(8) r(b)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(len([i FOR i IN range(1, 33) IF x.sig[i] = y.sig[i]]) AS INT) AS n_match
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, n_match, round(CAST(n_match AS DOUBLE) / 32, 6) AS est_jaccard
+         |FROM pairs WHERE round(CAST(n_match AS DOUBLE) / 32, 6) >= 0.2
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |d AS (SELECT doc_id, list_transform(list_filter(string_split_regex(text, '\s+'), w -> w != ''),
+        |        w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs FROM canon),
+        |sig AS (SELECT doc_id, CAST(list_sum([CASE WHEN 2 * len([h FOR h IN hs IF (h >> b) & 1 = 1]) > len(hs)
+        |        THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(60)]) AS BIGINT) AS simhash FROM d),
+        |banded AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) & 32767 AS bkey
+        |           FROM sig, range(4) r(b)),
+        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_ivf" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |  list_sum([CASE WHEN v[i+1] >= 0 THEN (1::BIGINT << (7 - i)) ELSE 0 END FOR i IN range(8)]) AS bucket FROM v),
+        |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+        |  FROM n JOIN q ON bucket = qb AND vec_id <> q_id),
+        |ranked AS (SELECT q_id, vec_id AS neighbor, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk FROM scored)
+        |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+         |bytes AS (SELECT doc_id, nb, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(nb)] AS bs FROM h),
+         |fp AS (SELECT doc_id, nb, bs,
+         |  list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(bs, b -> CAST(b AS HUGEINT))),
+         |              (a, b) -> (a * 1000003 + b) % $M64) AS fpu
+         |  FROM bytes),
+         |mw AS (SELECT doc_id, fpu,
+         |  CASE WHEN nb <= 32 THEN fpu
+         |       ELSE list_min([list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |              list_transform(bs[i+1:i+32], b -> CAST(b AS HUGEINT))),
+         |              (a, b) -> (a * 1000003 + b) % $M64)
+         |            FOR i IN range(nb - 31)])
+         |  END AS mwu FROM fp)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN fpu >= $M63 THEN fpu - $M64 ELSE fpu END AS BIGINT) AS fp,
+         |  CAST(CASE WHEN mwu >= $M63 THEN mwu - $M64 ELSE mwu END AS BIGINT) AS fp_min32
+         |FROM mw ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_mm_features" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+        |bins AS (SELECT doc_id, nb,
+        |  [(strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) // 2 FOR i IN range(nb)] AS bn FROM h)
+        |SELECT doc_id, CAST(nb AS INT) AS n_bytes,
+        |  array_to_string([len([x FOR x IN bn IF x = b]) FOR b IN range(8)], ',') AS hist
+        |FROM bins ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY md5(text) ORDER BY ALL NULLS FIRST""".stripMargin,

@@ -101,11 +101,17 @@ object Relational {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_users")))
     }),
-    // HLL sketch — engine-specific estimate, so no DuckDB oracle (rows-only).
+    // HLL sketch, oracle-checked via its error bound: the estimate (rsd
+    // 0.02) must land within 5% (2.5 sigma) of the exact distinct count;
+    // the DuckDB side recomputes the exact count and asserts `true`.
     "q_agg_approx_distinct" -> ((s, dir) => {
       ord(t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("within_5pct")))
     }),
 
     // ---- joins ----
@@ -458,9 +464,15 @@ object Relational {
     }),
 
     // ---- reference dataflow ops as relational queries ----
-    // D9: deterministic-size random sample; engine-specific RNG → rows-only.
+    // D9: seeded random sample. The RNG stream is engine-specific, so the
+    // oracle checks the deterministic invariants instead: exactly k rows,
+    // all distinct, all real table keys (the inner join back onto the table
+    // is the membership proof — a fabricated id would drop the count).
     "q_sample" -> ((s, dir) => {
-      t(s, dir, "documents").orderBy(rand(42)).limit(25).select("doc_id", "lang", "source")
+      val d = t(s, dir, "documents")
+      val samp = d.orderBy(rand(42)).limit(25).select("doc_id", "lang", "source")
+      ord(samp.join(d.select("doc_id"), "doc_id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_distinct")))
     }),
     // D10: tokens common to every document of a source (common-annotation
     // intersection, distributed formulation: no driver-side fold).
@@ -491,6 +503,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, true AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sample" ->
+      "SELECT CAST(25 AS BIGINT) AS n, CAST(25 AS BIGINT) AS n_distinct",
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 ORDER BY ALL NULLS FIRST""".stripMargin,
