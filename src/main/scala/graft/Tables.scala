@@ -17,12 +17,17 @@ object Tables {
     } else s.read.parquet(s"$dir/$n.parquet")
   }
 
+  /** Bench mode (`-Dgraft.bench.noSort=true`): measurement-oriented query
+    * construction — no presentation sort, natural double aggregation, and
+    * production (xxhash64) hash families where the oracle gate substitutes
+    * portable md5-derived ones. */
+  def benchMode: Boolean = sys.props.get("graft.bench.noSort").contains("true")
+
   /** Total deterministic order over every output column (hash-compare safe).
     * The sort exists only for the driver's oracle compare; Bench disables it
-    * (`-Dgraft.bench.noSort=true`) to measure the computation, not the
-    * presentation order. */
+    * to measure the computation, not the presentation order. */
   def ord(df: DataFrame): DataFrame =
-    if (sys.props.get("graft.bench.noSort").contains("true")) df
+    if (benchMode) df
     else df.orderBy(df.columns.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
 
   /** Order-independent exact sum of a double expression: decimal-accumulate,
@@ -30,6 +35,6 @@ object Tables {
     * The decimal routing exists ONLY so the oracle hash-compare is exact
     * across engines; bench mode measures the natural double aggregation. */
   def dsum(c: Column): Column =
-    if (sys.props.get("graft.bench.noSort").contains("true")) sum(c)
+    if (benchMode) sum(c)
     else sum(c.cast("decimal(18,4)")).cast("double")
 }

