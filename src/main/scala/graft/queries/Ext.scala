@@ -272,6 +272,18 @@ object Ext {
             .when(col("c_de") >= col("c_fr"), "de")
             .otherwise("fr")))
     }),
+    // token counting: whitespace tokens vs a BPE-ish pretokenizer (GPT-2
+    // style contraction/letter-run/digit-run/punct-run classes, lookahead
+    // dropped so Java regex and RE2 agree) — the tokens-per-word ratio is
+    // the standard cost estimate for LLM training-data budgeting
+    "q_token_stats" -> ((s, dir) => {
+      ord(t(s, dir, "documents").select(
+          col("doc_id"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= lit(""))).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpeRegex), lit(0))).as("n_bpe_tokens"))
+        .withColumn("bpe_per_ws", round(
+          col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)))
+    }),
     // document fingerprinting: custom codegen'd Catalyst expressions
     // (rolling polynomial hash + winnowing-style min-window hash)
     "q_fingerprint" -> ((s, dir) => {
@@ -349,6 +361,16 @@ object Ext {
     }),
   )
 
+  /** GPT-2-style pretokenizer classes, minus the trailing-space lookahead
+    * (RE2 has no lookahead; with the same pattern both engines count
+    * identically — alternation is leftmost-first in Java regex and RE2). */
+  private val BpeRegex =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** The same regex as a DuckDB SQL string literal (quotes doubled;
+    * backslashes pass through — DuckDB strings don't process escapes). */
+  private val BpeRegexSql = "'" + BpeRegex.replace("'", "''") + "'"
+
   /** DuckDB HUGEINT constants for unsigned-64 wrap arithmetic. */
   private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
   private val M63 = "CAST('9223372036854775808' AS HUGEINT)"
@@ -422,6 +444,13 @@ object Ext {
          |  CAST(CASE WHEN fpu >= $M63 THEN fpu - $M64 ELSE fpu END AS BIGINT) AS fp,
          |  CAST(CASE WHEN mwu >= $M63 THEN mwu - $M64 ELSE mwu END AS BIGINT) AS fp_min32
          |FROM mw ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, $BpeRegexSql)) AS INT) AS n_bpe_tokens,
+         |  round(CAST(len(regexp_extract_all(text, $BpeRegexSql)) AS DOUBLE) /
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')), 6) AS bpe_per_ws
+         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_features" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
         |bins AS (SELECT doc_id, nb,

@@ -110,6 +110,27 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner join on user within an event-time range. Both
+    * sides carry watermarks and the join condition bounds r_ts to a window
+    * after l_ts, so each side's buffered state is bounded by
+    * watermark + range — the join state cannot grow without limit, which
+    * is what makes this runnable forever at cluster scale. */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      watermark: String = "10 minutes",
+      range: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("event_id").as("r_id"))
+    l.join(r, col("user_id") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $range"))
+  }
+
   /** Convenience: file-stream source over a directory of event parquet. */
   def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

@@ -146,4 +146,22 @@ class StreamingSpec extends SparkSpec {
       assert(starts == Set("2024-01-01 00:00:00.0", "2024-01-01 00:30:00.0"))
     } finally q.stop()
   }
+
+  test("stream-stream join matches views to clicks within the time range") {
+    val clicks = eventsOf(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(40), 2, "click", 1.0))
+    val views = eventsOf(
+      Event(10, ts(8), 1, "view", 1.0),   // within 10m of click 1 -> joins
+      Event(11, ts(25), 1, "view", 1.0),  // 20m after click 1 -> out of range
+      Event(12, ts(39), 2, "view", 1.0))  // before click 2 -> no match
+    val q = Streams.streamStreamJoin(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("ssjoin").collect()
+        .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+      assert(pairs == Set((1L, 10L)), s"got $pairs")
+    } finally q.stop()
+  }
 }
