@@ -34,7 +34,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => mwh(exprs)),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, _, builder) =>

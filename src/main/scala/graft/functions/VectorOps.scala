@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dot product over two ARRAY<DOUBLE> columns as a native codegen'd
+  * expression.
+  *
+  * Why: the SQL form `aggregate(zip_with(a, b, (x, y) -> x * y), 0D,
+  * (acc, p) -> acc + p)` allocates an intermediate array and runs 2·dim
+  * interpreted lambda calls per row — the entire inner loop of similarity
+  * search (SURVEY.md §2d). This expression is one fused multiply-add loop
+  * inside whole-stage codegen: no allocation, no virtual calls. At 100 TB
+  * the brute-force scorer is exactly this loop times |corpus|·|queries|.
+  *
+  * The summation is sequential in index order — the same order as the SQL
+  * left fold it replaces — so results are bit-identical and the DuckDB
+  * oracle comparison stays exact.
+  *
+  * Precondition: non-null elements (embedding vectors). Shorter input
+  * bounds the loop (zip semantics over the common prefix).
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(VecDot.evalDot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Named `evalDot`, not `eval`: a companion `eval` collides with the
+    * inherited `Expression.eval(InternalRow)` and loses its static
+    * forwarder, breaking codegen (see MinWindowHash). */
+  def evalDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def vec_dot(a: Column, b: Column): Column = column(VecDot(expression(a), expression(b)))
+
+  /** L2 norm as the self-dot square root (one codegen'd loop). */
+  def vec_norm(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(vec_dot(a, a))
+  }
+}

@@ -187,13 +187,15 @@ object Ext {
     // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
     // the LSH-bucketed q_knn_ivf below is the scale path)
     "q_dedup_embedding" -> ((s, dir) => {
+      import graft.functions.VecDot.vec_dot
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val n = e.select(col("vec_id"), col("v"),
-        expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)").as("n2"))
+      // codegen'd fused multiply-add loop (graft.functions.VecDot) — the
+      // SQL aggregate/zip_with form runs 2*dim interpreted lambdas per pair
+      val n = e.select(col("vec_id"), col("v"), vec_dot(col("v"), col("v")).as("n2"))
       ord(n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
         .withColumn("cos", round(
-          expr("aggregate(zip_with(x.v, y.v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
+          vec_dot(col("x.v"), col("y.v")) /
             (sqrt(col("x.n2")) * sqrt(col("y.n2"))), 4))
         .filter(col("cos") >= 0.95)
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos")))
@@ -203,16 +205,15 @@ object Ext {
 
     // brute-force cosine top-k: broadcast the query set, scan corpus once
     "q_knn_bruteforce" -> ((s, dir) => {
+      import graft.functions.VecDot.{vec_dot, vec_norm}
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val n = e.select(col("vec_id"), col("v"),
-        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)")).as("nrm"))
+      val n = e.select(col("vec_id"), col("v"), vec_norm(col("v")).as("nrm"))
       val q = broadcast(n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
       val scored = n.join(q, col("vec_id") =!= col("q_id"))
         .withColumn("cos", round(
-          expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
-            (col("qn") * col("nrm")), 4))
+          vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
@@ -227,15 +228,13 @@ object Ext {
       // deterministic stand-in for trained IVF centroids)
       val b = e.withColumn("bucket",
         expr("aggregate(slice(v, 1, 8), 0L, (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)"))
-      val n = b.withColumn("nrm",
-        sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x)")))
+      val n = b.withColumn("nrm", graft.functions.VecDot.vec_norm(col("v")))
       val q = broadcast(n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
           col("bucket").as("qb")))
       val scored = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
         .withColumn("cos", round(
-          expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
-            (col("qn") * col("nrm")), 4))
+          graft.functions.VecDot.vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)

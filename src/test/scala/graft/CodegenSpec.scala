@@ -24,7 +24,7 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
-  test("rolling_hash / min_window_hash / simhash64 compile under strict codegen") {
+  test("rolling_hash / min_window_hash / simhash64 / vec_dot compile under strict codegen") {
     withStrictCodegen {
       import spark.implicits._
       val df = Seq("the quick brown fox", "jumps over", "x" * 200)
@@ -42,6 +42,11 @@ class CodegenSpec extends SparkSpec {
         h
       }
       assert(rows.map(_.getLong(0)).toSeq == interp)
+
+      import graft.functions.VecDot.vec_dot
+      val vd = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+        .toDF("a", "b").select(vec_dot(col("a"), col("b")).as("d")).collect()
+      assert(vd.head.getDouble(0) == 32.0)
     }
   }
 
