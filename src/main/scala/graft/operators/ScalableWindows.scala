@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global-order window functions that do NOT serialize the corpus.
+  *
+  * `Window.orderBy(...)` with no partition key moves every row into ONE
+  * task (Spark plans an `Exchange SinglePartition`) — the only serial
+  * operator left in round 1, 6.4 s on 10x orders locally and unrunnable at
+  * 100 TB. The scalable form computes the same numbers distributively:
+  *
+  *   1. bucket each row by range of the FIRST order key, with boundaries
+  *      from `approxQuantile` (Greenwald-Khanna over the full data, no
+  *      sampling) — bucketing is a PURE FUNCTION of the row's key, which
+  *      is what makes this correct-by-construction: `repartitionByRange`'s
+  *      per-plan boundary sampler can disagree between the offsets subplan
+  *      and the data subplan unless the exchange happens to be reused,
+  *      which showed up as a flaky off-by-thousands global rank;
+  *   2. a per-bucket window (parallel — the buckets are quantile-balanced)
+  *      computes local row numbers;
+  *   3. per-bucket row counts — a tiny aggregate — become broadcast
+  *      cumulative offsets; global row_number = local + offset;
+  *   4. ntile is then pure integer arithmetic on (row_number, total count)
+  *      using the SQL bucket rule (first `cnt mod n` buckets get one extra
+  *      row).
+  *
+  * Results are bit-identical to the serial window when the order keys are
+  * a total order (unique tiebreaker), which the determinism contract
+  * already requires of every query using global order. The first order key
+  * must be numeric (castable to double, non-null).
+  */
+object ScalableWindows {
+
+  /** Global row_number over `order` keys (must be a total order, numeric
+    * first key), computed with deterministic quantile bucketing + broadcast
+    * offsets instead of a single task. */
+  def withGlobalRowNumber(
+      df: DataFrame,
+      order: Seq[Column],
+      out: String,
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val k = order.head.cast("double")
+    // driver-side quantile pass: one parallel aggregate (the serial window
+    // this replaces reads the whole input into one task, so an extra scan
+    // that parallelizes the real work is a win at any scale)
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.select(k.as("__k")).stat.approxQuantile("__k", probs, 0.001).distinct.sorted
+    // first-match when-chain: rows with key <= bound(i) fall in bucket i;
+    // equal first keys always share a bucket, so cross-bucket order is
+    // total and in-bucket order finishes the tiebreak
+    val bucket = bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length): Column) {
+      case (acc, (b, i)) => when(k <= lit(b), lit(i)).otherwise(acc)
+    }
+    val local = df.withColumn("__bkt", bucket)
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy(col("__bkt")).orderBy(order: _*)))
+    // offsets: one row per bucket — the only global window left, over
+    // <= `n` rows (trivial); broadcast back to the data
+    val offsets = local.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(out, (col("__off") + col("__lrn")).cast("int"))
+      .drop("__bkt", "__lrn", "__off")
+  }
+
+  /** Global ntile(buckets) over `order` keys (total order required), as
+    * integer arithmetic over the scalable row_number: with q = cnt div b
+    * and r = cnt mod b, the first r buckets hold q+1 rows, the rest q —
+    * the SQL ntile rule, so results match the serial window exactly.
+    * The q = 0 branch (cnt < buckets) stays inside the `rn <= r*(q+1)`
+    * case, so the `div q` arm never divides by zero. */
+  def withGlobalNtile(
+      df: DataFrame,
+      buckets: Int,
+      order: Seq[Column],
+      out: String,
+      partitions: Int = 0): DataFrame = {
+    val rn = withGlobalRowNumber(df, order, "__rn", partitions)
+    val cnt = df.agg(count(lit(1)).as("__cnt"))
+    val bucket = expr(
+      s"""CASE WHEN __rn <= (__cnt % $buckets) * (__cnt div $buckets + 1)
+         |     THEN (CAST(__rn AS BIGINT) + (__cnt div $buckets)) div (__cnt div $buckets + 1)
+         |     ELSE (__cnt % $buckets) +
+         |          (CAST(__rn AS BIGINT) - (__cnt % $buckets) * (__cnt div $buckets + 1)
+         |           + (__cnt div $buckets) - 1) div (__cnt div $buckets)
+         |END""".stripMargin)
+    rn.crossJoin(broadcast(cnt))
+      .withColumn(out, bucket.cast("int"))
+      .drop("__rn", "__cnt")
+  }
+}

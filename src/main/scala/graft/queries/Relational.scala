@@ -193,12 +193,16 @@ object Relational {
       val o = t(s, dir, "orders")
       val wUnique = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
       val wTies = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
-      val wNtile = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      ord(o.select(col("o_custkey"), col("o_orderkey"),
+      val ranked = o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(wUnique).as("rn"),
         rank().over(wTies).as("rk"),
-        dense_rank().over(wTies).as("drk"),
-        ntile(4).over(wNtile).as("quartile")))
+        dense_rank().over(wTies).as("drk"))
+      // global quartile WITHOUT Window.orderBy's single-task exchange:
+      // range-partitioned distributed row_number + the ntile bucket rule
+      // (graft.operators.ScalableWindows) — same numbers, parallel plan
+      ord(graft.operators.ScalableWindows.withGlobalNtile(
+          ranked, 4, Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
+        .select("o_custkey", "o_orderkey", "rn", "rk", "drk", "quartile"))
     }),
     "q_window_lag_lead" -> ((s, dir) => {
       val e = t(s, dir, "events")

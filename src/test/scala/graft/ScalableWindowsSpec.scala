@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.ScalableWindows
+
+/** The distributed global row_number/ntile must equal the serial
+  * Window.orderBy forms row-for-row, while keeping the big side out of a
+  * single-partition exchange. */
+class ScalableWindowsSpec extends SparkSpec {
+
+  private def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("global row_number matches the serial window exactly") {
+    val serial = orders.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .select("o_orderkey", "rn")
+    val scalable = ScalableWindows.withGlobalRowNumber(
+      orders, Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+      .select("o_orderkey", "rn")
+    assert(scalable.exceptAll(serial).isEmpty && serial.exceptAll(scalable).isEmpty)
+  }
+
+  test("global ntile matches the serial window for bucket counts that divide unevenly") {
+    for (b <- Seq(4, 7, 100000)) { // 100000 > row count exercises the q=0 branch
+      val serial = orders.withColumn("nt",
+        ntile(b).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .select("o_orderkey", "nt")
+      val scalable = ScalableWindows.withGlobalNtile(
+        orders, b, Seq(col("o_totalprice"), col("o_orderkey")), "nt")
+        .select("o_orderkey", "nt")
+      assert(scalable.exceptAll(serial).isEmpty && serial.exceptAll(scalable).isEmpty,
+        s"ntile($b) diverged from the serial window")
+    }
+  }
+
+  test("the corpus-sized side never passes through a single-partition exchange") {
+    val plan = ScalableWindows.withGlobalRowNumber(
+      orders, Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+      .queryExecution.executedPlan.toString
+    // the only SinglePartition allowed is the per-bucket-counts side
+    // (<= shuffle.partitions rows); the data side must hash-partition on
+    // the deterministic quantile bucket
+    assert(plan.contains("hashpartitioning(__bkt"), s"bucket partitioning missing:\n${plan.take(600)}")
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 1, s"data side serialized:\n${plan.take(1200)}")
+  }
+}
