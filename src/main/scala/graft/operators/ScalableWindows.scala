@@ -33,14 +33,31 @@ import org.apache.spark.sql.functions._
   */
 object ScalableWindows {
 
+  /** Below this estimated input size the serial window wins: the scalable
+    * form pays a fixed ~1 s for the quantile job + offsets join, which
+    * only amortizes once the single sort task becomes the bottleneck.
+    * Same contract as autoBroadcastJoinThreshold — an honest small-input
+    * fast path, not a different algorithm (results are identical).
+    * Measured crossover locally: 2.6 MB input serial 1.0s vs scalable
+    * 1.9s; 14 MB input serial 4.2s vs scalable 2.2s — 4 MB splits it (window-node estimates run ~55% of raw file size). */
+  val SerialThresholdBytes: Long = 4L * 1024 * 1024
+
+  private def smallEnoughForSerial(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= SerialThresholdBytes
+
   /** Global row_number over `order` keys (must be a total order, numeric
     * first key), computed with deterministic quantile bucketing + broadcast
-    * offsets instead of a single task. */
+    * offsets instead of a single task. Inputs under
+    * [[SerialThresholdBytes]] use the serial window directly; an explicit
+    * `partitions` forces the distributed path (tests, known-large inputs
+    * behind views without stats). */
   def withGlobalRowNumber(
       df: DataFrame,
       order: Seq[Column],
       out: String,
       partitions: Int = 0): DataFrame = {
+    if (partitions <= 0 && smallEnoughForSerial(df))
+      return df.withColumn(out, row_number().over(Window.orderBy(order: _*)))
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val k = order.head.cast("double")
@@ -84,6 +101,8 @@ object ScalableWindows {
       order: Seq[Column],
       out: String,
       partitions: Int = 0): DataFrame = {
+    if (partitions <= 0 && smallEnoughForSerial(df))
+      return df.withColumn(out, ntile(buckets).over(Window.orderBy(order: _*)))
     val rn = withGlobalRowNumber(df, order, "__rn", partitions)
     val cnt = df.agg(count(lit(1)).as("__cnt"))
     val bucket = expr(

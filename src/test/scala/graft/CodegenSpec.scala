@@ -47,6 +47,14 @@ class CodegenSpec extends SparkSpec {
       val vd = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
         .toDF("a", "b").select(vec_dot(col("a"), col("b")).as("d")).collect()
       assert(vd.head.getDouble(0) == 32.0)
+
+      import graft.functions.WordScan.word_scan
+      val ws = Seq("The cat and the dog, a big dog.")
+        .toDF("text").select(word_scan(col("text"), Seq("the", "a", "dog"), 2).as("sc"))
+        .collect().head.getSeq[Int](0)
+      // runs: The,cat,and,the,dog,a,big,dog -> in set: The,the,dog,a,dog=5;
+      // short (<=2): a = 1; runs = 8; split tokens = 8; ws chars = 7
+      assert(ws == Seq(5, 1, 8, 8, 7), s"got $ws")
     }
   }
 

@@ -17,7 +17,7 @@ class ScalableWindowsSpec extends SparkSpec {
       row_number().over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
       .select("o_orderkey", "rn")
     val scalable = ScalableWindows.withGlobalRowNumber(
-      orders, Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+      orders, Seq(col("o_totalprice"), col("o_orderkey")), "rn", partitions = 4)
       .select("o_orderkey", "rn")
     assert(scalable.exceptAll(serial).isEmpty && serial.exceptAll(scalable).isEmpty)
   }
@@ -28,7 +28,7 @@ class ScalableWindowsSpec extends SparkSpec {
         ntile(b).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
         .select("o_orderkey", "nt")
       val scalable = ScalableWindows.withGlobalNtile(
-        orders, b, Seq(col("o_totalprice"), col("o_orderkey")), "nt")
+        orders, b, Seq(col("o_totalprice"), col("o_orderkey")), "nt", partitions = 4)
         .select("o_orderkey", "nt")
       assert(scalable.exceptAll(serial).isEmpty && serial.exceptAll(scalable).isEmpty,
         s"ntile($b) diverged from the serial window")
@@ -37,7 +37,7 @@ class ScalableWindowsSpec extends SparkSpec {
 
   test("the corpus-sized side never passes through a single-partition exchange") {
     val plan = ScalableWindows.withGlobalRowNumber(
-      orders, Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+      orders, Seq(col("o_totalprice"), col("o_orderkey")), "rn", partitions = 4)
       .queryExecution.executedPlan.toString
     // the only SinglePartition allowed is the per-bucket-counts side
     // (<= shuffle.partitions rows); the data side must hash-partition on
