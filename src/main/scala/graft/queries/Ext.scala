@@ -346,6 +346,54 @@ object Ext {
       }.toDF("doc_id", "n_bytes", "width", "height", "codec")
       ord(meta)
     }),
+    // multimodal resize: dimension metadata transform over the decoded
+    // payloads — the stub scales the fake dims to fit a 224x224 box with
+    // aspect preserved (integer arithmetic, so the oracle replicates it);
+    // the mapPartitions batch shape is what a real resampler plugs into
+    "q_mm_resize" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      val resized = bin.mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          val n = payload.length
+          val w = n % 640 + 1
+          val h = (n * 31) % 480 + 1
+          // fit into 224x224, preserve aspect: scale = 224/max(w,h)
+          val m = math.max(w, h)
+          (id, w, h, (w * 224 / m).toInt.max(1), (h * 224 / m).toInt.max(1))
+        }
+      }.toDF("doc_id", "width", "height", "out_w", "out_h")
+      ord(resized)
+    }),
+    // multimodal frame sampling: every k-th fixed-size slice of the
+    // payload (video-frame analogue); emits (frame_no, offset, frame md5)
+    // — one row per sampled frame, the explode-shaped batch a real
+    // decoder feeds downstream
+    "q_mm_frames" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val frameLen = 64; val stride = 128
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      val frames = bin.mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          Iterator.from(0).map(_ * stride)
+            .takeWhile(off => off + frameLen <= payload.length)
+            .map { off =>
+              // frame fingerprint: same wrapping polynomial hash as
+              // graft.functions.RollingHash (DuckDB-replicable mod 2^64)
+              var h = 0L; var i = off
+              while (i < off + frameLen) { h = h * 1000003L + (payload(i) & 0xffL); i += 1 }
+              (id, off / stride, off, h)
+            }
+        }
+      }.toDF("doc_id", "frame_no", "offset", "frame_fp")
+      ord(frames)
+    }),
     // multimodal feature extraction: per-batch over the opaque payload —
     // a deterministic 8-bin byte histogram standing in for an image/audio
     // feature extractor (the batch shape, schema, and partitioning are the
@@ -458,6 +506,26 @@ object Ext {
          |  round(CAST(len(regexp_extract_all(text, $BpeRegexSql)) AS DOUBLE) /
          |    len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')), 6) AS bpe_per_ws
          |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_mm_resize" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |wh AS (SELECT doc_id, n % 640 + 1 AS w, (n * 31) % 480 + 1 AS h FROM d)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(greatest(w * 224 // greatest(w, h), 1) AS INT) AS out_w,
+        |  CAST(greatest(h * 224 // greatest(w, h), 1) AS INT) AS out_h
+        |FROM wh ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_mm_frames" ->
+      s"""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+         |bytes AS (SELECT doc_id, n, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(n)] AS bs FROM d),
+         |f AS (SELECT doc_id, bs, i AS frame_no, i * 128 AS off
+         |      FROM bytes, unnest(range((n - 64) // 128 + 1)) AS u(i)
+         |      WHERE n >= 64),
+         |fp AS (SELECT doc_id, frame_no, off,
+         |  list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(bs[off + 1 : off + 64], b -> CAST(b AS HUGEINT))),
+         |              (a, b) -> (a * 1000003 + b) % $M64) AS fpu
+         |  FROM f)
+         |SELECT doc_id, CAST(frame_no AS INT) AS frame_no, CAST(off AS INT) AS "offset",
+         |  CAST(CASE WHEN fpu >= $M63 THEN fpu - $M64 ELSE fpu END AS BIGINT) AS frame_fp
+         |FROM fp ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_features" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
         |bins AS (SELECT doc_id, nb,

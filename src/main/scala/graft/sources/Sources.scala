@@ -81,8 +81,18 @@ object Sources {
   def lookup(incoming: Dataset[Record], store: Dataset[Record]): Dataset[Record] = {
     val spark = incoming.sparkSession
     import spark.implicits._
-    incoming.map(r => r.identifier -> r).toDF("id", "fresh")
-      .join(store.map(r => r.identifier -> r).toDF("id", "stored"), Seq("id"), "left")
+    // column-level (no typed map): the join key stays the scanned
+    // `identifier` column, so a store written with
+    // Bucketing.writeBucketed(..., keys = identifier) joins with NO
+    // exchange on the store side — the archive (the big side at 100 TB)
+    // never reshuffles; only the incoming batch does
+    def keyed(ds: Dataset[Record], name: String) = {
+      val df = ds.toDF()
+      df.select(col("identifier").as("id"),
+        struct(df.columns.map(col).toIndexedSeq: _*).as(name))
+    }
+    keyed(incoming, "fresh")
+      .join(keyed(store, "stored"), Seq("id"), "left")
       .select(coalesce(col("stored"), col("fresh")).as("r"))
       .select("r.*").as[Record]
   }

@@ -35,6 +35,35 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed record store: archive lookup shuffles only the incoming batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store = graft.sources.Sources.fromTextColumn(docs, "text")
+    Bucketing.writeBucketed(store.toDF(), "record_store", s"$dir/store", 4, Seq("identifier"))
+    val incoming = graft.sources.Sources.fromTextColumn(docs.limit(50), "text")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val stored = spark.table("record_store").as[graft.model.Record]
+      val merged = graft.sources.Sources.lookup(incoming, stored)
+      merged.collect()
+      val plan = merged.queryExecution.executedPlan.toString
+      // the store scan must be bucketed, and the branch between the join's
+      // store-side Sort and the store FileScan must contain no Exchange —
+      // the archive never reshuffles, only the incoming batch does
+      assert(plan.contains("Bucketed: true"), s"store scan not bucketed:\n${plan.take(900)}")
+      val scanIdx = plan.indexOf("spark_catalog.default.record_store")
+      assert(scanIdx > 0, "store scan not found in plan")
+      val sortIdx = plan.lastIndexOf("Sort [", scanIdx)
+      assert(sortIdx > 0 && !plan.substring(sortIdx, scanIdx).contains("Exchange"),
+        s"store side reshuffled:\n${plan.substring(sortIdx, scanIdx)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS record_store")
+    }
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_partitioned").toString
     spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
