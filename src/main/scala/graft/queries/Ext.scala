@@ -43,13 +43,10 @@ object Ext {
   private def md5Hash60(colName: String): String =
     s"CAST(conv(substring(md5($colName), 1, 15), 16, 10) AS BIGINT)"
 
-  /** Hash sources are pluggable: the oracle gate uses the portable
-    * md5-derived families above (DuckDB can replicate them bit-for-bit);
-    * bench/production mode uses xxhash64-derived values of the same width —
-    * identical signature/banding/vote algorithm, cheaper hash. */
-  private def shingleBase: org.apache.spark.sql.Column =
-    if (graft.Tables.benchMode) xxhash64(col("s")).bitwiseAND(lit(0xFFFFFFFL))
-    else conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long")
+  // Hash sources are pluggable throughout this catalog: the oracle gate
+  // uses portable md5-derived families (DuckDB replicates them
+  // bit-for-bit); bench/production mode uses xxhash64-derived values of
+  // the same width with the identical algorithm (see MinHashSig.portable).
 
   private def tokenHash60Sql: String =
     if (graft.Tables.benchMode) "xxhash64(w) & 1152921504606846975"
@@ -120,28 +117,21 @@ object Ext {
         .select("doc_a", "doc_b", "n_inter", "jaccard"))
     }),
     // MinHash + LSH banding, fully oracle-checked (portable affine hash
-    // family, see MinHashP above). Single shingle pass: the k=32 signature
-    // is 32 min-aggregates in ONE shuffle (one md5 per shingle + 32 cheap
-    // affine maps — no k-fold row explosion, no k-fold hashing); banding is
-    // an equi-join on (band, band-slice key). At 100 TB the shuffle is
-    // |docs|*k ints, independent of the pair count.
+    // family, see MinHashP above); banding is an equi-join on
+    // (band, band-slice key), so the only shuffle is |docs|*bands rows,
+    // independent of both shingle count and pair count.
     "q_dedup_minhash" -> ((s, dir) => {
       val k = 32; val bandsN = 8; val rowsPerBand = k / bandsN
-      val w = canonicalDocs(s, dir)
-        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-        .filter(size(col("w")) >= 3)
-      // no .distinct() on shingles: min-aggregation is duplicate-insensitive
-      // (the signature over a multiset equals the signature over its set),
-      // so the dedup shuffle the round-1 version paid is pure waste
-      val sh = w.select(col("doc_id"), explode(
-          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
-        .as("s"))
-        .withColumn("base", shingleBase)
-      val sig = sh.groupBy("doc_id")
-        .agg(min((lit(aCoef(0)) * col("base") + lit(bCoef(0))) % MinHashP).as("h0"),
-          (1 until k).map(i =>
-            min((lit(aCoef(i)) * col("base") + lit(bCoef(i))) % MinHashP).as(s"h$i")): _*)
-        .select(col("doc_id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+      // the whole k=32 signature is ONE narrow expression per document
+      // (graft.functions.MinHashSig): no shingle explode, no shuffle at
+      // all until the band join — the aggregation form moved
+      // |docs|*|shingles| rows through a shuffle just to min them back
+      // to one row per doc. At 100 TB signature computation is map-side.
+      val sig = canonicalDocs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.MinHashSig.minhash_sig(
+            col("text"), k, portable = !graft.Tables.benchMode).as("sig"))
+        .filter(col("sig").isNotNull)
       val bands = sig.select(col("doc_id"), col("sig"), explode(
           expr(s"transform(sequence(0, ${bandsN - 1}), b -> " +
             s"struct(b AS band, concat_ws('_', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))"))

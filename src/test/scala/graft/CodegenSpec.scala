@@ -48,6 +48,13 @@ class CodegenSpec extends SparkSpec {
         .toDF("a", "b").select(vec_dot(col("a"), col("b")).as("d")).collect()
       assert(vd.head.getDouble(0) == 32.0)
 
+      import graft.functions.MinHashSig.minhash_sig
+      val mh = Seq("one two three four", "ab")
+        .toDF("text").select(minhash_sig(col("text"), 8, portable = true).as("sig"))
+        .collect()
+      assert(mh(0).getSeq[Long](0).length == 8)
+      assert(mh(1).isNullAt(0), "under 3 tokens must yield null")
+
       import graft.functions.WordScan.word_scan
       val ws = Seq("The cat and the dog, a big dog.")
         .toDF("text").select(word_scan(col("text"), Seq("the", "a", "dog"), 2).as("sc"))
