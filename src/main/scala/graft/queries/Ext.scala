@@ -86,21 +86,28 @@ object Ext {
     // corpus DNF'd in 10min without this, 4s with it). Exact-dup expansion
     // is a cheap join afterwards if pair-level output over copies is needed.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val shingleExpr = "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"
+      val hashLambda =
+        if (graft.Tables.benchMode) "x -> xxhash64(x)"
+        else "x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)"
       val w = canonicalDocs(s, dir)
         .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
         .filter(size(col("w")) >= 3)
+      // per-doc distinct-shingle count is a pure function of the text:
+      // computed narrowly (no shuffle), over the same hash domain the
+      // postings use so both engines count identical distinct sets
+      val counts = w.select(col("doc_id"),
+        size(array_distinct(expr(s"transform($shingleExpr, $hashLambda)"))).as("n"))
       val sh = w.select(col("doc_id"), explode(
-          expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"))
-        .as("s"))
-        .select(col("doc_id"), shingleHash60.as("s")).distinct()
-      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // Posting lists instead of a self-join: ONE shuffle on shingle (the
-      // self-join paid it twice), and df=1 shingles — the vast majority —
-      // die in the size filter before generating anything. Pairs come from
-      // each posting list directly; sort_array makes collect_list's order
-      // (and so the a<b pair orientation) deterministic. At 100 TB add a
-      // df cap (drop ubiquitous shingles) — here exactness is the contract.
-      val posts = sh.groupBy("s").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          expr(s"transform($shingleExpr, $hashLambda)")).as("s"))
+      // Posting lists instead of a self-join, collect_set instead of a
+      // pre-distinct: the ONLY corpus-wide shuffle left is this groupBy on
+      // the shingle hash (the round-1 form paid three — distinct, counts,
+      // join side A — over the same exploded rows). df=1 shingles — the
+      // vast majority — die in the size filter before generating anything;
+      // sort_array fixes the a<b pair orientation. At 100 TB add a df cap
+      // (drop ubiquitous shingles) — here exactness is the contract.
+      val posts = sh.groupBy("s").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
         .filter(size(col("ds")) > 1)
       val inter = posts.select(explode(expr(
           "flatten(transform(sequence(0, size(ds) - 2), i -> " +
