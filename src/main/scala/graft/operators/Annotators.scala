@@ -55,19 +55,55 @@ object Annotators {
   /** Sentence = maximal run of non-terminators plus trailing terminators. */
   val SentencePattern = "[^.!?]+[.!?]*".r
 
-  def tokenSpans(text: String, src: String): Seq[Span] =
-    TokenPattern.findAllMatchIn(text).map { m =>
-      Span(m.start, m.end, m.matched, 1.0, src, Map.empty)
-    }.toVector
+  @inline private def isTokChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' || c == '\''
 
-  def sentenceSpans(text: String, src: String): Seq[Span] =
-    SentencePattern.findAllMatchIn(text).flatMap { m =>
-      // trim whitespace off the span edges
-      var s = m.start; var e = m.end
-      while (s < e && text.charAt(s).isWhitespace) s += 1
-      while (e > s && text.charAt(e - 1).isWhitespace) e -= 1
-      if (s < e) Some(Span(s, e, "sentence", 1.0, src, Map.empty)) else None
-    }.toVector
+  /** Hand-rolled scan with exactly TokenPattern's semantics (a run of
+    * `[A-Za-z0-9_']` chars, or one non-space other char) — the regex engine
+    * was the dominant per-document cost of the whole annotator chain. */
+  def tokenSpans(text: String, src: String): Seq[Span] = {
+    val out = Vector.newBuilder[Span]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (isTokChar(c)) {
+        var j = i + 1
+        while (j < n && isTokChar(text.charAt(j))) j += 1
+        out += Span(i, j, text.substring(i, j), 1.0, src, Map.empty)
+        i = j
+      } else {
+        if (!Character.isWhitespace(c))
+          out += Span(i, i + 1, text.substring(i, i + 1), 1.0, src, Map.empty)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Hand-rolled scan with exactly SentencePattern's semantics (a 1+ run of
+    * non-terminators plus trailing `[.!?]*`), then whitespace-trimmed. */
+  def sentenceSpans(text: String, src: String): Seq[Span] = {
+    val out = Vector.newBuilder[Span]
+    val n = text.length
+    @inline def isTerm(c: Char) = c == '.' || c == '!' || c == '?'
+    var i = 0
+    while (i < n) {
+      if (isTerm(text.charAt(i))) i += 1 // outside any match, like the regex
+      else {
+        val start = i
+        while (i < n && !isTerm(text.charAt(i))) i += 1
+        while (i < n && isTerm(text.charAt(i))) i += 1
+        // trim whitespace off the span edges
+        var s = start; var e = i
+        while (s < e && text.charAt(s).isWhitespace) s += 1
+        while (e > s && text.charAt(e - 1).isWhitespace) e -= 1
+        if (s < e) out += Span(s, e, "sentence", 1.0, src, Map.empty)
+      }
+    }
+    out.result()
+  }
 
   private def addLabel(r: Record, name: String, lab: Labeling): Record =
     r.copy(labelViews = r.labelViews + (name -> lab))

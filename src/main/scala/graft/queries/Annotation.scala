@@ -170,11 +170,15 @@ object Annotation {
         expr("aggregate(clusterViews['coref'].clusters, 0, (a, c) -> a + size(c.labels))").as("n_mentions")))
     }),
     "q_annotate_srl" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
       val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.VERB_SRL)
-      ord(ann.toDF.select(
-        md5(col("rawText")).as("h"),
-        expr("size(parseViews['srl'].trees)").as("n_predicates"),
-        expr("aggregate(parseViews['srl'].trees, 0, (a, t) -> a + size(t.nodes) - 1)").as("n_args")))
+      // project inside the typed pipeline: only (h, n, n) crosses the
+      // object->Tungsten boundary, not the full five-view nested record
+      ord(ann.map { r =>
+          val trees = r.parseViews("srl").trees
+          (md5Hex(r.rawText), trees.size, trees.map(_.nodes.size - 1).sum)
+        }.toDF("h", "n_predicates", "n_args"))
     }),
   )
 
