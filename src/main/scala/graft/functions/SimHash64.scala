@@ -29,7 +29,81 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SimHash signature straight from text in one narrow pass: whitespace
+  * tokens (empties dropped), a 60-bit hash per token (portable md5 prefix
+  * for the oracle gate / xxhash64 seed 42 in production — same switch as
+  * MinHashSig), bit votes, packed BIGINT. Replaces the higher-order
+  * `transform(filter(split(...)))` pipeline whose lambda body is
+  * interpreted per token. */
+case class SimHashText(child: Expression, portable: Boolean) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_text"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.evalText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], portable))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.evalText($c, $portable);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
 object SimHash64 {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** 60-bit token hashes + bit votes in one pass (tokens = Java
+    * `split("\\s+", -1)` with empties dropped — exactly the SQL
+    * `filter(split(text, '\\s+'), w -> w != '')` it replaces). */
+  def evalText(text: UTF8String, portable: Boolean): Long = {
+    val w = text.toString.split("\\s+", -1)
+    val votes = new Array[Int](64)
+    var n = 0
+    var t = 0
+    while (t < w.length) {
+      if (w(t).nonEmpty) {
+        n += 1
+        val h =
+          if (portable) md5Prefix60(w(t))
+          else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            UTF8String.fromString(w(t)),
+            org.apache.spark.sql.types.StringType, 42L) & ((1L << 60) - 1)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5 as a long — identical to
+    * `CAST(conv(substring(md5(w),1,15),16,10) AS BIGINT)`. */
+  private def md5Prefix60(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xffL) >> 4)
+  }
+
   /** Named `evalVotes` (not `eval`): a companion `eval` collides with the
     * inherited `Expression.eval(InternalRow)`, so scalac emits no static
     * forwarder and codegen falls back to interpreted execution. */
@@ -60,5 +134,10 @@ object SimHash64 {
   def simhash64(c: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     column(SimHash64(expression(c)))
+  }
+
+  def simhash_text(c: Column, portable: Boolean): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(SimHashText(expression(c), portable))
   }
 }

@@ -38,19 +38,10 @@ object Ext {
   private[queries] def aCoef(i: Int): Long = (2654435761L * (2 * i + 1)) % MinHashP
   private[queries] def bCoef(i: Int): Long = (2246822519L * (i + 1)) % MinHashP
 
-  /** 60-bit md5-derived token hash, same in both engines (15 hex chars
-    * always fit a signed 64-bit int, so no sign-wrap divergence). */
-  private def md5Hash60(colName: String): String =
-    s"CAST(conv(substring(md5($colName), 1, 15), 16, 10) AS BIGINT)"
-
   // Hash sources are pluggable throughout this catalog: the oracle gate
   // uses portable md5-derived families (DuckDB replicates them
   // bit-for-bit); bench/production mode uses xxhash64-derived values of
   // the same width with the identical algorithm (see MinHashSig.portable).
-
-  private def tokenHash60Sql: String =
-    if (graft.Tables.benchMode) "xxhash64(w) & 1152921504606846975"
-    else md5Hash60("w")
 
   /** Shingle identity hash for the Jaccard inverted index: shuffling a
     * 64-bit key instead of the 28-char shingle string cuts shuffle bytes
@@ -160,15 +151,13 @@ object Ext {
     // hamming distance 3 share at least one exact band (pigeonhole), so
     // the theta self-join becomes an equi-join — the scale-correct form.
     "q_dedup_simhash" -> ((s, dir) => {
-      val d = canonicalDocs(s, dir)
+      // whole signature in one narrow expression (tokenize + hash + bit
+      // votes per document, no interpreted per-token lambdas) — see
+      // graft.functions.SimHashText; portable hash for the oracle gate
+      val sim = canonicalDocs(s, dir)
         .select(col("doc_id"),
-          expr("transform(filter(split(text, '\\\\s+'), w -> w != ''), " +
-            s"w -> $tokenHash60Sql)").as("hs"))
-      // native codegen'd bit-vote: the SQL higher-order equivalent runs
-      // ~64x|tokens| interpreted lambdas per row (measured 15.7s vs 0.2s
-      // at sf0.1) — see graft.functions.SimHash64
-      val sim = d.select(col("doc_id"),
-        graft.functions.SimHash64.simhash64(col("hs")).as("simhash"))
+          graft.functions.SimHash64.simhash_text(
+            col("text"), portable = !graft.Tables.benchMode).as("simhash"))
       val banded = sim.select(col("doc_id"), col("simhash"), explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band, " +
             "shiftright(simhash, b * 15) & 32767 AS bkey))")).as("x"))

@@ -434,6 +434,25 @@ object Relational {
         .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n")))
     }),
 
+    // ---- SQL-text surface: the spark.sql(...) entry point end-to-end
+    // (TPC-H Q3 shape over temp views; every other query uses the
+    // DataFrame API, this one proves the parser/analyzer path) ----
+    "q_sql_tpch_q3" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      ord(s.sql(
+        """SELECT l_orderkey,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  o_orderdate, o_orderpriority
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-06-01'
+          |  AND l_shipdate > TIMESTAMP '1997-06-01'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin))
+    }),
+
     // ---- JSON struct parsing + map functions ----
     "q_from_json" -> ((s, dir) => {
       ord(t(s, dir, "events")
@@ -788,6 +807,17 @@ object Relational {
         |cnt AS (SELECT source, token, COUNT(*) AS n_with FROM tok GROUP BY source, token)
         |SELECT cnt.source, cnt.token FROM cnt JOIN dc ON cnt.source = dc.source
         |WHERE cnt.n_with = dc.n_docs ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_from_json" ->
       """SELECT event_id,
         |  json_keys(props)[1] AS first_key,
