@@ -57,6 +57,22 @@ class PlanCheckSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), s"map-column dedup fell back to sort agg:\n${p.take(600)}")
   }
 
+  test("no query serializes the corpus through a single-partition exchange") {
+    // Allowlist, each with a reason the serial point is bounded:
+    //  - q_sample: global orderBy(rand).limit(k) — the single partition
+    //    sees only the per-partition top-k candidates, k = 25;
+    //  - q_window_rank: the size-adaptive global-ntile serial fast path
+    //    (inputs under ScalableWindows.SerialThresholdBytes; above it the
+    //    distributed quantile-bucket form takes over — ScalableWindowsSpec).
+    val allow = Set("q_sample", "q_window_rank")
+    val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      val p = fn(spark, dir).queryExecution.executedPlan.toString
+      if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
+    }
+    assert(offending.isEmpty,
+      s"queries with an unexpected serial exchange: $offending")
+  }
+
   test("whole-stage codegen covers the custom fingerprint expressions") {
     // AQE reports 0 codegen subtrees before execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
