@@ -52,6 +52,21 @@ object Ext {
     if (graft.Tables.benchMode) xxhash64(col("s"))
     else conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
 
+  /** Deterministic random-hyperplane LSH: an 8x64 sign matrix derived from
+    * md5 bits at build time and embedded as a LITERAL in both the Spark
+    * expression and the DuckDB oracle — same buckets on both engines by
+    * construction (no runtime hashing of dims). */
+  private[queries] val LshPlanes: IndexedSeq[IndexedSeq[Int]] =
+    IndexedSeq.tabulate(8, 64) { (j, d) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-lsh:$j:$d".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1 else -1
+    }
+  private def lshSparkLit: String =
+    LshPlanes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+  private def lshDuckLit: String =
+    LshPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** Exact-dup canonicalization: one representative (min doc_id) per
     * distinct text. Near-dup operators run over representatives — with d
     * exact copies of a document, pairwise candidate generation would
@@ -221,6 +236,32 @@ object Ext {
       val scored = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
         .withColumn("cos", round(
           graft.functions.VecDot.vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk")))
+    }),
+
+    // random-hyperplane LSH ANN: bucket = 8 sign bits of fixed ±1
+    // hyperplanes (see LshPlanes) — the classic cosine-LSH scale path;
+    // candidates only within a bucket (~|corpus|/256 of the scan),
+    // recall traded for bounded work. Exact same buckets in the oracle.
+    "q_knn_lsh" -> ((s, dir) => {
+      import graft.functions.VecDot.{vec_dot, vec_norm}
+      val bucketExpr =
+        s"""aggregate(sequence(0, 7), 0L, (acc, j) -> acc +
+           |  CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+           |    (a, d) -> a + element_at(element_at($lshSparkLit, j + 1), d) * element_at(v, d)) >= 0
+           |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val b = e.withColumn("bucket", expr(bucketExpr))
+      val n = b.withColumn("nrm", vec_norm(col("v")))
+      val q = broadcast(n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+          col("bucket").as("qb")))
+      val scored = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
       ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
@@ -453,6 +494,21 @@ object Ext {
         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_lsh" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |  list_sum([CASE WHEN list_sum([($lshDuckLit)[j + 1][d] * v[d] FOR d IN range(1, 65)]) >= 0
+         |    THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(8)]) AS bucket FROM v),
+         |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+         |  FROM n JOIN q ON bucket = qb AND vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id AS neighbor, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk FROM scored)
+         |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_ivf" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |b AS (SELECT vec_id, v,
