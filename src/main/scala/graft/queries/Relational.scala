@@ -114,6 +114,32 @@ object Relational {
             col("exact_parts") * lit(0.05)).as("within_5pct")))
     }),
 
+    // pivot: long-to-wide over a low-cardinality column (explicit value
+    // list, so the plan is a single pass — no distinct-values pre-query)
+    "q_pivot" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity"))))
+    }),
+    // unpivot/melt: wide-to-long (the inverse shape; variable/value form)
+    "q_unpivot" -> ((s, dir) => {
+      ord(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey").cast("double").as("c_nationkey"))
+        .unpivot(Array(col("c_custkey")), Array(col("c_acctbal"), col("c_nationkey")),
+          "metric", "value"))
+    }),
+    // exact interpolated percentiles (both engines: linear interpolation)
+    "q_percentile" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90")))
+    }),
+
     // ---- joins ----
     "q_join_inner" -> ((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
@@ -818,6 +844,23 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_from_json" ->
       """SELECT event_id,
         |  json_keys(props)[1] AS first_key,
