@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-3-gram shingle hashes of a document in one narrow pass:
+  * split on whitespace (Java `split("\\s+", -1)`, Spark's `split`
+  * semantics), join 3-token windows with spaces, hash each (portable
+  * md5-prefix-60 for the oracle gate / xxhash64 seed 42 in production —
+  * the same switch as MinHashSig), and dedup. Returns a sorted
+  * ARRAY<BIGINT>, or null for documents under 3 tokens.
+  *
+  * This is the input of the Jaccard inverted index: one projection feeds
+  * both the per-doc distinct count (`size`) and the posting explode, so
+  * the interpreted transform/concat_ws/slice lambda pipeline and its
+  * duplicated evaluation disappear.
+  */
+case class ShingleHashes(child: Expression, portable: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.evalShingles(input.asInstanceOf[UTF8String], portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arrayData = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        $arrayData ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = graft.functions.ShingleHashes.evalShingles(${c.value}, $portable);
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+
+  /** Named `evalShingles`, not `eval` (static-forwarder collision with
+    * `Expression.eval(InternalRow)` breaks codegen otherwise). */
+  def evalShingles(text: UTF8String, portable: Boolean): GenericArrayData = {
+    val w = text.toString.split("\\s+", -1)
+    if (w.length < 3) return null
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + 2 < w.length) {
+      sb.setLength(0)
+      sb.append(w(i)).append(' ').append(w(i + 1)).append(' ').append(w(i + 2))
+      val shingle = sb.toString
+      val h =
+        if (portable) md5Prefix60(shingle)
+        else XxHash64Function.hash(
+          UTF8String.fromString(shingle), StringType, 42L)
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5 as a long — identical to
+    * `CAST(conv(substring(md5(s),1,15),16,10) AS BIGINT)`. */
+  private def md5Prefix60(s: String): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    (v << 4) | ((h(7) & 0xffL) >> 4)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def shingle_hashes(c: Column, portable: Boolean): Column =
+    column(ShingleHashes(expression(c), portable))
+}

@@ -43,15 +43,6 @@ object Ext {
   // bit-for-bit); bench/production mode uses xxhash64-derived values of
   // the same width with the identical algorithm (see MinHashSig.portable).
 
-  /** Shingle identity hash for the Jaccard inverted index: shuffling a
-    * 64-bit key instead of the 28-char shingle string cuts shuffle bytes
-    * ~4x. Distinct-shingle counts over the hash equal counts over the
-    * string up to 60-bit collisions (~1e-9 at this cardinality), and both
-    * engines hash identically, so the compare stays exact. */
-  private def shingleHash60: org.apache.spark.sql.Column =
-    if (graft.Tables.benchMode) xxhash64(col("s"))
-    else conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
-
   /** Deterministic random-hyperplane LSH: an 8x64 sign matrix derived from
     * md5 bits at build time and embedded as a LITERAL in both the Spark
     * expression and the DuckDB oracle — same buckets on both engines by
@@ -92,20 +83,17 @@ object Ext {
     // corpus DNF'd in 10min without this, 4s with it). Exact-dup expansion
     // is a cheap join afterwards if pair-level output over copies is needed.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      val shingleExpr = "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"
-      val hashLambda =
-        if (graft.Tables.benchMode) "x -> xxhash64(x)"
-        else "x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)"
-      val w = canonicalDocs(s, dir)
-        .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
-        .filter(size(col("w")) >= 3)
-      // per-doc distinct-shingle count is a pure function of the text:
-      // computed narrowly (no shuffle), over the same hash domain the
-      // postings use so both engines count identical distinct sets
-      val counts = w.select(col("doc_id"),
-        size(array_distinct(expr(s"transform($shingleExpr, $hashLambda)"))).as("n"))
-      val sh = w.select(col("doc_id"), explode(
-          expr(s"transform($shingleExpr, $hashLambda)")).as("s"))
+      // one narrow expression per document (graft.functions.ShingleHashes)
+      // yields the distinct shingle-hash set; it feeds BOTH the per-doc
+      // count (pure function of the text — no shuffle) and the posting
+      // explode, over the same hash domain in both engines
+      val docs = canonicalDocs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.ShingleHashes.shingle_hashes(
+            col("text"), portable = !graft.Tables.benchMode).as("hs"))
+        .filter(col("hs").isNotNull)
+      val counts = docs.select(col("doc_id"), size(col("hs")).as("n"))
+      val sh = docs.select(col("doc_id"), explode(col("hs")).as("s"))
       // Posting lists instead of a self-join, collect_set instead of a
       // pre-distinct: the ONLY corpus-wide shuffle left is this groupBy on
       // the shingle hash (the round-1 form paid three — distinct, counts,
