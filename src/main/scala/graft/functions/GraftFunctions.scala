@@ -37,7 +37,31 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimHash64(exprs.head)),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))),
+    (FunctionIdentifier("simhash_text"),
+      new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
+      (exprs: Seq[Expression]) => SimHashText(exprs.head, boolLit(exprs, 1, "simhash_text"))),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs.head, intLit(exprs, 1, "minhash_sig"), boolLit(exprs, 2, "minhash_sig"))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, boolLit(exprs, 1, "shingle_hashes"))))
+
+  private def intLit(exprs: Seq[Expression], i: Int, fn: String): Int =
+    exprs(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def boolLit(exprs: Seq[Expression], i: Int, fn: String): Boolean =
+    exprs(i) match {
+      case Literal(v: Boolean, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be a boolean literal, got $other")
+    }
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (id, _, builder) =>

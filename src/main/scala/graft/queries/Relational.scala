@@ -140,6 +140,21 @@ object Relational {
           round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90")))
     }),
 
+    // sketch percentile, oracle-checked via its error bound: GK-sketch
+    // median must land within 2% of the exact interpolated median (the
+    // sketch returns an actual data value, the exact form interpolates,
+    // so exact equality is not the contract — the bound is)
+    "q_approx_percentile" -> ((s, dir) => {
+      ord(t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact"))
+        .select(col("l_returnflag"),
+          round(col("exact"), 6).as("exact_median"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.02).as("within_2pct")))
+    }),
+
     // ---- joins ----
     "q_join_inner" -> ((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
@@ -860,6 +875,11 @@ object Relational {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
         |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+        |  true AS within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_from_json" ->
       """SELECT event_id,

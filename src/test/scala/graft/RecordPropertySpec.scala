@@ -81,4 +81,17 @@ class RecordPropertySpec extends SparkSpec {
       .foldLeft(0L)((h, b) => h * graft.functions.RollingHash.Base + (b & 0xffL))
     assert(r.getLong(0) == expected && r.getLong(1) == expected)
   }
+
+  test("sql registration: signature expressions callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT simhash_text('a b c', true) AS sh,
+        |  size(minhash_sig('a b c d', 16, true)) AS mh,
+        |  size(shingle_hashes('a b c d', true)) AS sg,
+        |  vec_dot(array(1D, 2D), array(3D, 4D)) AS vd""".stripMargin).head()
+    assert(r.getLong(0) != 0L)
+    assert(r.getInt(1) == 16)
+    assert(r.getInt(2) == 2) // "a b c d" has two distinct 3-gram shingles
+    assert(r.getDouble(3) == 11.0)
+  }
 }
