@@ -81,6 +81,33 @@ object Record {
       Map.empty, Map.empty, Map.empty, Map.empty, whitespaced)
 }
 
+/** Cross-document record (reference `curator.thrift:46-53`): a corpus-level
+  * analogue of Record — member record ids plus the same four open view
+  * maps, holding annotations whose scope is the whole group (the server's
+  * `provideMulti` is vestigial — throws, `CuratorHandler.java:1129-1133` —
+  * so the semantics here are the Spark-native design from SURVEY.md §1.5:
+  * "a grouped/aggregated DataFrame keyed by corpus id"). Identity is
+  * content-addressed over the sorted member ids. */
+final case class MultiRecord(
+    identifier: String,
+    recordIds: Seq[String],
+    labelViews: Map[String, Labeling],
+    clusterViews: Map[String, Clustering],
+    parseViews: Map[String, Forest],
+    views: Map[String, GView]) {
+  def viewNames: Set[String] =
+    labelViews.keySet ++ clusterViews.keySet ++ parseViews.keySet ++ views.keySet
+}
+
+object MultiRecord {
+  /** Fresh multi-record over member ids (sorted — identity is order-free). */
+  def fresh(recordIds: Seq[String]): MultiRecord = {
+    val sorted = recordIds.sorted
+    MultiRecord(Identifier.multiId(sorted), sorted,
+      Map.empty, Map.empty, Map.empty, Map.empty)
+  }
+}
+
 /** Content-addressed identity (reference `archive/Identifier.java:63-77`):
   * `identifier = hex(sha1("FLAG:" + whitespaced + ":" + rawText))`. This is
   * the dedup/caching key for the whole system. */
@@ -97,6 +124,14 @@ object Identifier {
   /** Column form — lets Catalyst codegen the hash over a whole corpus scan. */
   def idColumn(rawText: Column, whitespaced: Column): Column =
     F.sha1(F.concat(F.lit("FLAG:"), whitespaced.cast("string"), F.lit(":"), rawText))
+
+  /** MultiRecord identity: sha1 over the sorted member ids (same
+    * content-addressing scheme, corpus granularity). */
+  def multiId(sortedRecordIds: Seq[String]): String = {
+    val d = MessageDigest.getInstance("SHA-1")
+    d.digest(s"MULTI:${sortedRecordIds.mkString(",")}"
+      .getBytes(StandardCharsets.UTF_8)).map(b => f"$b%02x").mkString
+  }
 }
 
 /** Structural invariants every record must satisfy (FIXTURES.md A2;

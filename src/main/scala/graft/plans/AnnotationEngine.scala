@@ -91,6 +91,18 @@ final class AnnotationEngine(val registry: Map[AnnotationMode, ViewOperator]) ex
     Planner.planJobs(target, present, forcedStart)
   }
 
+  /** Cross-document grouping (reference `MultiRecord`, `curator.thrift:
+    * 46-53`; SURVEY.md §1.5 maps it to "a grouped DataFrame keyed by
+    * corpus id"): collect member identifiers per key into content-addressed
+    * MultiRecords, ready to carry corpus-level views. */
+  def groupCorpus(ds: Dataset[Record], keyFn: Record => String): Dataset[(String, MultiRecord)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map(r => (keyFn(r), r.identifier))
+      .groupByKey(_._1)
+      .mapGroups((k, it) => (k, MultiRecord.fresh(it.map(_._2).toSeq)))
+  }
+
   /** D16: per-view verification/diff of two corpora joined by identifier
     * (`CuratorClient.verifyRecords`, 660-853). Returns (identifier, view,
     * matches) rows for every view present on either side; a record present

@@ -134,4 +134,20 @@ class EngineSpec extends SparkSpec {
     val kept = Sources.upsert(updates, store).collect()
     assert(kept.forall(_.labelViews.contains("pos")), "richer stored must survive")
   }
+
+  test("groupCorpus collects member ids into content-addressed MultiRecords") {
+    import spark.implicits._
+    val recs = Seq("alpha doc one.", "beta doc two.", "alpha doc three.")
+      .map(graft.model.Record.fresh(_))
+    val ds = spark.createDataset(recs)
+    val groups = graft.plans.AnnotationEngine.default
+      .groupCorpus(ds, r => if (r.rawText.startsWith("alpha")) "a" else "b")
+      .collect().toMap
+    assert(groups.keySet == Set("a", "b"))
+    assert(groups("a").recordIds.size == 2 && groups("b").recordIds.size == 1)
+    // identity equals a locally built MultiRecord over the same members
+    val expected = graft.model.MultiRecord.fresh(
+      recs.filter(_.rawText.startsWith("alpha")).map(_.identifier))
+    assert(groups("a").identifier == expected.identifier)
+  }
 }

@@ -41,6 +41,15 @@ class ModelSpec extends AnyFunSuite {
     assert(Invariants.violations(badTree).exists(_.contains("top")))
   }
 
+  test("MultiRecord identity is content-addressed and member-order-free") {
+    import graft.model.MultiRecord
+    val a = MultiRecord.fresh(Seq("id2", "id1", "id3"))
+    val b = MultiRecord.fresh(Seq("id1", "id3", "id2"))
+    assert(a.identifier == b.identifier && a.recordIds == Seq("id1", "id2", "id3"))
+    assert(a.identifier != MultiRecord.fresh(Seq("id1", "id2")).identifier)
+    assert(a.viewNames.isEmpty)
+  }
+
   test("empty rawText is an invariant violation (rejected at ingest)") {
     val r = Record("x", "", Map.empty, Map.empty, Map.empty, Map.empty, false)
     assert(Invariants.violations(r).nonEmpty)
