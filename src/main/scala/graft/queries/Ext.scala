@@ -230,6 +230,28 @@ object Ext {
         .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk")))
     }),
 
+    // composite quality FILTER: the scoring rules become a keep/drop
+    // decision with the first failing rule as the reason — the actual
+    // gate shape of a training-data pipeline (one word_scan pass per doc)
+    "q_quality_filter" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+      val scan = graft.functions.WordScan.word_scan(col("text"), stop, 2)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"), scan.as("sc"))
+        .select(col("doc_id"),
+          col("sc").getItem(3).as("n_tokens"),
+          ((col("n_chars") - col("sc").getItem(4)) / col("n_chars").cast("double")).as("alpha"),
+          (col("sc").getItem(0) / col("sc").getItem(3).cast("double")).as("stopr"),
+          (col("sc").getItem(1) / col("sc").getItem(3).cast("double")).as("shortr"))
+      val reason = when(col("n_tokens") < 10, "too_short")
+        .when(col("alpha") < 0.7, "low_alpha")
+        .when(col("shortr") > 0.4, "high_short")
+        .when(col("stopr") < 0.01, "no_stopwords")
+        .otherwise("ok")
+      ord(base.select(col("doc_id"), reason.as("reason"))
+        .withColumn("keep", col("reason") === "ok"))
+    }),
+
     // random-hyperplane LSH ANN: bucket = 8 sign bits of fixed ±1
     // hyperplanes (see LshPlanes) — the classic cosine-LSH scale path;
     // candidates only within a bucket (~|corpus|/256 of the scan),
@@ -510,6 +532,22 @@ object Ext {
         |ranked AS (SELECT q_id, vec_id AS neighbor, cos,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk FROM scored)
         |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_quality_filter" ->
+      """WITH m AS (SELECT doc_id, length(text) AS n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\s')) AS ws_chars,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS n_stop,
+        |    len(regexp_extract_all(text, '\b\w{1,2}\b')) AS n_short
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN n_tokens < 10 THEN 'too_short'
+        |         WHEN (n_chars - ws_chars) / CAST(n_chars AS DOUBLE) < 0.7 THEN 'low_alpha'
+        |         WHEN n_short / CAST(n_tokens AS DOUBLE) > 0.4 THEN 'high_short'
+        |         WHEN n_stop / CAST(n_tokens AS DOUBLE) < 0.01 THEN 'no_stopwords'
+        |         ELSE 'ok' END AS reason
+        |  FROM m)
+        |SELECT doc_id, reason, reason = 'ok' AS keep FROM r
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_fingerprint" ->
       s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),

@@ -131,6 +131,35 @@ object Streams {
       col("r_ts") <= col("l_ts") + expr(s"INTERVAL $range"))
   }
 
+  /** Streaming archive upsert (reference D14 as a stream): each micro-batch
+    * merges into the record store via the same richer-record-wins upsert
+    * the batch pipeline uses, with write-then-swap so a failed batch never
+    * corrupts the store. foreachBatch + checkpointing gives exactly-once
+    * store contents (a replayed batch re-merges idempotently — upsert is
+    * idempotent by construction). */
+  def recordUpsertSink(
+      records: org.apache.spark.sql.Dataset[graft.model.Record],
+      storeDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[graft.model.Record] =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.Record], _: Long) =>
+        val spark = batch.sparkSession
+        val merged =
+          if (graft.sources.Sources.containsSerializedRecords(spark, storeDir))
+            graft.sources.Sources.upsert(
+              graft.sources.Sources.readRecords(spark, storeDir), batch)
+          else batch
+        val tmp = storeDir + "_tmp"
+        graft.sources.Sources.writeRecords(merged, tmp)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) fs.delete(p, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        ()
+      }
+
   /** Convenience: file-stream source over a directory of event parquet. */
   def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =

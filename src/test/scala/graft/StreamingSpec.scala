@@ -164,4 +164,23 @@ class StreamingSpec extends SparkSpec {
       assert(pairs == Set((1L, 10L)), s"got $pairs")
     } finally q.stop()
   }
+
+  test("foreachBatch record-store sink merges micro-batches idempotently") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_store").toString + "/store"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val ms = MemoryStream[String]
+    val stream = ms.toDS().map(graft.model.Record.fresh(_))
+    val q = graft.streaming.Streams.recordUpsertSink(stream, store, ckpt).start()
+    try {
+      ms.addData("doc one text.")
+      q.processAllAvailable()
+      ms.addData("doc two text.", "doc one text.") // duplicate content re-arrives
+      q.processAllAvailable()
+      val recs = graft.sources.Sources.readRecords(spark, store).collect()
+      assert(recs.map(_.rawText).sorted.toSeq == Seq("doc one text.", "doc two text."),
+        "store must hold one record per distinct content after merging batches")
+    } finally q.stop()
+  }
 }
