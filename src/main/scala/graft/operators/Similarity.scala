@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecDot.{vec_dot, vec_norm}
+
+/** Library API for similarity search over an embedding column
+  * (SURVEY.md §2d). Inputs carry (`vec_id`, `v: ARRAY<DOUBLE>`); the
+  * cosine inner loop is the codegen'd fused multiply-add `vec_dot`.
+  *
+  * Scale shape: the query set is broadcast and the corpus scanned once —
+  * embarrassingly parallel; a bucket expression (orthant sketch, random
+  * hyperplanes, trained IVF centroids) turns the scan into an equi-join
+  * on bucket, trading recall for a bounded candidate set. */
+object Similarity {
+
+  /** Top-k cosine neighbors per query: (q_id, neighbor, cos, rk).
+    * `bucket`: optional candidate-pruning expression over `v` — None
+    * scans everything (exact); Some(b) compares only within equal
+    * buckets (approximate). `queryPred` selects the query rows. */
+  def knn(
+      vectors: DataFrame,
+      queryPred: Column,
+      k: Int,
+      bucket: Option[Column] = None): DataFrame = {
+    val b = vectors.withColumn("bucket", bucket.getOrElse(lit(0L)))
+    val n = b.withColumn("nrm", vec_norm(col("v")))
+    val q = broadcast(n.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("qb")))
+    val scored = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+  }
+
+  /** All pairs with cosine >= `threshold`: (vec_a, vec_b, cos). Exact
+    * (theta self-join) — fine at dimension-table scale; at corpus scale
+    * bucket first and run per-bucket. */
+  def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val n = vectors.select(col("vec_id"), col("v"),
+      vec_dot(col("v"), col("v")).as("n2"))
+    n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos", round(
+        vec_dot(col("x.v"), col("y.v")) / (sqrt(col("x.n2")) * sqrt(col("y.n2"))), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashSig, ShingleHashes, SimHash64}
+
+/** Library API for the deduplication family (SURVEY.md §2d) — the query
+  * catalog (`graft.queries.Ext`) calls these with fixed parameters; users
+  * tune them. All operators take a DataFrame with (`idCol`, `textCol`).
+  *
+  * Hash sources: `portable = true` uses the md5-derived families the
+  * DuckDB oracle replicates bit-for-bit; `false` uses xxhash64 (cheaper,
+  * production default).
+  *
+  * Scale shapes (the design contract at 100 TB):
+  *   - canonicalization first — d exact copies would inflate pairwise
+  *     candidate generation d²-fold;
+  *   - signatures (`minhash_sig`, `simhash_text`, `shingle_hashes`) are
+  *     ONE narrow expression per document — map-side, no shuffle;
+  *   - candidate generation is always an equi-join (LSH bands, posting
+  *     lists), never a theta self-join;
+  *   - `maxDf` drops ubiquitous shingles from the inverted index: a
+  *     shingle shared by k documents emits k(k-1)/2 pairs, so one
+  *     boilerplate header shared by a million docs would otherwise emit
+  *     5·10^11 pairs. Capping df bounds per-shingle work at maxDf²/2
+  *     while keeping every pair whose overlap includes at least one
+  *     sub-ubiquitous shingle (the standard exactness/cost trade).
+  */
+object TextDedup {
+
+  /** Exact duplicate groups: one row per distinct content hash. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+
+  /** One representative (min id) per distinct text. */
+  def canonicalize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+
+  /** Exact n-gram Jaccard similar pairs over canonicalized docs:
+    * (doc_a, doc_b, n_inter, jaccard) for jaccard >= `threshold`.
+    * `maxDf`: drop shingles appearing in more than this many documents
+    * (0 = exact, no cap). */
+  def jaccardPairs(
+      canon: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      portable: Boolean = false,
+      maxDf: Int = 0): DataFrame = {
+    val docs = canon
+      .select(col(idCol).as("doc_id"),
+        ShingleHashes.shingle_hashes(col(textCol), portable).as("hs"))
+      .filter(col("hs").isNotNull)
+    val counts = docs.select(col("doc_id"), size(col("hs")).as("n"))
+    val sh = docs.select(col("doc_id"), explode(col("hs")).as("s"))
+    val posts0 = sh.groupBy("s").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val posts = if (maxDf > 0) posts0.filter(size(col("ds")) <= maxDf) else posts0
+    val inter = posts.select(explode(expr(
+        "flatten(transform(sequence(0, size(ds) - 2), i -> " +
+          "transform(sequence(i + 1, size(ds) - 1), j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"))
+      .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
+  /** MinHash/LSH candidate pairs over canonicalized docs:
+    * (doc_a, doc_b, n_match, est_jaccard) for est >= `threshold`. */
+  def minhashPairs(
+      canon: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8,
+      portable: Boolean = false): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val sig = canon
+      .select(col(idCol).as("doc_id"),
+        MinHashSig.minhash_sig(col(textCol), k, portable).as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sig.select(col("doc_id"), col("sig"), explode(
+        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"struct(b AS band, concat_ws('_', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))"))
+      .as("x"))
+      .select(col("doc_id"), col("sig"), col("x.band").as("band"), col("x.bkey").as("bkey"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), m -> m))").as("n_match"))
+      .distinct()
+      .withColumn("est_jaccard", round(col("n_match").cast("double") / k, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
+  }
+
+  /** SimHash candidate pairs over canonicalized docs:
+    * (doc_a, doc_b, hamming) for hamming <= `maxHamming`. Band count and
+    * width follow the pigeonhole rule: maxHamming+1 bands guarantee two
+    * signatures within the distance share an exact band. */
+  def simhashPairs(
+      canon: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val sim = canon.select(col(idCol).as("doc_id"),
+      SimHash64.simhash_text(col(textCol), portable).as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
+          s"shiftright(simhash, b * $width) & $mask AS bkey))")).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bkey").as("bkey"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -72,9 +72,7 @@ object Ext {
   val all: Map[String, Q] = Map(
     // exact dedup: content-hash groupBy (generalizes the engine's sha1 identity)
     "q_dedup_exact" -> ((s, dir) => {
-      ord(t(s, dir, "documents")
-        .groupBy(md5(col("text")).as("h"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")))
+      ord(graft.operators.TextDedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))
     }),
     // exact n-gram Jaccard via shingle inverted-index join.
     // Canonicalize FIRST: identical texts collapse to one representative
@@ -83,70 +81,18 @@ object Ext {
     // corpus DNF'd in 10min without this, 4s with it). Exact-dup expansion
     // is a cheap join afterwards if pair-level output over copies is needed.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      // one narrow expression per document (graft.functions.ShingleHashes)
-      // yields the distinct shingle-hash set; it feeds BOTH the per-doc
-      // count (pure function of the text — no shuffle) and the posting
-      // explode, over the same hash domain in both engines
-      val docs = canonicalDocs(s, dir)
-        .select(col("doc_id"),
-          graft.functions.ShingleHashes.shingle_hashes(
-            col("text"), portable = !graft.Tables.benchMode).as("hs"))
-        .filter(col("hs").isNotNull)
-      val counts = docs.select(col("doc_id"), size(col("hs")).as("n"))
-      val sh = docs.select(col("doc_id"), explode(col("hs")).as("s"))
-      // Posting lists instead of a self-join, collect_set instead of a
-      // pre-distinct: the ONLY corpus-wide shuffle left is this groupBy on
-      // the shingle hash (the round-1 form paid three — distinct, counts,
-      // join side A — over the same exploded rows). df=1 shingles — the
-      // vast majority — die in the size filter before generating anything;
-      // sort_array fixes the a<b pair orientation. At 100 TB add a df cap
-      // (drop ubiquitous shingles) — here exactness is the contract.
-      val posts = sh.groupBy("s").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) > 1)
-      val inter = posts.select(explode(expr(
-          "flatten(transform(sequence(0, size(ds) - 2), i -> " +
-            "transform(sequence(i + 1, size(ds) - 1), j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"))
-        .as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      ord(inter
-        .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard", round(col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter")), 6))
-        .filter(col("jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "n_inter", "jaccard"))
+      ord(graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode))
     }),
     // MinHash + LSH banding, fully oracle-checked (portable affine hash
     // family, see MinHashP above); banding is an equi-join on
     // (band, band-slice key), so the only shuffle is |docs|*bands rows,
     // independent of both shingle count and pair count.
     "q_dedup_minhash" -> ((s, dir) => {
-      val k = 32; val bandsN = 8; val rowsPerBand = k / bandsN
-      // the whole k=32 signature is ONE narrow expression per document
-      // (graft.functions.MinHashSig): no shingle explode, no shuffle at
-      // all until the band join — the aggregation form moved
-      // |docs|*|shingles| rows through a shuffle just to min them back
-      // to one row per doc. At 100 TB signature computation is map-side.
-      val sig = canonicalDocs(s, dir)
-        .select(col("doc_id"),
-          graft.functions.MinHashSig.minhash_sig(
-            col("text"), k, portable = !graft.Tables.benchMode).as("sig"))
-        .filter(col("sig").isNotNull)
-      val bands = sig.select(col("doc_id"), col("sig"), explode(
-          expr(s"transform(sequence(0, ${bandsN - 1}), b -> " +
-            s"struct(b AS band, concat_ws('_', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))"))
-        .as("x"))
-        .select(col("doc_id"), col("sig"), col("x.band").as("band"), col("x.bkey").as("bkey"))
-      ord(bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          expr("size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), m -> m))").as("n_match"))
-        .distinct()
-        .withColumn("est_jaccard", round(col("n_match").cast("double") / k, 6))
-        .filter(col("est_jaccard") >= 0.2)
-        .select("doc_a", "doc_b", "n_match", "est_jaccard"))
+      ord(graft.operators.TextDedup.minhashPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode))
     }),
     // SimHash: bit-vote signature packed into one BIGINT, oracle-checked
     // (60-bit md5-derived token hashes, same in both engines). Candidate
@@ -154,80 +100,36 @@ object Ext {
     // hamming distance 3 share at least one exact band (pigeonhole), so
     // the theta self-join becomes an equi-join — the scale-correct form.
     "q_dedup_simhash" -> ((s, dir) => {
-      // whole signature in one narrow expression (tokenize + hash + bit
-      // votes per document, no interpreted per-token lambdas) — see
-      // graft.functions.SimHashText; portable hash for the oracle gate
-      val sim = canonicalDocs(s, dir)
-        .select(col("doc_id"),
-          graft.functions.SimHash64.simhash_text(
-            col("text"), portable = !graft.Tables.benchMode).as("simhash"))
-      val banded = sim.select(col("doc_id"), col("simhash"), explode(expr(
-          "transform(sequence(0, 3), b -> struct(b AS band, " +
-            "shiftright(simhash, b * 15) & 32767 AS bkey))")).as("x"))
-        .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bkey").as("bkey"))
-      ord(banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3))
+      ord(graft.operators.TextDedup.simhashPairs(
+        canonicalDocs(s, dir), "doc_id", "text", maxHamming = 3,
+        portable = !graft.Tables.benchMode))
     }),
     // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
     // the LSH-bucketed q_knn_ivf below is the scale path)
     "q_dedup_embedding" -> ((s, dir) => {
-      import graft.functions.VecDot.vec_dot
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      // codegen'd fused multiply-add loop (graft.functions.VecDot) — the
-      // SQL aggregate/zip_with form runs 2*dim interpreted lambdas per pair
-      val n = e.select(col("vec_id"), col("v"), vec_dot(col("v"), col("v")).as("n2"))
-      ord(n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
-        .withColumn("cos", round(
-          vec_dot(col("x.v"), col("y.v")) /
-            (sqrt(col("x.n2")) * sqrt(col("y.n2"))), 4))
-        .filter(col("cos") >= 0.95)
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos")))
+      ord(graft.operators.Similarity.cosinePairs(e, threshold = 0.95))
     }),
 
     // ---- similarity search ------------------------------------------
 
     // brute-force cosine top-k: broadcast the query set, scan corpus once
     "q_knn_bruteforce" -> ((s, dir) => {
-      import graft.functions.VecDot.{vec_dot, vec_norm}
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val n = e.select(col("vec_id"), col("v"), vec_norm(col("v")).as("nrm"))
-      val q = broadcast(n.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
-      val scored = n.join(q, col("vec_id") =!= col("q_id"))
-        .withColumn("cos", round(
-          vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk")))
+      ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5))
     }),
     // LSH-bucketed ANN: deterministic sign-sketch buckets (scale path,
     // engine-specific hashing -> rows-only)
     "q_knn_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       // bucket = sign pattern of the first 8 dims (a fixed orthant sketch —
       // deterministic stand-in for trained IVF centroids)
-      val b = e.withColumn("bucket",
-        expr("aggregate(slice(v, 1, 8), 0L, (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)"))
-      val n = b.withColumn("nrm", graft.functions.VecDot.vec_norm(col("v")))
-      val q = broadcast(n.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-          col("bucket").as("qb")))
-      val scored = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
-        .withColumn("cos", round(
-          graft.functions.VecDot.vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk")))
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val orthant = expr(
+        "aggregate(slice(v, 1, 8), 0L, (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)")
+      ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5, bucket = Some(orthant)))
     }),
 
     // composite quality FILTER: the scoring rules become a keep/drop
@@ -257,25 +159,14 @@ object Ext {
     // candidates only within a bucket (~|corpus|/256 of the scan),
     // recall traded for bounded work. Exact same buckets in the oracle.
     "q_knn_lsh" -> ((s, dir) => {
-      import graft.functions.VecDot.{vec_dot, vec_norm}
-      val bucketExpr =
+      val hyperplanes = expr(
         s"""aggregate(sequence(0, 7), 0L, (acc, j) -> acc +
            |  CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
            |    (a, d) -> a + element_at(element_at($lshSparkLit, j + 1), d) * element_at(v, d)) >= 0
-           |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
+           |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin)
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val b = e.withColumn("bucket", expr(bucketExpr))
-      val n = b.withColumn("nrm", vec_norm(col("v")))
-      val q = broadcast(n.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-          col("bucket").as("qb")))
-      val scored = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
-        .withColumn("cos", round(vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk")))
+      ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5, bucket = Some(hyperplanes)))
     }),
 
     // ---- text analysis ----------------------------------------------
