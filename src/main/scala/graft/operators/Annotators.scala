@@ -169,13 +169,16 @@ object Annotators {
     private val modals = Set("will", "would", "can", "could", "shall", "should",
       "may", "might", "must")
     private val beVerbs = Set("is", "are", "was", "were", "be", "been", "am", "being")
+    // precompiled: String.matches recompiles its pattern on every call,
+    // and this runs once per token across the whole annotator chain
+    private val CardinalPattern = java.util.regex.Pattern.compile("[0-9]+([.,][0-9]+)?")
 
     /** The tag function — keep in sync with the SQL replica in
       * [[graft.queries.Annotation]]. */
     def tag(token: String): String = {
       val lt = token.toLowerCase
       if (!token.exists(_.isLetterOrDigit)) "SYM"
-      else if (lt.matches("[0-9]+([.,][0-9]+)?")) "CD"
+      else if (CardinalPattern.matcher(lt).matches()) "CD"
       else if (determiners(lt)) "DT"
       else if (preps(lt)) "IN"
       else if (conj(lt)) "CC"
@@ -233,6 +236,8 @@ object Annotators {
   object NerTagger extends ViewOperator {
     val mode = AnnotationMode.NER
     val version = "1.0"
+    private[operators] val CardinalPattern =
+      java.util.regex.Pattern.compile("[0-9]+([.,][0-9]+)?")
     def apply(r: Record): Record = {
       val toks = r.labelViews.get("tokens").map(_.labels)
         .getOrElse(tokenSpans(r.rawText, source))
@@ -245,7 +250,7 @@ object Annotators {
           while (j < toks.size && toks(j).label.nonEmpty && toks(j).label.head.isUpper) j += 1
           out += Span(t.start, toks(j - 1).ending, "MISC", 1.0, source, Map.empty)
           i = j
-        } else if (t.label.matches("[0-9]+([.,][0-9]+)?")) {
+        } else if (NerTagger.CardinalPattern.matcher(t.label).matches()) {
           out += Span(t.start, t.ending, "CARDINAL", 1.0, source, Map.empty)
           i += 1
         } else i += 1
