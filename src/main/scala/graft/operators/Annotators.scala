@@ -55,6 +55,9 @@ object Annotators {
   /** Sentence = maximal run of non-terminators plus trailing terminators. */
   val SentencePattern = "[^.!?]+[.!?]*".r
 
+  /** Whitespaced (`ws*`) path token: maximal non-whitespace run. */
+  private val WsTokenPattern = "\\S+".r
+
   @inline private def isTokChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_' || c == '\''
@@ -133,7 +136,7 @@ object Annotators {
       val sentSrc = s"graft-sentences-$version"
       val (toks, sents) =
         if (r.whitespaced) {
-          val ws = "\\S+".r.findAllMatchIn(r.rawText)
+          val ws = WsTokenPattern.findAllMatchIn(r.rawText)
             .map(m => Span(m.start, m.end, m.matched, 1.0, source, Map.empty)).toVector
           val all = if (r.rawText.isEmpty) Vector.empty
             else Vector(Span(0, r.rawText.length, "sentence", 1.0, sentSrc, Map.empty))
