@@ -494,6 +494,24 @@ object Relational {
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin))
     }),
 
+    // correlated EXISTS subquery (decorrelated by Catalyst into a semi
+    // join — the SQL surface of q_join_semi)
+    "q_sql_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      ord(s.sql(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)""".stripMargin))
+    }),
+    // scalar subquery in a predicate (broadcast single-row subplan)
+    "q_sql_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      ord(s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > 1.8 * (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders)""".stripMargin))
+    }),
+
     // ---- JSON struct parsing + map functions ----
     "q_from_json" -> ((s, dir) => {
       ord(t(s, dir, "events")
@@ -881,6 +899,15 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
         |  true AS within_2pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sql_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.8 * (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_from_json" ->
       """SELECT event_id,
         |  json_keys(props)[1] AS first_key,
