@@ -63,8 +63,10 @@ class PlanCheckSpec extends SparkSpec {
     //    sees only the per-partition top-k candidates, k = 25;
     //  - q_window_rank: the size-adaptive global-ntile serial fast path
     //    (inputs under ScalableWindows.SerialThresholdBytes; above it the
-    //    distributed quantile-bucket form takes over — ScalableWindowsSpec).
-    val allow = Set("q_sample", "q_window_rank")
+    //    distributed quantile-bucket form takes over — ScalableWindowsSpec);
+    //  - q_sql_scalar_subquery: the scalar AVG finalizes on one task, but
+    //    only per-partition partial aggregates cross the exchange.
+    val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
