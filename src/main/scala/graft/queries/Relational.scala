@@ -475,6 +475,18 @@ object Relational {
         .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n")))
     }),
 
+    // extended map functions: transform_values / map_filter / map_concat
+    "q_map_funcs" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING, INT>")).as("m"))
+        .select(col("event_id"),
+          to_json(expr("transform_values(m, (k, v) -> v * 2)")).as("doubled"),
+          to_json(expr("map_filter(m, (k, v) -> v > 50)")).as("big"),
+          size(expr("map_concat(m, map('extra', 1))")).as("n_concat")))
+    }),
+
     // ---- SQL-text surface: the spark.sql(...) entry point end-to-end
     // (TPC-H Q3 shape over temp views; every other query uses the
     // DataFrame API, this one proves the parser/analyzer path) ----
@@ -908,6 +920,13 @@ object Relational {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 1.8 * (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  to_json(map(json_keys(props), [2 * CAST(props -> k AS INT) FOR k IN json_keys(props)])) AS doubled,
+        |  to_json(map(list_filter(json_keys(props), k -> CAST(props -> k AS INT) > 50),
+        |              [CAST(props -> k AS INT) FOR k IN list_filter(json_keys(props), k -> CAST(props -> k AS INT) > 50)])) AS big,
+        |  CAST(len(json_keys(props)) + 1 AS INT) AS n_concat
+        |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_from_json" ->
       """SELECT event_id,
         |  json_keys(props)[1] AS first_key,
