@@ -161,6 +161,21 @@ object Annotation {
         expr("size(parseViews['charniak'].trees)").as("n_trees"),
         expr("aggregate(parseViews['charniak'].trees, 0, (a, t) -> a + size(t.nodes))").as("n_nodes")))
     }),
+    // STANFORD_PARSE: the multiparser's dependency view — per doc: tree
+    // count, sum of root positions (first VB-ish token per sentence, else
+    // 0) and total dependency edges (n_tokens - 1 per sentence)
+    "q_annotate_stanford" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ann = eng.annotate(corpus(s, dir, "documents", "text"), M.STANFORD_PARSE)
+      ord(ann.map { r =>
+          val trees = r.parseViews("stanfordDep").trees
+          (md5Hex(r.rawText), trees.size,
+            trees.map(_.top).sum,
+            trees.map(t => math.max(t.nodes.size - 1, 0)).sum)
+        }.toDF("h", "n_trees", "root_sum", "n_deps"))
+    }),
+
     // COREF + SRL summary
     "q_annotate_coref" -> ((s, dir) => {
       val ann = eng.annotate(corpus(s, dir, "customer", "c_name"), M.COREF)
@@ -242,6 +257,21 @@ object Annotation {
          |LEFT JOIN (SELECT h, count(DISTINCT grp) AS n FROM caps GROUP BY h) c ON toks.h = c.h
          |LEFT JOIN nums ON toks.h = nums.h
          |GROUP BY toks.h
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_annotate_stanford" ->
+      s"""WITH base AS (SELECT DISTINCT text FROM documents WHERE length(text) > 0),
+         |sents AS (SELECT md5(text) AS h, unnest(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+         |    x -> trim(x, $wsChars) != '')) AS sent FROM base),
+         |pers AS (SELECT h, regexp_extract_all(sent, $tokRegexSql) AS toks FROM sents),
+         |tags AS (SELECT h, len(toks) AS n_toks, [${tagCase("tok")} FOR tok IN toks] AS tg FROM pers),
+         |per AS (SELECT h, n_toks,
+         |    greatest(coalesce(list_position([t LIKE 'VB%' FOR t IN tg], true), 0) - 1, 0) AS root FROM tags),
+         |agg AS (SELECT h, count(*) AS n_trees, sum(root) AS root_sum,
+         |    sum(n_toks - 1) AS n_deps FROM per GROUP BY h)
+         |SELECT b.h, CAST(coalesce(any_value(agg.n_trees), 0) AS INT) AS n_trees,
+         |  CAST(coalesce(any_value(agg.root_sum), 0) AS INT) AS root_sum,
+         |  CAST(coalesce(any_value(agg.n_deps), 0) AS INT) AS n_deps
+         |FROM (SELECT md5(text) AS h FROM base) b LEFT JOIN agg ON b.h = agg.h GROUP BY b.h
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     // PARSE: the shallow tree is S -> chunk-kind islands -> token leaves,
     // so per sentence nodes = 1 + n_islands + n_tokens; sentences replicate
