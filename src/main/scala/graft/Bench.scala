@@ -23,6 +23,7 @@ object Bench {
     "q_join_broadcast",
     "q_join_asof",
     "q_window_rank",
+    "q_window_rank_global",
     "q_topk_pergroup",
     "q_window_tumbling",
     "q_session_window",
@@ -34,6 +35,7 @@ object Bench {
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_embedding_lsh",
     "q_knn_bruteforce",
     "q_text_quality",
     "q_lang_id",

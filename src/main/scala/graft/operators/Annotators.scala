@@ -62,6 +62,15 @@ object Annotators {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_' || c == '\''
 
+  /** Regex `\s` (ASCII: space, tab, LF, vertical tab, form feed, CR) —
+    * NOT `Character.isWhitespace`, which also accepts Unicode spaces
+    * (U+1680, U+2000–U+200A, U+2028/29, ...) that TokenPattern and the
+    * RE2-based oracle treat as SYM-token characters; using it here dropped
+    * those chars and broke exact Spark↔oracle token parity. Mirrors
+    * `WordScan.isWsByte`. */
+  @inline private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Hand-rolled scan with exactly TokenPattern's semantics (a run of
     * `[A-Za-z0-9_']` chars, or one non-space other char) — the regex engine
     * was the dominant per-document cost of the whole annotator chain. */
@@ -77,7 +86,7 @@ object Annotators {
         out += Span(i, j, text.substring(i, j), 1.0, src, Map.empty)
         i = j
       } else {
-        if (!Character.isWhitespace(c))
+        if (!isRegexWs(c))
           out += Span(i, i + 1, text.substring(i, i + 1), 1.0, src, Map.empty)
         i += 1
       }

@@ -19,17 +19,31 @@ import org.apache.spark.sql.functions._
   *      and the data subplan unless the exchange happens to be reused,
   *      which showed up as a flaky off-by-thousands global rank;
   *   2. a per-bucket window (parallel — the buckets are quantile-balanced)
-  *      computes local row numbers;
+  *      computes local row numbers / ranks;
   *   3. per-bucket row counts — a tiny aggregate — become broadcast
-  *      cumulative offsets; global row_number = local + offset;
+  *      cumulative offsets; global row_number = local + offset. The same
+  *      tiny frame carries the grand total, so ntile needs no second scan;
   *   4. ntile is then pure integer arithmetic on (row_number, total count)
   *      using the SQL bucket rule (first `cnt mod n` buckets get one extra
   *      row).
   *
+  * Rank with ties needs no boundary bookkeeping: rows that tie on the FULL
+  * order-key tuple tie on the first key in particular, and equal first
+  * keys always land in the same bucket (bucketing is `key <= bound`), so a
+  * tie group never spans a boundary. Every row in an earlier bucket is
+  * strictly smaller, hence: global rank = prior-bucket row count + local
+  * rank, and global dense_rank = prior-bucket DISTINCT-tuple count + local
+  * dense_rank.
+  *
   * Results are bit-identical to the serial window when the order keys are
-  * a total order (unique tiebreaker), which the determinism contract
-  * already requires of every query using global order. The first order key
-  * must be numeric (castable to double, non-null).
+  * a total order for row_number/ntile (unique tiebreaker — the determinism
+  * contract already requires this of every query using global order);
+  * rank/dense_rank are exact for ANY keys. The first order key must be
+  * numeric (castable to double, non-null).
+  *
+  * Working columns use a `__`-prefixed base name, suffixed with a counter
+  * if the input already has a column of that name — user columns are never
+  * clobbered.
   */
 object ScalableWindows {
 
@@ -45,6 +59,69 @@ object ScalableWindows {
   private def smallEnoughForSerial(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes <= SerialThresholdBytes
 
+  /** Collision-free working-column name: `base` unless the input already
+    * carries it, else `base1`, `base2`, ... */
+  private def fresh(df: DataFrame, base: String): String = {
+    val taken = df.columns.toSet
+    if (!taken.contains(base)) base
+    else Iterator.from(1).map(base + _).find(!taken.contains(_)).get
+  }
+
+  /** Deterministic quantile bucket expression over the first order key:
+    * rows with key <= bound(i) fall in bucket i (first-match when-chain);
+    * equal first keys always share a bucket, so cross-bucket order is
+    * total and in-bucket order finishes the tiebreak. */
+  private def bucketExpr(df: DataFrame, key: Column, n: Int): Column = {
+    val k = key.cast("double")
+    // driver-side quantile pass: one parallel aggregate (the serial window
+    // this replaces reads the whole input into one task, so an extra scan
+    // that parallelizes the real work is a win at any scale)
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.select(k.as("__k")).stat.approxQuantile("__k", probs, 0.001).distinct.sorted
+    bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length): Column) {
+      case (acc, (b, i)) => when(k <= lit(b), lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Shared distributed core: returns the input with four appended
+    * columns — bucket id (`bktCol`), a per-bucket local window value
+    * (`localCol`, from `localFn` over the per-bucket window), the
+    * cumulative offset of prior buckets (`offCol`) and the grand total
+    * row count (`totalCol`). `offAgg` aggregates what the offset counts
+    * per bucket (rows for row_number/rank, distinct tuples for
+    * dense_rank); the offsets frame is one row per bucket — a tiny,
+    * bounded single-partition window plus a broadcast join back. */
+  private def distributed(
+      df: DataFrame,
+      order: Seq[Column],
+      partitions: Int,
+      localFn: org.apache.spark.sql.expressions.WindowSpec => Column,
+      offAgg: Column,
+      bktCol: String, localCol: String, offCol: String, totalCol: String): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bucket = bucketExpr(df, order.head, n)
+    val local = df.withColumn(bktCol, bucket)
+      .withColumn(localCol,
+        localFn(Window.partitionBy(col(bktCol)).orderBy(order: _*)))
+    // offsets: one row per bucket — the only global window left, over
+    // <= `n` rows (trivial); broadcast back to the data. The same frame
+    // carries the grand total so downstream arithmetic (ntile) costs no
+    // extra pass over the input.
+    val nCol = fresh(df, "__n")
+    val w = Window.orderBy(col(bktCol))
+    val offsets = local.groupBy(col(bktCol))
+      .agg(offAgg.as(nCol), count(lit(1)).as(totalCol))
+      .withColumn(offCol, coalesce(
+        sum(col(nCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(totalCol, sum(col(totalCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(bktCol), col(offCol), col(totalCol))
+    local.join(broadcast(offsets), bktCol)
+  }
+
   /** Global row_number over `order` keys (must be a total order, numeric
     * first key), computed with deterministic quantile bucketing + broadcast
     * offsets instead of a single task. Inputs under
@@ -58,35 +135,49 @@ object ScalableWindows {
       partitions: Int = 0): DataFrame = {
     if (partitions <= 0 && smallEnoughForSerial(df))
       return df.withColumn(out, row_number().over(Window.orderBy(order: _*)))
-    val n = if (partitions > 0) partitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val k = order.head.cast("double")
-    // driver-side quantile pass: one parallel aggregate (the serial window
-    // this replaces reads the whole input into one task, so an extra scan
-    // that parallelizes the real work is a win at any scale)
-    val probs = (1 until n).map(_.toDouble / n).toArray
-    val bounds =
-      if (probs.isEmpty) Array.empty[Double]
-      else df.select(k.as("__k")).stat.approxQuantile("__k", probs, 0.001).distinct.sorted
-    // first-match when-chain: rows with key <= bound(i) fall in bucket i;
-    // equal first keys always share a bucket, so cross-bucket order is
-    // total and in-bucket order finishes the tiebreak
-    val bucket = bounds.zipWithIndex.reverse.foldLeft(lit(bounds.length): Column) {
-      case (acc, (b, i)) => when(k <= lit(b), lit(i)).otherwise(acc)
-    }
-    val local = df.withColumn("__bkt", bucket)
-      .withColumn("__lrn",
-        row_number().over(Window.partitionBy(col("__bkt")).orderBy(order: _*)))
-    // offsets: one row per bucket — the only global window left, over
-    // <= `n` rows (trivial); broadcast back to the data
-    val offsets = local.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(
-        sum(col("__n")).over(Window.orderBy(col("__bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__off"))
-    local.join(broadcast(offsets), "__bkt")
-      .withColumn(out, (col("__off") + col("__lrn")).cast("int"))
-      .drop("__bkt", "__lrn", "__off")
+    val (bkt, lrn, off, tot) =
+      (fresh(df, "__bkt"), fresh(df, "__lrn"), fresh(df, "__off"), fresh(df, "__tot"))
+    distributed(df, order, partitions, w => row_number().over(w),
+        count(lit(1)), bkt, lrn, off, tot)
+      .withColumn(out, (col(off) + col(lrn)).cast("int"))
+      .drop(bkt, lrn, off, tot)
+  }
+
+  /** Global rank over `order` keys (ties allowed — exact for any keys;
+    * see the tie argument in the object doc): prior-bucket row count plus
+    * per-bucket local rank. Numeric first key required. */
+  def withGlobalRank(
+      df: DataFrame,
+      order: Seq[Column],
+      out: String,
+      partitions: Int = 0): DataFrame = {
+    if (partitions <= 0 && smallEnoughForSerial(df))
+      return df.withColumn(out, rank().over(Window.orderBy(order: _*)))
+    val (bkt, lrk, off, tot) =
+      (fresh(df, "__bkt"), fresh(df, "__lrk"), fresh(df, "__off"), fresh(df, "__tot"))
+    distributed(df, order, partitions, w => rank().over(w),
+        count(lit(1)), bkt, lrk, off, tot)
+      .withColumn(out, (col(off) + col(lrk)).cast("int"))
+      .drop(bkt, lrk, off, tot)
+  }
+
+  /** Global dense_rank over `order` keys: prior-bucket DISTINCT order-tuple
+    * count plus per-bucket local dense_rank. Numeric first key required. */
+  def withGlobalDenseRank(
+      df: DataFrame,
+      order: Seq[Column],
+      out: String,
+      partitions: Int = 0): DataFrame = {
+    if (partitions <= 0 && smallEnoughForSerial(df))
+      return df.withColumn(out, dense_rank().over(Window.orderBy(order: _*)))
+    val (bkt, ldr, off, tot) =
+      (fresh(df, "__bkt"), fresh(df, "__ldr"), fresh(df, "__off"), fresh(df, "__tot"))
+    // count_distinct over the order tuple = how many dense ranks the
+    // bucket consumes; ties cannot span buckets, so the counts add.
+    distributed(df, order, partitions, w => dense_rank().over(w),
+        count_distinct(struct(order: _*)), bkt, ldr, off, tot)
+      .withColumn(out, (col(off) + col(ldr)).cast("int"))
+      .drop(bkt, ldr, off, tot)
   }
 
   /** Global ntile(buckets) over `order` keys (total order required), as
@@ -94,7 +185,8 @@ object ScalableWindows {
     * and r = cnt mod b, the first r buckets hold q+1 rows, the rest q —
     * the SQL ntile rule, so results match the serial window exactly.
     * The q = 0 branch (cnt < buckets) stays inside the `rn <= r*(q+1)`
-    * case, so the `div q` arm never divides by zero. */
+    * case, so the `div q` arm never divides by zero. The total row count
+    * rides the broadcast offsets frame — no second scan of the input. */
   def withGlobalNtile(
       df: DataFrame,
       buckets: Int,
@@ -103,17 +195,20 @@ object ScalableWindows {
       partitions: Int = 0): DataFrame = {
     if (partitions <= 0 && smallEnoughForSerial(df))
       return df.withColumn(out, ntile(buckets).over(Window.orderBy(order: _*)))
-    val rn = withGlobalRowNumber(df, order, "__rn", partitions)
-    val cnt = df.agg(count(lit(1)).as("__cnt"))
+    val (bkt, lrn, off, tot) =
+      (fresh(df, "__bkt"), fresh(df, "__lrn"), fresh(df, "__off"), fresh(df, "__tot"))
+    val rn = fresh(df, "__rn")
+    val withRn = distributed(df, order, partitions, w => row_number().over(w),
+        count(lit(1)), bkt, lrn, off, tot)
+      .withColumn(rn, (col(off) + col(lrn)).cast("bigint"))
     val bucket = expr(
-      s"""CASE WHEN __rn <= (__cnt % $buckets) * (__cnt div $buckets + 1)
-         |     THEN (CAST(__rn AS BIGINT) + (__cnt div $buckets)) div (__cnt div $buckets + 1)
-         |     ELSE (__cnt % $buckets) +
-         |          (CAST(__rn AS BIGINT) - (__cnt % $buckets) * (__cnt div $buckets + 1)
-         |           + (__cnt div $buckets) - 1) div (__cnt div $buckets)
+      s"""CASE WHEN $rn <= ($tot % $buckets) * ($tot div $buckets + 1)
+         |     THEN ($rn + ($tot div $buckets)) div ($tot div $buckets + 1)
+         |     ELSE ($tot % $buckets) +
+         |          ($rn - ($tot % $buckets) * ($tot div $buckets + 1)
+         |           + ($tot div $buckets) - 1) div ($tot div $buckets)
          |END""".stripMargin)
-    rn.crossJoin(broadcast(cnt))
-      .withColumn(out, bucket.cast("int"))
-      .drop("__rn", "__cnt")
+    withRn.withColumn(out, bucket.cast("int"))
+      .drop(bkt, lrn, off, tot, rn)
   }
 }

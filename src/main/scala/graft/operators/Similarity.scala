@@ -37,13 +37,27 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
   }
 
-  /** All pairs with cosine >= `threshold`: (vec_a, vec_b, cos). Exact
-    * (theta self-join) — fine at dimension-table scale; at corpus scale
-    * bucket first and run per-bucket. */
-  def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  /** All pairs with cosine >= `threshold`: (vec_a, vec_b, cos).
+    *
+    * `bucket = None` is the exact form — a theta self-join
+    * (BroadcastNestedLoop), fine at dimension-table scale only.
+    * `bucket = Some(b)` compares only pairs whose bucket expression agrees
+    * (an LSH sign sketch, orthant code, IVF centroid id): candidate
+    * generation becomes a shuffled EQUI-join on the bucket key, so work is
+    * Σ|bucket|² instead of |corpus|² — the corpus-scale form, same recall
+    * trade as `knn(bucket = ...)`. */
+  def cosinePairs(
+      vectors: DataFrame,
+      threshold: Double,
+      bucket: Option[Column] = None): DataFrame = {
     val n = vectors.select(col("vec_id"), col("v"),
-      vec_dot(col("v"), col("v")).as("n2"))
-    n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
+      vec_dot(col("v"), col("v")).as("n2"),
+      bucket.getOrElse(lit(0L)).as("bkt"))
+    val cond = bucket match {
+      case Some(_) => col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id")
+      case None => col("x.vec_id") < col("y.vec_id")
+    }
+    n.as("x").join(n.as("y"), cond)
       .withColumn("cos", round(
         vec_dot(col("x.v"), col("y.v")) / (sqrt(col("x.n2")) * sqrt(col("y.n2"))), 4))
       .filter(col("cos") >= threshold)

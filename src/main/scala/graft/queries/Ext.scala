@@ -58,6 +58,14 @@ object Ext {
   private def lshDuckLit: String =
     LshPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** The 8-bit random-hyperplane sign bucket over a `v: ARRAY<DOUBLE>`
+    * column (shared by `q_knn_lsh` and `q_dedup_embedding_lsh`). */
+  private def lshBucket: org.apache.spark.sql.Column = expr(
+    s"""aggregate(sequence(0, 7), 0L, (acc, j) -> acc +
+       |  CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+       |    (a, d) -> a + element_at(element_at($lshSparkLit, j + 1), d) * element_at(v, d)) >= 0
+       |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin)
+
   /** Exact-dup canonicalization: one representative (min doc_id) per
     * distinct text. Near-dup operators run over representatives — with d
     * exact copies of a document, pairwise candidate generation would
@@ -83,7 +91,11 @@ object Ext {
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       ord(graft.operators.TextDedup.jaccardPairs(
         canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
-        portable = !graft.Tables.benchMode))
+        portable = !graft.Tables.benchMode,
+        // bench/production mode load-tests the df-cap knob (bounds
+        // per-shingle pair emission at maxDf²/2); the oracle-checked
+        // path stays exact — uncapped
+        maxDf = if (graft.Tables.benchMode) 64 else 0))
     }),
     // MinHash + LSH banding, fully oracle-checked (portable affine hash
     // family, see MinHashP above); banding is an equi-join on
@@ -105,11 +117,22 @@ object Ext {
         portable = !graft.Tables.benchMode))
     }),
     // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
-    // the LSH-bucketed q_knn_ivf below is the scale path)
+    // q_dedup_embedding_lsh below is the scale path)
     "q_dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       ord(graft.operators.Similarity.cosinePairs(e, threshold = 0.95))
+    }),
+    // embedding near-dup at corpus scale: the SAME cosinePairs operator
+    // with the random-hyperplane sign bucket (see LshPlanes) — candidate
+    // generation becomes a shuffled equi-join on the 8-bit bucket key
+    // (work ∝ Σ|bucket|², not |corpus|²), recall traded for bounded cost.
+    // Deterministic literal planes, so the oracle replicates the buckets.
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      ord(graft.operators.Similarity.cosinePairs(
+        e, threshold = 0.3, bucket = Some(lshBucket)))
     }),
 
     // ---- similarity search ------------------------------------------
@@ -159,14 +182,9 @@ object Ext {
     // candidates only within a bucket (~|corpus|/256 of the scan),
     // recall traded for bounded work. Exact same buckets in the oracle.
     "q_knn_lsh" -> ((s, dir) => {
-      val hyperplanes = expr(
-        s"""aggregate(sequence(0, 7), 0L, (acc, j) -> acc +
-           |  CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-           |    (a, d) -> a + element_at(element_at($lshSparkLit, j + 1), d) * element_at(v, d)) >= 0
-           |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin)
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5, bucket = Some(hyperplanes)))
+      ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5, bucket = Some(lshBucket)))
     }),
 
     // ---- text analysis ----------------------------------------------
@@ -255,94 +273,47 @@ object Ext {
 
     // ---- multimodal plumbing ----------------------------------------
 
-    // opaque binary payload + typed metadata; batch "decode" in
-    // mapPartitions (deterministic stub standing in for a real codec)
+    // opaque binary payload + typed metadata; batch decode in
+    // mapPartitions behind the Multimodal.Decoder seam (the default is a
+    // deterministic stub — no codec libs in this container; a deployment
+    // injects its real decoder without touching this query)
     "q_mm_decode" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val bin = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      val meta = bin.mapPartitions { batch =>
-        // STUB: a real pipeline would decode image/audio bytes here (no
-        // codec libs in this container). The deterministic fake derives
-        // "dimensions" from payload size; schema/batching are the real part.
-        batch.map { case (id, payload) =>
-          val n = payload.length
-          (id, n, (n % 640 + 1).toInt, ((n * 31) % 480 + 1).toInt, "stub")
-        }
-      }.toDF("doc_id", "n_bytes", "width", "height", "codec")
-      ord(meta)
+      ord(graft.operators.Multimodal.decode(mmPayloads(s, dir)))
     }),
     // multimodal resize: dimension metadata transform over the decoded
-    // payloads — the stub scales the fake dims to fit a 224x224 box with
-    // aspect preserved (integer arithmetic, so the oracle replicates it);
-    // the mapPartitions batch shape is what a real resampler plugs into
+    // payloads — fit into a 224x224 box with aspect preserved (integer
+    // arithmetic, so the oracle replicates it); the real resampler plugs
+    // in through the same Decoder seam
     "q_mm_resize" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val bin = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      val resized = bin.mapPartitions { batch =>
-        batch.map { case (id, payload) =>
-          val n = payload.length
-          val w = n % 640 + 1
-          val h = (n * 31) % 480 + 1
-          // fit into 224x224, preserve aspect: scale = 224/max(w,h)
-          val m = math.max(w, h)
-          (id, w, h, (w * 224 / m).toInt.max(1), (h * 224 / m).toInt.max(1))
-        }
-      }.toDF("doc_id", "width", "height", "out_w", "out_h")
-      ord(resized)
+      ord(graft.operators.Multimodal.resize(mmPayloads(s, dir), box = 224))
     }),
     // multimodal frame sampling: every k-th fixed-size slice of the
-    // payload (video-frame analogue); emits (frame_no, offset, frame md5)
+    // payload (video-frame analogue); emits (frame_no, offset, frame fp)
     // — one row per sampled frame, the explode-shaped batch a real
     // decoder feeds downstream
     "q_mm_frames" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val frameLen = 64; val stride = 128
-      val bin = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      val frames = bin.mapPartitions { batch =>
-        batch.flatMap { case (id, payload) =>
-          Iterator.from(0).map(_ * stride)
-            .takeWhile(off => off + frameLen <= payload.length)
-            .map { off =>
-              // frame fingerprint: same wrapping polynomial hash as
-              // graft.functions.RollingHash (DuckDB-replicable mod 2^64)
-              var h = 0L; var i = off
-              while (i < off + frameLen) { h = h * 1000003L + (payload(i) & 0xffL); i += 1 }
-              (id, off / stride, off, h)
-            }
-        }
-      }.toDF("doc_id", "frame_no", "offset", "frame_fp")
-      ord(frames)
+      ord(graft.operators.Multimodal.sampleFrames(
+        mmPayloads(s, dir), frameLen = 64, stride = 128))
     }),
-    // multimodal feature extraction: per-batch over the opaque payload —
-    // a deterministic 8-bin byte histogram standing in for an image/audio
-    // feature extractor (the batch shape, schema, and partitioning are the
-    // real part; swap the loop body for a codec at deploy time)
+    // multimodal feature extraction: per-batch featurizer over the opaque
+    // payload — the default 8-bin byte histogram stands in for an
+    // image/audio feature extractor behind the Featurizer seam
     "q_mm_features" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val bin = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      val feats = bin.mapPartitions { batch =>
-        batch.map { case (id, payload) =>
-          val hist = new Array[Long](8)
-          payload.foreach(b => hist((b & 0xff) >> 5) += 1)
-          (id, hist.toSeq, payload.length)
-        }
-      }.toDF("doc_id", "byte_hist", "n_bytes")
+      val feats = graft.operators.Multimodal.features(mmPayloads(s, dir))
       ord(feats.select(col("doc_id"), col("n_bytes"),
         array_join(col("byte_hist"), ",").as("hist")))
     }),
   )
+
+  /** Shared multimodal input: the documents table's text bytes standing in
+    * for opaque media payloads (one typed (id, payload) batch source). */
+  private def mmPayloads(s: SparkSession, dir: String) = {
+    val spark = s
+    import spark.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+  }
 
   /** GPT-2-style pretokenizer classes, minus the trailing-space lookahead
     * (RE2 has no lookahead; with the same pattern both engines count
@@ -525,6 +496,19 @@ object Ext {
         |WHERE round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
         |    (sqrt(x.n2) * sqrt(y.n2)), 4) >= 0.95
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_embedding_lsh" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |  list_sum([CASE WHEN list_sum([($lshDuckLit)[j + 1][d] * v[d] FOR d IN range(1, 65)]) >= 0
+         |    THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(8)]) AS bucket FROM v),
+         |n AS (SELECT vec_id, v, bucket, list_sum(list_transform(v, x -> x * x)) AS n2 FROM b)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
+         |    (sqrt(x.n2) * sqrt(y.n2)), 4) AS cos
+         |FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
+         |    (sqrt(x.n2) * sqrt(y.n2)), 4) >= 0.3
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),

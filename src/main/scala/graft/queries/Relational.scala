@@ -245,6 +245,21 @@ object Relational {
           ranked, 4, Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
         .select("o_custkey", "o_orderkey", "rn", "rk", "drk", "quartile"))
     }),
+    // global (UNPARTITIONED) rank + dense_rank without the single-task
+    // exchange: quantile-bucketed per-bucket rank + broadcast offsets
+    // (ScalableWindows.withGlobalRank/DenseRank). Ties cannot span bucket
+    // boundaries (equal first keys share a bucket), so offsets of row /
+    // distinct-tuple counts are exact. l_quantity has ~50 distinct values
+    // over 60k rows — the heavy-ties case; `partitions` forces the
+    // distributed path at test SF.
+    "q_window_rank_global" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val ranked = graft.operators.ScalableWindows.withGlobalRank(
+        li, Seq(col("l_quantity")), "rk", partitions = 8)
+      ord(graft.operators.ScalableWindows.withGlobalDenseRank(
+          ranked, Seq(col("l_quantity")), "drk", partitions = 8)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "rk", "drk"))
+    }),
     "q_window_lag_lead" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -484,7 +499,10 @@ object Relational {
         .select(col("event_id"),
           to_json(expr("transform_values(m, (k, v) -> v * 2)")).as("doubled"),
           to_json(expr("map_filter(m, (k, v) -> v > 50)")).as("big"),
-          size(expr("map_concat(m, map('extra', 1))")).as("n_concat")))
+          // '__extra__' cannot occur in the props fixture (json keys are
+          // plain words): with a colliding key Spark's map_concat dedups
+          // LAST_WIN while the oracle always adds 1 — silent divergence
+          size(expr("map_concat(m, map('__extra__', 1))")).as("n_concat")))
     }),
 
     // ---- SQL-text surface: the spark.sql(...) entry point end-to-end
@@ -697,6 +715,11 @@ object Relational {
         |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS drk,
         |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_rank_global" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CAST(rank() OVER (ORDER BY l_quantity) AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER (ORDER BY l_quantity) AS INTEGER) AS drk
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_window_lag_lead" ->
       """SELECT user_id, event_id, value,
         |  lag(value, 1) OVER w AS prev_value,

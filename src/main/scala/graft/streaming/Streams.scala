@@ -133,9 +133,15 @@ object Streams {
 
   /** Streaming archive upsert (reference D14 as a stream): each micro-batch
     * merges into the record store via the same richer-record-wins upsert
-    * the batch pipeline uses, with write-then-swap so a failed batch never
-    * corrupts the store. foreachBatch + checkpointing gives exactly-once
-    * store contents (a replayed batch re-merges idempotently — upsert is
+    * the batch pipeline uses, with a write-then-swap that keeps a full
+    * copy alive at EVERY point: the merged batch lands in `_tmp`, the live
+    * store is renamed aside to `_bak`, `_tmp` becomes the store, then
+    * `_bak` is dropped. A crash between any two steps leaves either the
+    * store or a complete copy in `_tmp`/`_bak`, which the next batch
+    * restores before reading (a bare delete-then-rename had a window
+    * where the only full copy was the rename source — a crash there lost
+    * the archive). foreachBatch + checkpointing gives exactly-once store
+    * contents (a replayed batch re-merges idempotently — upsert is
     * idempotent by construction). */
   def recordUpsertSink(
       records: org.apache.spark.sql.Dataset[graft.model.Record],
@@ -145,18 +151,35 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.Record], _: Long) =>
         val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val store = new org.apache.hadoop.fs.Path(storeDir)
+        val tmp = new org.apache.hadoop.fs.Path(storeDir + "_tmp")
+        val bak = new org.apache.hadoop.fs.Path(storeDir + "_bak")
+        val fs = store.getFileSystem(hconf)
+        @inline def mv(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+          require(fs.rename(src, dst), s"record store swap failed: rename($src, $dst)")
+        // crash recovery: if a previous swap died mid-flight the store may
+        // be absent — the surviving full copy is `_tmp` (written and
+        // complete before the store was moved aside; already contains the
+        // replayed batch) or else `_bak` (the pre-swap store). Restore it
+        // BEFORE the emptiness probe, or the batch would silently re-seed
+        // an empty store and the archive would be lost.
+        if (!fs.exists(store)) {
+          if (fs.exists(tmp)) mv(tmp, store)
+          else if (fs.exists(bak)) mv(bak, store)
+        }
         val merged =
           if (graft.sources.Sources.containsSerializedRecords(spark, storeDir))
             graft.sources.Sources.upsert(
               graft.sources.Sources.readRecords(spark, storeDir), batch)
           else batch
-        val tmp = storeDir + "_tmp"
-        graft.sources.Sources.writeRecords(merged, tmp)
-        val hconf = spark.sparkContext.hadoopConfiguration
-        val p = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = p.getFileSystem(hconf)
-        if (fs.exists(p)) fs.delete(p, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
+        graft.sources.Sources.writeRecords(merged, tmp.toString)
+        if (fs.exists(bak)) fs.delete(bak, true) // stale from a done swap
+        val hadStore = fs.exists(store)
+        if (hadStore) mv(store, bak)
+        mv(tmp, store)
+        if (hadStore) fs.delete(bak, true)
         ()
       }
 

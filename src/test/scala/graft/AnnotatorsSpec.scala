@@ -21,6 +21,21 @@ class AnnotatorsSpec extends AnyFunSuite {
     assert(Invariants.violations(r).isEmpty)
   }
 
+  test("tokenizer: Unicode space chars are SYM tokens, exactly like the regex (\\s is ASCII)") {
+    // U+2003 EM SPACE, U+1680 OGHAM SPACE MARK, U+001C FILE SEPARATOR:
+    // Character.isWhitespace says true, but regex \s (Java and RE2 alike)
+    // is ASCII-only — TokenPattern emits them as single SYM tokens, and so
+    // must the hand-rolled scanner, or token counts (and every downstream
+    // POS/NER oracle) silently diverge from DuckDB on such inputs.
+    for (t <- Seq("a\u2003b", "a\u1680b", "a\u001cb", "x\u2028y\u3000z")) {
+      val scanned = A.tokenSpans(t, "t").map(_.label)
+      val regex = A.TokenPattern.findAllIn(t).toSeq
+      assert(scanned == regex, s"scanner $scanned != regex $regex for ${t.map(_.toInt)}")
+    }
+    // ASCII \s chars are still separators, not tokens
+    assert(A.tokenSpans("a b\tcd", "t").map(_.label) == Seq("a", "b", "c", "d"))
+  }
+
   test("tokenizer: fused sentences view (reference multilabeler emits both)") {
     val r = annotated(M.TOKEN)
     val sents = r.labelViews("sentences").labels

@@ -48,6 +48,32 @@ class PipelineSpec extends SparkSpec {
     assert(again.collect().forall(_.labelViews.contains("pos")))
   }
 
+  test("forced start consumes a foreign-source upstream view as-is (end-to-end)") {
+    import graft.model.{Labeling, Record, Span}
+    val base = Files.createTempDirectory("graft-pipe-forced").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    // tokens produced by a FOREIGN tool: one giant token whose source
+    // string matches no registered operator — normally "stale", so without
+    // the forced-start assertion the tokenizer would overwrite it
+    val text = "Alice met Bob."
+    val foreignSrc = "external-tokenizer-9"
+    val foreign = Record.fresh(text).copy(labelViews = Map(
+      "tokens" -> Labeling(
+        Seq(Span(0, text.length, text, 1.0, foreignSrc, Map.empty)), foreignSrc, 1.0)))
+    val sparkSession = spark
+    import sparkSession.implicits._
+    Sources.writeRecords(Seq(foreign).toDS(), in)
+    val recs = pipeline.run(spark, in, M.POS, out, forcedStart = Some(M.POS)).collect()
+    assert(recs.length == 1)
+    val r = recs.head
+    assert(r.viewSource("tokens").contains(foreignSrc),
+      "forced start must consume the foreign tokens view as-is, not retokenize")
+    assert(r.labelViews("tokens").labels.map(_.label) == Seq(text),
+      "the foreign single-token segmentation must survive the run")
+    assert(r.labelViews("pos").labels.length == 1,
+      "POS must tag the ONE foreign token, not a recomputed segmentation")
+  }
+
   test("store upsert widens records on a deeper annotation run") {
     val base = Files.createTempDirectory("graft-pipe-upsert").toString
     val store = s"$base/store"

@@ -65,8 +65,13 @@ class PlanCheckSpec extends SparkSpec {
     //    (inputs under ScalableWindows.SerialThresholdBytes; above it the
     //    distributed quantile-bucket form takes over — ScalableWindowsSpec);
     //  - q_sql_scalar_subquery: the scalar AVG finalizes on one task, but
-    //    only per-partition partial aggregates cross the exchange.
-    val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery")
+    //    only per-partition partial aggregates cross the exchange;
+    //  - q_window_rank_global: forces the distributed rank path; the only
+    //    serial exchanges are the offsets windows over <= `partitions`
+    //    per-bucket count rows (the corpus side hash-partitions on the
+    //    quantile bucket — asserted in ScalableWindowsSpec).
+    val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery",
+      "q_window_rank_global")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None

@@ -94,4 +94,31 @@ class RecordPropertySpec extends SparkSpec {
     assert(r.getInt(2) == 2) // "a b c d" has two distinct 3-gram shingles
     assert(r.getDouble(3) == 11.0)
   }
+
+  test("sql registration: arity checked with a usable message; foldable args accepted") {
+    graft.functions.GraftFunctions.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Throwable](spark.sql("SELECT minhash_sig('abc')").head())
+    assert(messages(e).exists(_.contains("minhash_sig expects 3 arguments")),
+      s"raw index error leaked: ${messages(e)}")
+    val e2 = intercept[Throwable](spark.sql("SELECT rolling_hash('a', 'b')").head())
+    assert(messages(e2).exists(_.contains("rolling_hash expects 1 argument")))
+    // foldable non-literal constants fold like Spark's own builtins
+    val r = spark.sql(
+      "SELECT size(minhash_sig('a b c d', 8 * 4, 1 = 1)) AS n, " +
+        "min_window_hash('abcdefgh', CAST(2 AS INT) + 2) IS NOT NULL AS ok").head()
+    assert(r.getInt(0) == 32 && r.getBoolean(1))
+  }
+
+  test("multimodal stub decoder survives the Int-overflow payload boundary") {
+    // payload.length * 31 exceeds Int.MaxValue beyond ~69.3 MB; the stub
+    // must match the oracle's BIGINT arithmetic there, not wrap
+    val n = Int.MaxValue / 31 + 17
+    val m = graft.operators.Multimodal.stubDecoder(new Array[Byte](n))
+    assert(m.nBytes == n && m.width == n % 640 + 1)
+    assert(m.height == ((n.toLong * 31L) % 480L + 1L).toInt)
+    assert(m.height != (n * 31) % 480 + 1,
+      "boundary payload no longer distinguishes Long from Int arithmetic")
+  }
 }

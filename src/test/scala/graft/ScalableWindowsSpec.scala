@@ -35,6 +35,37 @@ class ScalableWindowsSpec extends SparkSpec {
     }
   }
 
+  test("global rank and dense_rank match the serial window on heavy ties") {
+    // l_quantity has ~50 distinct values over the whole table — every rank
+    // is a tie group, and tie groups straddle quantile boundaries unless
+    // the bucketing keeps equal keys together (the correctness argument)
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val serial = li
+      .withColumn("rk", rank().over(Window.orderBy(col("l_quantity"))))
+      .withColumn("drk", dense_rank().over(Window.orderBy(col("l_quantity"))))
+      .select("l_orderkey", "l_linenumber", "rk", "drk")
+    val scalable = ScalableWindows.withGlobalDenseRank(
+        ScalableWindows.withGlobalRank(li, Seq(col("l_quantity")), "rk", partitions = 4),
+        Seq(col("l_quantity")), "drk", partitions = 4)
+      .select("l_orderkey", "l_linenumber", "rk", "drk")
+    assert(scalable.exceptAll(serial).isEmpty && serial.exceptAll(scalable).isEmpty)
+  }
+
+  test("working columns never clobber user columns with the same names") {
+    val tricky = orders
+      .withColumn("__bkt", lit("keep me")).withColumn("__off", lit(7))
+    val out = ScalableWindows.withGlobalRowNumber(
+      tricky, Seq(col("o_totalprice"), col("o_orderkey")), "rn", partitions = 4)
+    assert(out.columns.count(_ == "__bkt") == 1)
+    assert(out.select("__bkt").distinct().collect().map(_.getString(0)).toSeq == Seq("keep me"))
+    assert(out.select("__off").distinct().head().getInt(0) == 7)
+    val serial = tricky.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    assert(out.select("o_orderkey", "rn")
+      .exceptAll(serial.select("o_orderkey", "rn")).isEmpty)
+  }
+
   test("the corpus-sized side never passes through a single-partition exchange") {
     val plan = ScalableWindows.withGlobalRowNumber(
       orders, Seq(col("o_totalprice"), col("o_orderkey")), "rn", partitions = 4)

@@ -183,4 +183,31 @@ class StreamingSpec extends SparkSpec {
         "store must hold one record per distinct content after merging batches")
     } finally q.stop()
   }
+
+  test("record-store swap recovers when a crash left the store missing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_recover").toString
+    val store = base + "/store"; val ckpt = base + "/ckpt"
+    val ms = MemoryStream[String]
+    val q = graft.streaming.Streams.recordUpsertSink(
+      ms.toDS().map(graft.model.Record.fresh(_)), store, ckpt).start()
+    try {
+      ms.addData("first doc.")
+      q.processAllAvailable()
+      // simulate a crash between `store -> _bak` and `_tmp -> store`: the
+      // store path vanishes and the only full copy sits in _bak — the old
+      // delete-then-rename swap lost the whole archive here (the next
+      // batch saw an empty store and overwrote the sole copy)
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(store), new org.apache.hadoop.fs.Path(store + "_bak")))
+      ms.addData("second doc.")
+      q.processAllAvailable()
+      val recs = graft.sources.Sources.readRecords(spark, store).collect()
+      assert(recs.map(_.rawText).sorted.toSeq == Seq("first doc.", "second doc."),
+        "the archive must survive a mid-swap crash (recovered from _bak)")
+    } finally q.stop()
+  }
 }

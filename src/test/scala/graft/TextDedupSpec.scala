@@ -24,6 +24,29 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.nonEmpty, "fixture must still produce capped pairs")
   }
 
+  test("maxDf retains every pair sharing a sub-cap shingle, drops ubiquitous-only pairs") {
+    // all four docs share the shingle "x y z" (df = 4); only d1/d2 also
+    // share "p q r" (df = 2). Capping at maxDf = 3 drops the ubiquitous
+    // shingle's postings entirely: pairs whose whole overlap was "x y z"
+    // vanish, while (d1, d2) survives on the rare-shingle evidence with
+    // n_inter reduced by exactly the dropped shingle.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "x y z a p q r"),
+      (2L, "x y z b p q r"),
+      (3L, "x y z c m n o"),
+      (4L, "x y z d u v w"))).toDF("doc_id", "text")
+    def pairs(maxDf: Int) =
+      TextDedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0, maxDf = maxDf)
+        .select("doc_a", "doc_b", "n_inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = pairs(0)
+    assert(exact.keySet.size == 6 && exact((1L, 2L)) == 2,
+      s"uncapped postings must pair all docs: $exact")
+    val capped = pairs(3)
+    assert(capped == Map((1L, 2L) -> 1L),
+      s"cap=3 must keep exactly the rare-shingle pair with its sub-cap count: $capped")
+  }
+
   test("minhash band/k parameters are validated") {
     assertThrows[IllegalArgumentException](
       TextDedup.minhashPairs(canon, "doc_id", "text", 0.2, k = 32, bands = 7))
