@@ -53,18 +53,23 @@ object Ext {
         .digest(s"graft-lsh:$j:$d".getBytes("UTF-8"))
       if ((h(0) & 1) == 1) 1 else -1
     }
-  private def lshSparkLit: String =
-    LshPlanes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
   private def lshDuckLit: String =
     LshPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
   /** The 8-bit random-hyperplane sign bucket over a `v: ARRAY<DOUBLE>`
-    * column (shared by `q_knn_lsh` and `q_dedup_embedding_lsh`). */
-  private def lshBucket: org.apache.spark.sql.Column = expr(
-    s"""aggregate(sequence(0, 7), 0L, (acc, j) -> acc +
-       |  CASE WHEN aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-       |    (a, d) -> a + element_at(element_at($lshSparkLit, j + 1), d) * element_at(v, d)) >= 0
-       |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin)
+    * column (shared by `q_knn_lsh` and `q_dedup_embedding_lsh`): eight
+    * codegen'd `vec_dot` calls against constant-folded plane literals.
+    * The equivalent higher-order `aggregate` lambda form runs INTERPRETED
+    * (Spark HOFs have no codegen), and the join's IsNotNull pushdown
+    * re-evaluated it per row — it dominated the entire query. `vec_dot`
+    * sums in index order like the SQL fold, so buckets stay bit-identical
+    * to the oracle's. */
+  private def lshBucket: org.apache.spark.sql.Column =
+    (0 until 8).map { j =>
+      val plane = array(LshPlanes(j).map(x => lit(x.toDouble)): _*)
+      when(graft.functions.VecDot.vec_dot(col("v"), plane) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Exact-dup canonicalization: one representative (min doc_id) per
     * distinct text. Near-dup operators run over representatives — with d
