@@ -45,6 +45,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional args: benchmark only these queries (local A/B iteration
+    // aid; the driver always runs arg-less = the full headline set)
+    val selected = if (args.isEmpty) headline else headline.filter(args.toSet)
     System.setProperty("graft.bench.noSort", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,7 +73,7 @@ object Bench {
 
     // two runs per query, report the min: steady-state throughput (what
     // holds on a long-lived cluster), not first-run JIT noise
-    val results = headline.map { n =>
+    val results = selected.map { n =>
       val a = runOnce(n); val b = runOnce(n)
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }

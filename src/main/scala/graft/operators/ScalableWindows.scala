@@ -161,6 +161,44 @@ object ScalableWindows {
       .drop(bkt, lrk, off, tot)
   }
 
+  /** Global rank AND dense_rank in ONE pass: a single quantile probe, a
+    * single per-bucket Window node (both functions share the window spec)
+    * and one offsets frame carrying both row-count and distinct-tuple
+    * cumulative offsets. Two separate calls would scan, bucket and window
+    * the input twice for the same order key. */
+  def withGlobalRankAndDenseRank(
+      df: DataFrame,
+      order: Seq[Column],
+      rankOut: String,
+      denseOut: String,
+      partitions: Int = 0): DataFrame = {
+    if (partitions <= 0 && smallEnoughForSerial(df)) {
+      val w = Window.orderBy(order: _*)
+      return df.withColumn(rankOut, rank().over(w))
+        .withColumn(denseOut, dense_rank().over(w))
+    }
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val (bkt, lrk, ldr) = (fresh(df, "__bkt"), fresh(df, "__lrk"), fresh(df, "__ldr"))
+    val (offR, offD) = (fresh(df, "__offr"), fresh(df, "__offd"))
+    val (nR, nD) = (fresh(df, "__nr"), fresh(df, "__nd"))
+    val bucket = bucketExpr(df, order.head, n)
+    val w = Window.partitionBy(col(bkt)).orderBy(order: _*)
+    val local = df.withColumn(bkt, bucket)
+      .withColumn(lrk, rank().over(w))
+      .withColumn(ldr, dense_rank().over(w))
+    val wOff = Window.orderBy(col(bkt)).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(bkt))
+      .agg(count(lit(1)).as(nR), count_distinct(struct(order: _*)).as(nD))
+      .withColumn(offR, coalesce(sum(col(nR)).over(wOff), lit(0L)))
+      .withColumn(offD, coalesce(sum(col(nD)).over(wOff), lit(0L)))
+      .select(col(bkt), col(offR), col(offD))
+    local.join(broadcast(offsets), bkt)
+      .withColumn(rankOut, (col(offR) + col(lrk)).cast("int"))
+      .withColumn(denseOut, (col(offD) + col(ldr)).cast("int"))
+      .drop(bkt, lrk, ldr, offR, offD)
+  }
+
   /** Global dense_rank over `order` keys: prior-bucket DISTINCT order-tuple
     * count plus per-bucket local dense_rank. Numeric first key required. */
   def withGlobalDenseRank(

@@ -254,10 +254,8 @@ object Relational {
     // distributed path at test SF.
     "q_window_rank_global" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-      val ranked = graft.operators.ScalableWindows.withGlobalRank(
-        li, Seq(col("l_quantity")), "rk", partitions = 8)
-      ord(graft.operators.ScalableWindows.withGlobalDenseRank(
-          ranked, Seq(col("l_quantity")), "drk", partitions = 8)
+      ord(graft.operators.ScalableWindows.withGlobalRankAndDenseRank(
+          li, Seq(col("l_quantity")), "rk", "drk", partitions = 8)
         .select("l_orderkey", "l_linenumber", "l_quantity", "rk", "drk"))
     }),
     "q_window_lag_lead" -> ((s, dir) => {

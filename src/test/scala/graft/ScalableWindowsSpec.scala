@@ -50,6 +50,11 @@ class ScalableWindowsSpec extends SparkSpec {
         Seq(col("l_quantity")), "drk", partitions = 4)
       .select("l_orderkey", "l_linenumber", "rk", "drk")
     assert(scalable.exceptAll(serial).isEmpty && serial.exceptAll(scalable).isEmpty)
+    // and the fused one-pass form computes the same numbers
+    val fused = ScalableWindows.withGlobalRankAndDenseRank(
+        li, Seq(col("l_quantity")), "rk", "drk", partitions = 4)
+      .select("l_orderkey", "l_linenumber", "rk", "drk")
+    assert(fused.exceptAll(serial).isEmpty && serial.exceptAll(fused).isEmpty)
   }
 
   test("working columns never clobber user columns with the same names") {
