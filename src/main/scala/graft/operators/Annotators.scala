@@ -107,10 +107,11 @@ object Annotators {
         val start = i
         while (i < n && !isTerm(text.charAt(i))) i += 1
         while (i < n && isTerm(text.charAt(i))) i += 1
-        // trim whitespace off the span edges
+        // trim whitespace off the span edges — regex \s (ASCII), same set
+        // as the tokenizer gate, so the oracle's trim replicates it
         var s = start; var e = i
-        while (s < e && text.charAt(s).isWhitespace) s += 1
-        while (e > s && text.charAt(e - 1).isWhitespace) e -= 1
+        while (s < e && isRegexWs(text.charAt(s))) s += 1
+        while (e > s && isRegexWs(text.charAt(e - 1))) e -= 1
         if (s < e) out += Span(s, e, "sentence", 1.0, src, Map.empty)
       }
     }

@@ -199,6 +199,51 @@ object ScalableWindows {
       .drop(bkt, lrk, ldr, offR, offD)
   }
 
+  /** Global percent_rank AND cume_dist in one pass. Both are integer
+    * arithmetic over distributable counts, so results are bit-identical
+    * to the serial window:
+    *   percent_rank = (rank − 1) / (total − 1)   (0.0 when total = 1);
+    *   cume_dist    = rows-with-key ≤ current / total, where the numerator
+    *     is the prior-bucket row count plus an in-bucket RANGE-frame count
+    *     (ties included) — the same two integers the serial form divides.
+    * Numeric first key required; ties allowed. */
+  def withGlobalPercentRankAndCumeDist(
+      df: DataFrame,
+      order: Seq[Column],
+      pctOut: String,
+      cumeOut: String,
+      partitions: Int = 0): DataFrame = {
+    if (partitions <= 0 && smallEnoughForSerial(df)) {
+      val w = Window.orderBy(order: _*)
+      return df.withColumn(pctOut, percent_rank().over(w))
+        .withColumn(cumeOut, cume_dist().over(w))
+    }
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val (bkt, lrk, lle) = (fresh(df, "__bkt"), fresh(df, "__lrk"), fresh(df, "__lle"))
+    val (off, tot, nCol) = (fresh(df, "__off"), fresh(df, "__tot"), fresh(df, "__n"))
+    val bucket = bucketExpr(df, order.head, n)
+    val w = Window.partitionBy(col(bkt)).orderBy(order: _*)
+    val local = df.withColumn(bkt, bucket)
+      .withColumn(lrk, rank().over(w))
+      // in-bucket rows with key <= current (RANGE frame counts the whole
+      // tie group) — the cume_dist numerator's local part
+      .withColumn(lle, count(lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wOff = Window.orderBy(col(bkt))
+    val offsets = local.groupBy(col(bkt)).agg(count(lit(1)).as(nCol))
+      .withColumn(off, coalesce(
+        sum(col(nCol)).over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(tot, sum(col(nCol)).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(bkt), col(off), col(tot))
+    local.join(broadcast(offsets), bkt)
+      .withColumn(pctOut, when(col(tot) === 1, lit(0.0)).otherwise(
+        (col(off) + col(lrk) - 1).cast("double") / (col(tot) - 1)))
+      .withColumn(cumeOut, (col(off) + col(lle)).cast("double") / col(tot))
+      .drop(bkt, lrk, lle, off, tot)
+  }
+
   /** Global dense_rank over `order` keys: prior-bucket DISTINCT order-tuple
     * count plus per-bucket local dense_rank. Numeric first key required. */
   def withGlobalDenseRank(

@@ -258,6 +258,16 @@ object Relational {
           li, Seq(col("l_quantity")), "rk", "drk", partitions = 8)
         .select("l_orderkey", "l_linenumber", "l_quantity", "rk", "drk"))
     }),
+    // global percent_rank/cume_dist without the single-task exchange:
+    // same quantile-bucket scheme — both reduce to integer counts
+    // (rank, rows<=current, total) that distribute exactly
+    "q_window_pct_global" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      ord(graft.operators.ScalableWindows.withGlobalPercentRankAndCumeDist(
+          li, Seq(col("l_quantity")), "pr", "cd", partitions = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("pr"), 6).as("pct_rank"), round(col("cd"), 6).as("cdist")))
+    }),
     "q_window_lag_lead" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -717,6 +727,11 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  CAST(rank() OVER (ORDER BY l_quantity) AS INTEGER) AS rk,
         |  CAST(dense_rank() OVER (ORDER BY l_quantity) AS INTEGER) AS drk
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_pct_global" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  round(percent_rank() OVER (ORDER BY l_quantity), 6) AS pct_rank,
+        |  round(cume_dist() OVER (ORDER BY l_quantity), 6) AS cdist
         |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_window_lag_lead" ->
       """SELECT user_id, event_id, value,

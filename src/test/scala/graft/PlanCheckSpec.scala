@@ -71,7 +71,7 @@ class PlanCheckSpec extends SparkSpec {
     //    per-bucket count rows (the corpus side hash-partitions on the
     //    quantile bucket — asserted in ScalableWindowsSpec).
     val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery",
-      "q_window_rank_global")
+      "q_window_rank_global", "q_window_pct_global")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None

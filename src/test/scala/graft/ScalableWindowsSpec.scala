@@ -57,6 +57,20 @@ class ScalableWindowsSpec extends SparkSpec {
     assert(fused.exceptAll(serial).isEmpty && serial.exceptAll(fused).isEmpty)
   }
 
+  test("global percent_rank/cume_dist match the serial window bit-for-bit") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val w = Window.orderBy(col("l_quantity"))
+    val serial = li.withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select("l_orderkey", "l_linenumber", "pr", "cd")
+    val scalable = ScalableWindows.withGlobalPercentRankAndCumeDist(
+        li, Seq(col("l_quantity")), "pr", "cd", partitions = 4)
+      .select("l_orderkey", "l_linenumber", "pr", "cd")
+    // bit-for-bit: both divide the same two integers, no rounding slack
+    assert(scalable.exceptAll(serial).isEmpty && serial.exceptAll(scalable).isEmpty)
+  }
+
   test("working columns never clobber user columns with the same names") {
     val tricky = orders
       .withColumn("__bkt", lit("keep me")).withColumn("__off", lit(7))
