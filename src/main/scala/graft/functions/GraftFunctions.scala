@@ -40,6 +40,9 @@ object GraftFunctions {
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       arity("vec_dot", 2)(exprs => VecDot(exprs(0), exprs(1)))),
+    (FunctionIdentifier("arr_eq_count"),
+      new ExpressionInfo(classOf[ArrEqCount].getName, "arr_eq_count"),
+      arity("arr_eq_count", 2)(exprs => ArrEqCount(exprs(0), exprs(1)))),
     (FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       arity("simhash_text", 2)(exprs =>

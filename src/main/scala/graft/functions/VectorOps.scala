@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
 /** Dot product over two ARRAY<DOUBLE> columns as a native codegen'd
   * expression.
@@ -71,4 +71,42 @@ object VecDot {
     import org.apache.spark.sql.functions.sqrt
     sqrt(vec_dot(a, a))
   }
+}
+
+/** Count of positions where two ARRAY<BIGINT> signatures agree — the
+  * MinHash similarity-estimate numerator. The SQL form
+  * `size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))` allocates two
+  * intermediate arrays and runs 2·k INTERPRETED lambda calls per candidate
+  * pair (Spark higher-order functions have no codegen); this is one fused
+  * loop inside whole-stage codegen. Shorter input bounds the loop. */
+case class ArrEqCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "arr_eq_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(ArrEqCount.evalCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ArrEqCount.evalCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrEqCount {
+  /** Named `evalCount`, not `eval` — see the VecDot forwarder note. */
+  def evalCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def arr_eq_count(a: Column, b: Column): Column =
+    column(ArrEqCount(expression(a), expression(b)))
 }

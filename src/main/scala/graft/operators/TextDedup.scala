@@ -98,16 +98,23 @@ object TextDedup {
       .select(col(idCol).as("doc_id"),
         MinHashSig.minhash_sig(col(textCol), k, portable).as("sig"))
       .filter(col("sig").isNotNull)
-    val banded = sig.select(col("doc_id"), col("sig"), explode(
-        expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"struct(b AS band, concat_ws('_', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))"))
-      .as("x"))
+    // band keys as STATIC per-band expressions (band count is a knob, not
+    // data): a transform-over-sequence lambda would run interpreted per
+    // document — Spark higher-order functions have no codegen
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*).as("bkey"))
+    }: _*)
+    val banded = sig.select(col("doc_id"), col("sig"), explode(bandStructs).as("x"))
       .select(col("doc_id"), col("sig"), col("x.band").as("band"), col("x.bkey").as("bkey"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), m -> m))").as("n_match"))
+        // codegen'd signature-agreement count (zip_with/filter lambdas
+        // would run interpreted per candidate pair)
+        graft.functions.ArrEqCount.arr_eq_count(col("x.sig"), col("y.sig")).as("n_match"))
       .distinct()
       .withColumn("est_jaccard", round(col("n_match").cast("double") / k, 6))
       .filter(col("est_jaccard") >= threshold)
@@ -129,9 +136,12 @@ object TextDedup {
     val mask = (1L << width) - 1
     val sim = canon.select(col(idCol).as("doc_id"),
       SimHash64.simhash_text(col(textCol), portable).as("simhash"))
-    val banded = sim.select(col("doc_id"), col("simhash"), explode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
-          s"shiftright(simhash, b * $width) & $mask AS bkey))")).as("x"))
+    // static per-band expressions — see the minhash banding note
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bkey"))
+    }: _*)
+    val banded = sim.select(col("doc_id"), col("simhash"), explode(bandStructs).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bkey").as("bkey"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

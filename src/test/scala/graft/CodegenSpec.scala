@@ -48,6 +48,11 @@ class CodegenSpec extends SparkSpec {
         .toDF("a", "b").select(vec_dot(col("a"), col("b")).as("d")).collect()
       assert(vd.head.getDouble(0) == 32.0)
 
+      import graft.functions.ArrEqCount.arr_eq_count
+      val ec = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 8L)))
+        .toDF("a", "b").select(arr_eq_count(col("a"), col("b")).as("c")).collect()
+      assert(ec.head.getInt(0) == 2)
+
       import graft.functions.MinHashSig.minhash_sig
       val mh = Seq("one two three four", "ab")
         .toDF("text").select(minhash_sig(col("text"), 8, portable = true).as("sig"))
