@@ -37,6 +37,7 @@ object Bench {
     "q_dedup_simhash",
     "q_dedup_embedding_lsh",
     "q_knn_bruteforce",
+    "q_ivf_train",
     "q_text_quality",
     "q_lang_id",
     "q_fingerprint",

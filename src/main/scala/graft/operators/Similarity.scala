@@ -37,6 +37,49 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
   }
 
+  /** Deterministic Lloyd k-means for IVF coarse quantization:
+    * (cid, cen) after `iters` iterations.
+    *
+    * Everything is fixed so training is reproducible run-to-run AND
+    * engine-to-engine (the DuckDB oracle replays it bit-for-bit):
+    *   - seeds: the `k` vectors with the lowest `vec_id`, labeled by that
+    *     id (no RNG);
+    *   - assignment: argmin of the left-to-right fold of squared dim
+    *     diffs, ties broken by cid;
+    *   - update: per-dimension means with DECIMAL-accumulated sums —
+    *     double summation order varies across partitions, decimal
+    *     addition is exact and order-free — then one double division.
+    *
+    * Scale shape: each iteration is one broadcast of k centroids, one
+    * corpus scan for assignment (k·dim multiply-adds per row) and one
+    * (cid, dim)-keyed partial+final aggregate; nothing global. */
+  def trainIvf(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = vectors.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cen"))
+    for (_ <- 1 to iters) {
+      cents = assignToCentroids(vectors, cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg((sum(col("x").cast("decimal(30,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(sort_array(collect_list(struct(d, m))), p -> p.m)").as("cen"))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (vec_id, v, cid). Centroids broadcast;
+    * distance is the left-to-right squared-diff fold (matches the oracle's
+    * list comprehension exactly); ties broken by cid. */
+  def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(v, cen, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
   /** All pairs with cosine >= `threshold`: (vec_a, vec_b, cos).
     *
     * `bucket = None` is the exact form — a theta self-join

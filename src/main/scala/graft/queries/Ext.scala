@@ -192,6 +192,30 @@ object Ext {
       ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5, bucket = Some(lshBucket)))
     }),
 
+    // TRAINED IVF coarse quantization: deterministic Lloyd k-means
+    // (lowest-vec_id seeds, decimal-exact centroid means — see
+    // Similarity.trainIvf) + nearest-centroid assignment. Each iteration
+    // broadcasts k centroids and scans the corpus once; the oracle
+    // replays both iterations bit-for-bit.
+    "q_ivf_train" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+      ord(graft.operators.Similarity.assignToCentroids(e, cents)
+        .select(col("vec_id"), col("cid")))
+    }),
+    // the full trained-IVF ANN path: train -> assign -> top-k within the
+    // assigned cell (knn's bucket param takes the assignment column, so
+    // candidate generation is the cell equi-join, not a corpus scan)
+    "q_knn_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+      val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
+      ord(graft.operators.Similarity.knn(
+        assigned, col("vec_id") < 10, k = 5, bucket = Some(col("cid"))))
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q_text_quality" -> ((s, dir) => {
@@ -241,6 +265,34 @@ object Ext {
           size(regexp_extract_all(col("text"), lit(BpeRegex), lit(0))).as("n_bpe_tokens"))
         .withColumn("bpe_per_ws", round(
           col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6)))
+    }),
+    // vocabulary extraction with term + document frequency — the input to
+    // tokenizer/BPE training and stopword induction. Classic wordcount
+    // shape: one map-side-combined groupBy on the token, top-k via
+    // TakeOrderedAndProject (no global sort of the vocabulary)
+    "q_vocab" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      ord(words.groupBy("w")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("w")).limit(100))
+    }),
+    // bigram counts for LM data prep: adjacent-token pairs via a per-doc
+    // window (partitioned by doc — no global exchange), then the same
+    // map-side-combined count. Ties at the k-boundary broken by the
+    // bigram text, so the top-k cut is deterministic.
+    "q_ngram_counts" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
+        .filter(col("w") =!= "")
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bi = toks.withColumn("w2", lead(col("w"), 1).over(byPos))
+        .filter(col("w2").isNotNull)
+        .select(concat_ws(" ", col("w"), col("w2")).as("bigram"))
+      ord(bi.groupBy("bigram").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("bigram")).limit(100))
     }),
     // document fingerprinting: custom codegen'd Catalyst expressions
     // (rolling polynomial hash + winnowing-style min-window hash)
@@ -329,6 +381,24 @@ object Ext {
   /** The same regex as a DuckDB SQL string literal (quotes doubled;
     * backslashes pass through — DuckDB strings don't process escapes). */
   private val BpeRegexSql = "'" + BpeRegex.replace("'", "''") + "'"
+
+  /** One nearest-centroid assignment step of the IVF oracle: distance is
+    * the left-to-right squared-diff fold (exactly Spark's zip_with+
+    * aggregate order), ties broken by cid. */
+  private def ivfAssignSql(vSrc: String, cSrc: String): String =
+    s"""SELECT vec_id, v, cid FROM (
+       |  SELECT x.vec_id, x.v, s.cid,
+       |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+       |      list_sum([(x.v[d] - s.cen[d]) * (x.v[d] - s.cen[d]) FOR d IN range(1, len(x.v) + 1)]), s.cid) AS rn
+       |  FROM $vSrc x, $cSrc s) WHERE rn = 1""".stripMargin
+
+  /** One centroid-update step: per-dimension decimal-exact mean (matches
+    * Spark's DECIMAL(30,12) accumulation — order-free, so partial
+    * aggregation cannot perturb it). */
+  private def ivfUpdateSql(aSrc: String): String =
+    s"""SELECT cid, list(m ORDER BY d) AS cen FROM (
+       |  SELECT cid, d, CAST(sum(CAST(v[d] AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM $aSrc, unnest(range(1, len(v) + 1)) AS t(d) GROUP BY cid, d) GROUP BY cid""".stripMargin
 
   /** DuckDB HUGEINT constants for unsigned-64 wrap arithmetic. */
   private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
@@ -434,6 +504,49 @@ object Ext {
          |  CAST(CASE WHEN fpu >= $M63 THEN fpu - $M64 ELSE fpu END AS BIGINT) AS fp,
          |  CAST(CASE WHEN mwu >= $M63 THEN mwu - $M64 ELSE mwu END AS BIGINT) AS fp_min32
          |FROM mw ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_ivf_train" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")})
+         |SELECT vec_id, cid FROM fin ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_ivf_trained" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |n AS (SELECT vec_id, v, cid, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM fin),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cid AS qb FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+         |  FROM n JOIN q ON cid = qb AND vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id AS neighbor, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk FROM scored)
+         |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_vocab" ->
+      """SELECT w, tf, df FROM (
+        |  SELECT w, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE w != '' GROUP BY w
+        |  ORDER BY tf DESC, w LIMIT 100)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_ngram_counts" ->
+      """SELECT bigram, tf FROM (
+        |  SELECT bigram, COUNT(*) AS tf FROM (
+        |    SELECT ws[i] || ' ' || ws[i + 1] AS bigram FROM (
+        |      SELECT list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+        |      FROM documents), unnest(range(1, len(ws))) AS u(i))
+        |  GROUP BY bigram
+        |  ORDER BY tf DESC, bigram LIMIT 100)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_ws_tokens,

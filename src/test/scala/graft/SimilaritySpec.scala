@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Library-level contracts of the similarity API beyond the oracle-checked
+  * queries: k-means training determinism and the Lloyd improvement
+  * invariant. */
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  private def sse(assigned: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame): Double =
+    assigned.join(cents, "cid")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, cen, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .agg(sum(col("d2"))).head().getDouble(0)
+
+  test("trainIvf is deterministic run-to-run and covers the corpus") {
+    val a1 = Similarity.assignToCentroids(vecs, Similarity.trainIvf(vecs, k = 4, iters = 2))
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a2 = Similarity.assignToCentroids(vecs, Similarity.trainIvf(vecs, k = 4, iters = 2))
+      .select("vec_id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a1 == a2, "two identical trainings must assign identically")
+    assert(a1.size == vecs.count(), "every vector must get a cluster")
+    assert(a1.values.toSet.size <= 4 && a1.values.toSet.nonEmpty)
+  }
+
+  test("each Lloyd iteration does not increase within-cluster SSE") {
+    val seeds = vecs.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("cid"), col("v").as("cen"))
+    val c1 = Similarity.trainIvf(vecs, k = 4, iters = 1)
+    val c2 = Similarity.trainIvf(vecs, k = 4, iters = 2)
+    def total(c: org.apache.spark.sql.DataFrame): Double =
+      sse(Similarity.assignToCentroids(vecs, c), c)
+    val (s0, s1, s2) = (total(seeds), total(c1), total(c2))
+    assert(s1 <= s0 + 1e-9 && s2 <= s1 + 1e-9, s"SSE went up: $s0 -> $s1 -> $s2")
+  }
+}
