@@ -71,6 +71,30 @@ class ScalableWindowsSpec extends SparkSpec {
     assert(scalable.exceptAll(serial).isEmpty && serial.exceptAll(scalable).isEmpty)
   }
 
+  test("distributed path survives degenerate key distributions") {
+    val s = spark
+    import s.implicits._
+    // all-equal keys: every bound collapses to one value -> 1 tie group
+    val same = (1L to 100L).map(i => (i, 5.0)).toDF("id", "k")
+    val rkSame = ScalableWindows.withGlobalRankAndDenseRank(
+      same, Seq(col("k")), "rk", "drk", partitions = 8).collect()
+    assert(rkSame.forall(r => r.getInt(2) == 1 && r.getInt(3) == 1))
+    val rnSame = ScalableWindows.withGlobalRowNumber(
+        same, Seq(col("k"), col("id")), "rn", partitions = 8)
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert((1L to 100L).forall(i => rnSame(i) == i.toInt))
+    // single row, and fewer rows than requested partitions
+    val tiny = Seq((1L, 3.0), (2L, 1.0)).toDF("id", "k")
+    val rnTiny = ScalableWindows.withGlobalRowNumber(
+        tiny, Seq(col("k"), col("id")), "rn", partitions = 16)
+      .select("id", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(rnTiny == Map(2L -> 1, 1L -> 2))
+    val pct1 = ScalableWindows.withGlobalPercentRankAndCumeDist(
+      Seq((1L, 9.9)).toDF("id", "k"), Seq(col("k")), "pr", "cd", partitions = 4).head()
+    assert(pct1.getDouble(2) == 0.0 && pct1.getDouble(3) == 1.0,
+      "single-row percent_rank/cume_dist must be 0 and 1")
+  }
+
   test("working columns never clobber user columns with the same names") {
     val tricky = orders
       .withColumn("__bkt", lit("keep me")).withColumn("__off", lit(7))
