@@ -594,6 +594,24 @@ object Relational {
       ord(samp.join(d.select("doc_id"), "doc_id")
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_distinct")))
     }),
+    // stratified sampling per language — the training-data mixture
+    // operator (downsample dominant languages, keep rare ones). sampleBy
+    // is a per-row Bernoulli filter (no shuffle); the sample is
+    // engine-specific randomness, so the oracle checks INVARIANTS: every
+    // stratum is present and its realized rate sits within 0.2 of the
+    // target fraction (>= 5 sigma at this SF, and deterministic for a
+    // fixed seed + input split anyway).
+    "q_sample_stratified" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val fractions = Map("en" -> 0.5, "de" -> 0.4, "fr" -> 0.3, "es" -> 0.2, "zh" -> 0.1)
+      val samp = d.stat.sampleBy("lang", fractions, seed = 42L)
+      val target = when(col("lang") === "en", 0.5).when(col("lang") === "de", 0.4)
+        .when(col("lang") === "fr", 0.3).when(col("lang") === "es", 0.2).otherwise(0.1)
+      ord(samp.groupBy("lang").agg(count(lit(1)).as("n_samp"))
+        .join(d.groupBy("lang").agg(count(lit(1)).as("n_all")), "lang")
+        .select(col("lang"),
+          (abs(col("n_samp") / col("n_all") - target) <= 0.2).as("rate_ok")))
+    }),
     // D10: tokens common to every document of a source (common-annotation
     // intersection, distributed formulation: no driver-side fold).
     "q_common_tokens" -> ((s, dir) => {
@@ -628,6 +646,10 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sample" ->
       "SELECT CAST(25 AS BIGINT) AS n, CAST(25 AS BIGINT) AS n_distinct",
+    "q_sample_stratified" ->
+      """SELECT * FROM (VALUES ('de', true), ('en', true), ('es', true),
+        |  ('fr', true), ('zh', true)) AS t(lang, rate_ok)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 30 ORDER BY ALL NULLS FIRST""".stripMargin,

@@ -73,6 +73,31 @@ object Sources {
     spark.read.parquet(path).drop("id_prefix").as[Record]
   }
 
+  /** Compact a record store to ~`targetBytes` files. Long-lived archives
+    * accumulate small files (every micro-batch / upsert writes its own):
+    * at cluster scale the store's READ cost becomes dominated by file-open
+    * overhead and driver file-listing, not bytes. Rewrites the store with
+    * `ceil(bytes / targetBytes)` output files via write-then-swap (the
+    * previous store is rotated, never overwritten in place). Returns the
+    * new file count. */
+  def compactRecords(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val compacted = readRecords(spark, path).repartition(nFiles)
+    val tmp = path + "_compact_tmp"
+    writeRecords(compacted, tmp)
+    rotateOldOutput(spark, path)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compaction swap failed: rename($tmp, $path)")
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** D15: archive lookup — incoming documents keep the stored (annotated)
     * record when the store already has their content hash
     * (`CuratorClient.getRecFromDatabase`, 348-371). Implemented as a

@@ -66,4 +66,21 @@ class SourcesSpec extends SparkSpec {
     assert(!Sources.containsSerializedRecords(spark, plainDir))
     assert(!Sources.containsSerializedRecords(spark, "/nonexistent/dir"))
   }
+
+  test("store compaction rewrites many small files into few, content intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/store"
+    val recs = (1 to 50).map(i => Record.fresh(s"doc number $i"))
+    // fragment the store the way accumulated micro-batches would
+    Sources.writeRecords(spark.createDataset(recs).repartition(20), dir)
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before > 5, s"fixture must start fragmented, had $before files")
+    val after = Sources.compactRecords(spark, dir, targetBytes = 1L << 30)
+    assert(after < before && after >= 1, s"$before -> $after files")
+    val back = Sources.readRecords(spark, dir).collect()
+    assert(back.map(_.identifier).sorted.toSeq == recs.map(_.identifier).sorted,
+      "compaction must preserve exactly the store's records")
+    // the pre-compaction store was rotated aside, not destroyed
+    assert(new java.io.File(new java.io.File(dir).getParent, "old_jobs").exists)
+  }
 }
