@@ -43,6 +43,9 @@ object GraftFunctions {
     (FunctionIdentifier("arr_eq_count"),
       new ExpressionInfo(classOf[ArrEqCount].getName, "arr_eq_count"),
       arity("arr_eq_count", 2)(exprs => ArrEqCount(exprs(0), exprs(1)))),
+    (FunctionIdentifier("vec_sqdiff"),
+      new ExpressionInfo(classOf[VecSqDiff].getName, "vec_sqdiff"),
+      arity("vec_sqdiff", 2)(exprs => VecSqDiff(exprs(0), exprs(1)))),
     (FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       arity("simhash_text", 2)(exprs =>

@@ -73,6 +73,48 @@ object VecDot {
   }
 }
 
+/** Squared L2 distance over two ARRAY<DOUBLE> columns — the k-means/knn
+  * inner loop. Summation is sequential in index order, exactly the
+  * left-to-right fold of the SQL `aggregate(zip_with(a, b,
+  * (x, y) -> (x-y)*(x-y)), 0D, +)` it replaces (which runs interpreted —
+  * higher-order functions have no codegen), so oracle comparisons stay
+  * bit-exact. */
+case class VecSqDiff(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sqdiff"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(VecSqDiff.evalSqDiff(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecSqDiff.evalSqDiff($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecSqDiff =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecSqDiff {
+  /** Named `evalSqDiff`, not `eval` — see the VecDot forwarder note. */
+  def evalSqDiff(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def vec_sqdiff(a: Column, b: Column): Column =
+    column(VecSqDiff(expression(a), expression(b)))
+}
+
 /** Count of positions where two ARRAY<BIGINT> signatures agree — the
   * MinHash similarity-estimate numerator. The SQL form
   * `size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))` allocates two

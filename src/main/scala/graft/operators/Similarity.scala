@@ -69,12 +69,13 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment: (vec_id, v, cid). Centroids broadcast;
-    * distance is the left-to-right squared-diff fold (matches the oracle's
-    * list comprehension exactly); ties broken by cid. */
+    * distance is the codegen'd in-order squared-diff fold `vec_sqdiff`
+    * (matches the oracle's list comprehension exactly); ties broken by
+    * cid. */
   def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val scored = vectors.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(v, cen, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("dist",
+        graft.functions.VecSqDiff.vec_sqdiff(col("v"), col("cen")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))

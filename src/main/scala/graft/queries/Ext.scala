@@ -125,7 +125,7 @@ object Ext {
     // q_dedup_embedding_lsh below is the scale path)
     "q_dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.cosinePairs(e, threshold = 0.95))
     }),
     // embedding near-dup at corpus scale: the SAME cosinePairs operator
@@ -135,7 +135,7 @@ object Ext {
     // Deterministic literal planes, so the oracle replicates the buckets.
     "q_dedup_embedding_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.cosinePairs(
         e, threshold = 0.3, bucket = Some(lshBucket)))
     }),
@@ -145,7 +145,7 @@ object Ext {
     // brute-force cosine top-k: broadcast the query set, scan corpus once
     "q_knn_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5))
     }),
     // LSH-bucketed ANN: deterministic sign-sketch buckets (scale path,
@@ -154,7 +154,7 @@ object Ext {
       // bucket = sign pattern of the first 8 dims (a fixed orthant sketch —
       // deterministic stand-in for trained IVF centroids)
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
       val orthant = expr(
         "aggregate(slice(v, 1, 8), 0L, (acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1 ELSE 0 END)")
       ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5, bucket = Some(orthant)))
@@ -188,7 +188,7 @@ object Ext {
     // recall traded for bounded work. Exact same buckets in the oracle.
     "q_knn_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5, bucket = Some(lshBucket)))
     }),
 
@@ -199,7 +199,7 @@ object Ext {
     // replays both iterations bit-for-bit.
     "q_ivf_train" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
       ord(graft.operators.Similarity.assignToCentroids(e, cents)
         .select(col("vec_id"), col("cid")))
@@ -209,7 +209,7 @@ object Ext {
     // candidate generation is the cell equi-join, not a corpus scan)
     "q_knn_ivf_trained" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        col("embedding").cast("array<double>").as("v"))
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
       val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
       ord(graft.operators.Similarity.knn(

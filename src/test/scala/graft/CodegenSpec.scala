@@ -53,6 +53,11 @@ class CodegenSpec extends SparkSpec {
         .toDF("a", "b").select(arr_eq_count(col("a"), col("b")).as("c")).collect()
       assert(ec.head.getInt(0) == 2)
 
+      import graft.functions.VecSqDiff.vec_sqdiff
+      val sq = Seq((Seq(1.0, 2.0), Seq(4.0, 0.0)))
+        .toDF("a", "b").select(vec_sqdiff(col("a"), col("b")).as("d")).collect()
+      assert(sq.head.getDouble(0) == 13.0)
+
       import graft.functions.MinHashSig.minhash_sig
       val mh = Seq("one two three four", "ab")
         .toDF("text").select(minhash_sig(col("text"), 8, portable = true).as("sig"))
