@@ -156,32 +156,102 @@ object Streams {
         val tmp = new org.apache.hadoop.fs.Path(storeDir + "_tmp")
         val bak = new org.apache.hadoop.fs.Path(storeDir + "_bak")
         val fs = store.getFileSystem(hconf)
-        @inline def mv(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
-          require(fs.rename(src, dst), s"record store swap failed: rename($src, $dst)")
-        // crash recovery: if a previous swap died mid-flight the store may
-        // be absent — the surviving full copy is `_tmp` (written and
-        // complete before the store was moved aside; already contains the
-        // replayed batch) or else `_bak` (the pre-swap store). Restore it
-        // BEFORE the emptiness probe, or the batch would silently re-seed
-        // an empty store and the archive would be lost.
-        if (!fs.exists(store)) {
-          if (fs.exists(tmp)) mv(tmp, store)
-          else if (fs.exists(bak)) mv(bak, store)
-        }
+        // restore BEFORE the emptiness probe, or the batch would silently
+        // re-seed an empty store and the archive would be lost
+        recoverSwap(fs, store, tmp, bak)
         val merged =
           if (graft.sources.Sources.containsSerializedRecords(spark, storeDir))
             graft.sources.Sources.upsert(
               graft.sources.Sources.readRecords(spark, storeDir), batch)
           else batch
-        if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
-        graft.sources.Sources.writeRecords(merged, tmp.toString)
-        if (fs.exists(bak)) fs.delete(bak, true) // stale from a done swap
-        val hadStore = fs.exists(store)
-        if (hadStore) mv(store, bak)
-        mv(tmp, store)
-        if (hadStore) fs.delete(bak, true)
+        swapInPlace(fs, store, tmp, bak)(
+          graft.sources.Sources.writeRecords(merged, _))
         ()
       }
+
+  /** Incremental streaming archive upsert — the form that keeps up once
+    * the archive dwarfs the batch. The store is laid out in the 16
+    * id-prefix cells of `writeRecords(idPrefixPartitions = true)`
+    * (hex-balanced, stable under growth); each micro-batch merges and
+    * swaps ONLY the cells its records hash into, so per-batch read+write
+    * is O(|store| · touched/16) instead of [[recordUpsertSink]]'s
+    * O(|store|). Same crash contract, per cell: a full copy of every
+    * touched cell is alive at every step, and the next batch restores a
+    * cell left mid-swap. Cell work files are underscore-prefixed
+    * siblings, which Spark's partition discovery ignores — a reader
+    * listing the store root during a crash window never sees them. */
+  def recordUpsertSinkIncremental(
+      records: org.apache.spark.sql.Dataset[graft.model.Record],
+      storeDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[graft.model.Record] =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.model.Record], _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val store = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = store.getFileSystem(hconf)
+        fs.mkdirs(store)
+        val prefix = substring(col("identifier"), 1, 1)
+        val touched = batch.select(prefix.as("p")).distinct().as[String].collect().sorted
+        for (p <- touched) {
+          val cell = new org.apache.hadoop.fs.Path(store, s"id_prefix=$p")
+          val tmp = new org.apache.hadoop.fs.Path(store, s"_cell_${p}_tmp")
+          val bak = new org.apache.hadoop.fs.Path(store, s"_cell_${p}_bak")
+          recoverSwap(fs, cell, tmp, bak)
+          val cellBatch = batch.filter(prefix === p)
+          val merged =
+            if (fs.exists(cell))
+              graft.sources.Sources.upsert(
+                spark.read.parquet(cell.toString).as[graft.model.Record], cellBatch)
+            else cellBatch
+          swapInPlace(fs, cell, tmp, bak)(
+            graft.sources.Sources.writeRecords(merged, _))
+        }
+        ()
+      }
+
+  /** Restore `target` if a previous [[swapInPlace]] crashed mid-flight:
+    * the surviving full copy is `tmp` (written complete before the target
+    * was moved aside; already contains the replayed batch) or else `bak`
+    * (the pre-swap content). */
+  private def recoverSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(target)) {
+      if (fs.exists(tmp)) mv(fs, tmp, target)
+      else if (fs.exists(bak)) mv(fs, bak, target)
+    }
+
+  /** Replace `target` with content `write`n to `tmp`, keeping a full copy
+    * alive at EVERY point: write to `tmp`, rename the live target aside
+    * to `bak`, promote `tmp`, drop `bak`. A crash between any two steps
+    * leaves either the target or a complete copy in `tmp`/`bak` for
+    * [[recoverSwap]] (a bare delete-then-rename had a window where the
+    * only full copy was the rename source — a crash there lost the
+    * archive). */
+  private def swapInPlace(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path)(write: String => Unit): Unit = {
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
+    write(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true) // stale from a done swap
+    val hadTarget = fs.exists(target)
+    if (hadTarget) mv(fs, target, bak)
+    mv(fs, tmp, target)
+    if (hadTarget) fs.delete(bak, true)
+  }
+
+  @inline private def mv(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst), s"record store swap failed: rename($src, $dst)")
 
   /** Convenience: file-stream source over a directory of event parquet. */
   def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String,

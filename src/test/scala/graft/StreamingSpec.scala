@@ -184,6 +184,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental record-store sink rewrites only the touched id-prefix cells") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_incr").toString
+    val store = base + "/store"; val ckpt = base + "/ckpt"
+    val ms = MemoryStream[String]
+    val q = graft.streaming.Streams.recordUpsertSinkIncremental(
+      ms.toDS().map(graft.model.Record.fresh(_)), store, ckpt).start()
+    try {
+      ms.addData((1 to 40).map(i => s"doc number $i"): _*)
+      q.processAllAvailable()
+      def cells: Map[String, Set[String]] = new java.io.File(store).listFiles
+        .filter(_.getName.startsWith("id_prefix="))
+        .map(d => d.getName -> d.listFiles.map(_.getName).toSet).toMap
+      val before = cells
+      assert(before.size > 4, s"40 docs must spread over several cells, got ${before.keySet}")
+      ms.addData("one more late doc")
+      q.processAllAvailable()
+      val after = cells
+      val changed = (before.keySet ++ after.keySet)
+        .filter(k => before.get(k) != after.get(k))
+      assert(changed.size == 1,
+        s"a one-doc batch must rewrite exactly its own cell, changed: $changed")
+      val texts = graft.sources.Sources.readRecords(spark, store).collect().map(_.rawText)
+      assert(texts.length == 41 && texts.contains("one more late doc"),
+        "store must hold the union across batches")
+    } finally q.stop()
+  }
+
   test("record-store swap recovers when a crash left the store missing") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
