@@ -140,6 +140,48 @@ object Sources {
   /** D18: old-output rotation — move an existing output dir aside into
     * `old_jobs/<name>_<n>` before writing (reference
     * `CuratorJob.setUpIODirectories`, 119-142). */
+  /** Restore `target` if a previous [[swapInPlace]] crashed mid-flight:
+    * the surviving full copy is `tmp` (written complete before the target
+    * was moved aside) or else `bak` (the pre-swap content). Call BEFORE
+    * probing the target for content — a crash window otherwise reads as
+    * an empty store. */
+  def recoverSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(target)) {
+      if (fs.exists(tmp)) mv(fs, tmp, target)
+      else if (fs.exists(bak)) mv(fs, bak, target)
+    }
+
+  /** Replace `target` with content `write`n to `tmp`, keeping a full copy
+    * alive at EVERY point: write to `tmp`, rename the live target aside
+    * to `bak`, promote `tmp`, drop `bak`. A crash between any two steps
+    * leaves either the target or a complete copy in `tmp`/`bak` for
+    * [[recoverSwap]] (a bare delete-then-rename has a window where the
+    * only full copy is the rename source — a crash there loses the
+    * archive). */
+  def swapInPlace(
+      fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path)(write: String => Unit): Unit = {
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
+    write(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true) // stale from a done swap
+    val hadTarget = fs.exists(target)
+    if (hadTarget) mv(fs, target, bak)
+    mv(fs, tmp, target)
+    if (hadTarget) fs.delete(bak, true)
+  }
+
+  @inline private def mv(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst), s"store swap failed: rename($src, $dst)")
+
   def rotateOldOutput(spark: SparkSession, path: String): Option[String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)

@@ -212,46 +212,21 @@ object Streams {
         ()
       }
 
-  /** Restore `target` if a previous [[swapInPlace]] crashed mid-flight:
-    * the surviving full copy is `tmp` (written complete before the target
-    * was moved aside; already contains the replayed batch) or else `bak`
-    * (the pre-swap content). */
+  // swap/recovery primitives live in Sources (shared with the batch
+  // pipeline's store commit)
   private def recoverSwap(
       fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path,
       bak: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.exists(target)) {
-      if (fs.exists(tmp)) mv(fs, tmp, target)
-      else if (fs.exists(bak)) mv(fs, bak, target)
-    }
+    graft.sources.Sources.recoverSwap(fs, target, tmp, bak)
 
-  /** Replace `target` with content `write`n to `tmp`, keeping a full copy
-    * alive at EVERY point: write to `tmp`, rename the live target aside
-    * to `bak`, promote `tmp`, drop `bak`. A crash between any two steps
-    * leaves either the target or a complete copy in `tmp`/`bak` for
-    * [[recoverSwap]] (a bare delete-then-rename had a window where the
-    * only full copy was the rename source — a crash there lost the
-    * archive). */
   private def swapInPlace(
       fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path,
-      bak: org.apache.hadoop.fs.Path)(write: String => Unit): Unit = {
-    if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
-    write(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true) // stale from a done swap
-    val hadTarget = fs.exists(target)
-    if (hadTarget) mv(fs, target, bak)
-    mv(fs, tmp, target)
-    if (hadTarget) fs.delete(bak, true)
-  }
-
-  @inline private def mv(
-      fs: org.apache.hadoop.fs.FileSystem,
-      src: org.apache.hadoop.fs.Path,
-      dst: org.apache.hadoop.fs.Path): Unit =
-    require(fs.rename(src, dst), s"record store swap failed: rename($src, $dst)")
+      bak: org.apache.hadoop.fs.Path)(write: String => Unit): Unit =
+    graft.sources.Sources.swapInPlace(fs, target, tmp, bak)(write)
 
   /** Convenience: file-stream source over a directory of event parquet. */
   def readEventStream(spark: org.apache.spark.sql.SparkSession, dir: String,
