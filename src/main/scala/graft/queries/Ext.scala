@@ -71,6 +71,27 @@ object Ext {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Quality-gate reasons per document (one single-pass `word_scan`
+    * expression; shared by `q_quality_filter` and `q_prep_pipeline`):
+    * first failing rule wins, "ok" passes. */
+  private def qualityReasons(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    val scan = graft.functions.WordScan.word_scan(col("text"), stop, 2)
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_chars"), scan.as("sc"))
+      .select(col("doc_id"),
+        col("sc").getItem(3).as("n_tokens"),
+        ((col("n_chars") - col("sc").getItem(4)) / col("n_chars").cast("double")).as("alpha"),
+        (col("sc").getItem(0) / col("sc").getItem(3).cast("double")).as("stopr"),
+        (col("sc").getItem(1) / col("sc").getItem(3).cast("double")).as("shortr"))
+    val reason = when(col("n_tokens") < 10, "too_short")
+      .when(col("alpha") < 0.7, "low_alpha")
+      .when(col("shortr") > 0.4, "high_short")
+      .when(col("stopr") < 0.01, "no_stopwords")
+      .otherwise("ok")
+    base.select(col("doc_id"), reason.as("reason"))
+  }
+
   /** Exact-dup canonicalization: one representative (min doc_id) per
     * distinct text. Near-dup operators run over representatives — with d
     * exact copies of a document, pairwise candidate generation would
@@ -164,22 +185,22 @@ object Ext {
     // decision with the first failing rule as the reason — the actual
     // gate shape of a training-data pipeline (one word_scan pass per doc)
     "q_quality_filter" -> ((s, dir) => {
-      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
-      val scan = graft.functions.WordScan.word_scan(col("text"), stop, 2)
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("n_chars"), scan.as("sc"))
-        .select(col("doc_id"),
-          col("sc").getItem(3).as("n_tokens"),
-          ((col("n_chars") - col("sc").getItem(4)) / col("n_chars").cast("double")).as("alpha"),
-          (col("sc").getItem(0) / col("sc").getItem(3).cast("double")).as("stopr"),
-          (col("sc").getItem(1) / col("sc").getItem(3).cast("double")).as("shortr"))
-      val reason = when(col("n_tokens") < 10, "too_short")
-        .when(col("alpha") < 0.7, "low_alpha")
-        .when(col("shortr") > 0.4, "high_short")
-        .when(col("stopr") < 0.01, "no_stopwords")
-        .otherwise("ok")
-      ord(base.select(col("doc_id"), reason.as("reason"))
+      ord(qualityReasons(s, dir).select(col("doc_id"), col("reason"))
         .withColumn("keep", col("reason") === "ok"))
+    }),
+
+    // end-to-end prep composition: quality gate -> exact-dedup
+    // canonicalization -> per-language surviving-document counts — the
+    // skeleton every training-data pipeline runs before tokenization.
+    // Each stage is the operator verified on its own above; this query
+    // verifies the CHAIN (filters feed the dedup groupBy on one lineage).
+    "q_prep_pipeline" -> ((s, dir) => {
+      val kept = t(s, dir, "documents")
+        .join(qualityReasons(s, dir).filter(col("reason") === "ok")
+          .select("doc_id"), "doc_id")
+      ord(kept.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs")))
     }),
 
     // random-hyperplane LSH ANN: bucket = 8 sign bits of fixed ±1
@@ -485,6 +506,25 @@ object Ext {
         |         ELSE 'ok' END AS reason
         |  FROM m)
         |SELECT doc_id, reason, reason = 'ok' AS keep FROM r
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_prep_pipeline" ->
+      """WITH m AS (SELECT doc_id, length(text) AS n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\s')) AS ws_chars,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS n_stop,
+        |    len(regexp_extract_all(text, '\b\w{1,2}\b')) AS n_short
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN n_tokens < 10 THEN 'too_short'
+        |         WHEN (n_chars - ws_chars) / CAST(n_chars AS DOUBLE) < 0.7 THEN 'low_alpha'
+        |         WHEN n_short / CAST(n_tokens AS DOUBLE) > 0.4 THEN 'high_short'
+        |         WHEN n_stop / CAST(n_tokens AS DOUBLE) < 0.01 THEN 'no_stopwords'
+        |         ELSE 'ok' END AS reason
+        |  FROM m),
+        |k AS (SELECT d.text, d.lang FROM documents d JOIN r ON d.doc_id = r.doc_id
+        |      WHERE r.reason = 'ok'),
+        |c AS (SELECT min(lang) AS lang FROM k GROUP BY text)
+        |SELECT lang, COUNT(*) AS n_docs FROM c GROUP BY lang
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_fingerprint" ->
       s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
