@@ -82,6 +82,31 @@ object TextDedup {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** Train/eval contamination detection: shingle-overlap pairs BETWEEN
+    * two corpora — (doc_id, bench_id, n_shared) for every corpus/benchmark
+    * document pair sharing at least `minOverlap` n-gram shingles. The
+    * bipartite inverted-index join: candidates only from shared shingles
+    * (never corpus × benchmark), map-side `shingle_hashes` signatures,
+    * one equi-join on the 64-bit shingle key. The benchmark side is
+    * typically tiny (an eval set) — Spark broadcasts it when it fits. */
+  def crossOverlapPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      minOverlap: Int,
+      portable: Boolean = false): DataFrame = {
+    def postings(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        ShingleHashes.shingle_hashes(col(textCol), portable).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col(out), explode(col("hs")).as("s"))
+    postings(corpus, "doc_id").join(postings(benchmark, "bench_id"), "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** MinHash/LSH candidate pairs over canonicalized docs:
     * (doc_a, doc_b, n_match, est_jaccard) for est >= `threshold`. */
   def minhashPairs(

@@ -161,6 +161,27 @@ object Ext {
         e, threshold = 0.3, bucket = Some(lshBucket)))
     }),
 
+    // train/eval CONTAMINATION check: shingle overlap between the corpus
+    // and a held-out "benchmark" slice (doc_id % 97 == 0 stands in for an
+    // eval set) — the decontamination sweep every training corpus runs.
+    // Bipartite inverted-index join; the tiny benchmark side broadcasts.
+    "q_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      ord(graft.operators.TextDedup.crossOverlapPairs(
+        d.filter(!isBench), d.filter(isBench), "doc_id", "text",
+        minOverlap = 2, portable = !graft.Tables.benchMode))
+    }),
+    // corpus audit: document-length histogram in 100-char buckets — the
+    // distribution check run before/after every filtering stage
+    "q_corpus_stats" -> ((s, dir) => {
+      ord(t(s, dir, "documents")
+        .groupBy((floor(length(col("text")) / 100) * 100).cast("int").as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(length(col("text"))).as("min_len"),
+          max(length(col("text"))).as("max_len")))
+    }),
+
     // ---- similarity search ------------------------------------------
 
     // brute-force cosine top-k: broadcast the query set, scan corpus once
@@ -507,6 +528,23 @@ object Ext {
         |  FROM m)
         |SELECT doc_id, reason, reason = 'ok' AS keep FROM r
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM w))
+        |SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        |FROM sh c JOIN sh b ON c.s = b.s
+        |WHERE c.doc_id % 97 != 0 AND b.doc_id % 97 = 0
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_corpus_stats" ->
+      """SELECT CAST((length(text) // 100) * 100 AS INT) AS len_bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(MIN(length(text)) AS INT) AS min_len,
+        |  CAST(MAX(length(text)) AS INT) AS max_len
+        |FROM documents GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_prep_pipeline" ->
       """WITH m AS (SELECT doc_id, length(text) AS n_chars,
         |    CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,

@@ -47,6 +47,18 @@ class TextDedupSpec extends SparkSpec {
       s"cap=3 must keep exactly the rare-shingle pair with its sub-cap count: $capped")
   }
 
+  test("crossOverlapPairs flags only corpus docs overlapping the benchmark") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally unrelated words here"))).toDF("doc_id", "text")
+    val bench = spark.createDataFrame(Seq(
+      (100L, "alpha beta gamma epsilon"))).toDF("doc_id", "text")
+    val pairs = TextDedup.crossOverlapPairs(corpus, bench, "doc_id", "text", minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 shares exactly the "alpha beta gamma" shingle; doc 2 shares none
+    assert(pairs == Seq((1L, 100L, 1L)), s"got $pairs")
+  }
+
   test("minhash band/k parameters are validated") {
     assertThrows[IllegalArgumentException](
       TextDedup.minhashPairs(canon, "doc_id", "text", 0.2, k = 32, bands = 7))
