@@ -147,7 +147,7 @@ object Ext {
     "q_dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      ord(graft.operators.Similarity.cosinePairs(e, threshold = 0.95))
+      ord(graft.operators.Similarity.cosinePairs(e, threshold = 0.45))
     }),
     // embedding near-dup at corpus scale: the SAME cosinePairs operator
     // with the random-hyperplane sign bucket (see LshPlanes) — candidate
@@ -690,7 +690,7 @@ object Ext {
         |    (sqrt(x.n2) * sqrt(y.n2)), 4) AS cos
         |FROM n x JOIN n y ON x.vec_id < y.vec_id
         |WHERE round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
-        |    (sqrt(x.n2) * sqrt(y.n2)), 4) >= 0.95
+        |    (sqrt(x.n2) * sqrt(y.n2)), 4) >= 0.45
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_embedding_lsh" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
