@@ -52,7 +52,10 @@ object Similarity {
     *
     * Scale shape: each iteration is one broadcast of k centroids, one
     * corpus scan for assignment (k·dim multiply-adds per row) and one
-    * (cid, dim)-keyed partial+final aggregate; nothing global. */
+    * (cid, dim)-keyed partial+final aggregate; nothing global. The loop
+    * builds one lazy plan (the corpus is re-scanned per iteration when it
+    * finally executes); at high iteration counts persist or checkpoint
+    * `cents` each round to cap lineage depth. */
   def trainIvf(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = vectors.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cen"))
