@@ -35,6 +35,7 @@ object Bench {
     "q_dedup_ngram_jaccard",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_contamination",
     "q_dedup_embedding_lsh",
     "q_knn_bruteforce",
     "q_ivf_train",
