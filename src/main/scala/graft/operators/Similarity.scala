@@ -89,22 +89,45 @@ object Similarity {
     * `bucket = None` is the exact form — a theta self-join
     * (BroadcastNestedLoop), fine at dimension-table scale only.
     * `bucket = Some(b)` compares only pairs whose bucket expression agrees
-    * (an LSH sign sketch, orthant code, IVF centroid id): candidate
-    * generation becomes a shuffled EQUI-join on the bucket key, so work is
-    * Σ|bucket|² instead of |corpus|² — the corpus-scale form, same recall
-    * trade as `knn(bucket = ...)`. */
+    * (an LSH sign sketch, orthant code, IVF centroid id): the corpus is
+    * scanned ONCE, grouped on the bucket key, and pairs explode within
+    * each bucket — work is Σ|bucket|² instead of |corpus|², and the bucket
+    * expression runs once per row, map-side. (The former bucket self-join
+    * derived the scan+bucket subplan on BOTH sides — AQE's broadcast of
+    * one side makes exchange reuse impossible — and its join-inferred
+    * IsNotNull re-evaluated the bucket expression inside a Filter.)
+    * The bucket expression should be non-nullable: grouping puts null
+    * bucket keys in one bucket rather than dropping them as a join would.
+    * `maxBucket > 0` drops buckets holding more than that many vectors,
+    * with collection memory bounded at the cap (`capped_collect_list`) —
+    * the skew guard for a degenerate sketch bucket. */
   def cosinePairs(
       vectors: DataFrame,
       threshold: Double,
-      bucket: Option[Column] = None): DataFrame = {
-    val n = vectors.select(col("vec_id"), col("v"),
-      vec_dot(col("v"), col("v")).as("n2"),
-      bucket.getOrElse(lit(0L)).as("bkt"))
-    val cond = bucket match {
-      case Some(_) => col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id")
-      case None => col("x.vec_id") < col("y.vec_id")
+      bucket: Option[Column] = None,
+      maxBucket: Int = 0): DataFrame = {
+    val scored = bucket match {
+      case Some(b) =>
+        val n = vectors.select(col("vec_id"), col("v"),
+          vec_dot(col("v"), col("v")).as("n2"), b.as("bkt"))
+        val collected =
+          if (maxBucket > 0)
+            graft.functions.CappedCollectList.capped_collect_list(
+              struct(col("vec_id"), col("v"), col("n2")), maxBucket)
+          else collect_list(struct(col("vec_id"), col("v"), col("n2")))
+        n.groupBy(col("bkt")).agg(collected.as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(col("ds")).as("x"), col("ds"))
+          .select(col("x"), explode(col("ds")).as("y"))
+          .filter(col("y.vec_id") > col("x.vec_id"))
+      case None =>
+        val n = vectors.select(col("vec_id"), col("v"),
+          vec_dot(col("v"), col("v")).as("n2"))
+        n.select(struct(col("vec_id"), col("v"), col("n2")).as("x"))
+          .join(n.select(struct(col("vec_id"), col("v"), col("n2")).as("y")),
+            col("y.vec_id") > col("x.vec_id"))
     }
-    n.as("x").join(n.as("y"), cond)
+    scored
       .withColumn("cos", round(
         vec_dot(col("x.v"), col("y.v")) / (sqrt(col("x.n2")) * sqrt(col("y.n2"))), 4))
       .filter(col("cos") >= threshold)

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHashSig, ShingleHashes, SimHash64}
+import graft.functions.BandGenerators.{minhash_bands, shingle_posts, simhash_bands}
+import graft.functions.CappedCollectList.capped_collect_list
 
 /** Library API for the deduplication family (SURVEY.md §2d) — the query
   * catalog (`graft.queries.Ext`) calls these with fixed parameters; users
@@ -15,17 +16,31 @@ import graft.functions.{MinHashSig, ShingleHashes, SimHash64}
   *
   * Scale shapes (the design contract at 100 TB):
   *   - canonicalization first — d exact copies would inflate pairwise
-  *     candidate generation d²-fold;
-  *   - signatures (`minhash_sig`, `simhash_text`, `shingle_hashes`) are
-  *     ONE narrow expression per document — map-side, no shuffle;
-  *   - candidate generation is always an equi-join (LSH bands, posting
-  *     lists), never a theta self-join;
-  *   - `maxDf` drops ubiquitous shingles from the inverted index: a
-  *     shingle shared by k documents emits k(k-1)/2 pairs, so one
+  *     candidate generation d²-fold — and keyed on the 16-byte content
+  *     hash, not the full text (hash-partitioning, key comparison and any
+  *     sort-based aggregation fallback then work over 32-char keys instead
+  *     of whole documents; the reference's archive is content-hash
+  *     addressed the same way, `Identifier.java:63-77`);
+  *   - signatures are computed ONCE per canonical document, inside a
+  *     custom generator (`minhash_bands` / `simhash_bands` /
+  *     `shingle_posts`) that emits the band/posting rows directly — no
+  *     `explode(sig_expr)`, so no optimizer rule can clone the signature
+  *     into a Filter condition or a second join branch (the round-3 plans
+  *     showed both: `InferFiltersFromGenerate` + join-inferred IsNotNull
+  *     re-evaluated signatures per RAW doc, and the banded self-join
+  *     derived the whole canonicalize+signature subplan twice);
+  *   - candidate pairs come from ONE `groupBy(bucket)` + within-bucket
+  *     pair explode — a single corpus scan and a single shuffle of
+  *     |docs|·bands rows, never a self-join (which cannot reuse its
+  *     exchange once AQE broadcasts a side: 2× scans + 2× signature cost);
+  *   - `maxDf` / `maxBucket` drop degenerate buckets: a shingle or LSH
+  *     bucket shared by k documents emits k(k-1)/2 pairs, so one
   *     boilerplate header shared by a million docs would otherwise emit
-  *     5·10^11 pairs. Capping df bounds per-shingle work at maxDf²/2
-  *     while keeping every pair whose overlap includes at least one
-  *     sub-ubiquitous shingle (the standard exactness/cost trade).
+  *     5·10^11 pairs. The cap bounds per-bucket work at cap²/2 — and with
+  *     `capped_collect_list` the aggregation buffer itself is bounded at
+  *     `cap` elements, so a degenerate bucket cannot OOM the collecting
+  *     task either. Pairs whose every shared bucket is degenerate are the
+  *     only loss (the standard exactness/cost trade).
   */
 object TextDedup {
 
@@ -34,22 +49,48 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
 
-  /** One representative (min id) per distinct text. */
+  /** One representative (min id) per distinct text, grouped on the 16-byte
+    * content hash with the text carried as a value (`min` over a group of
+    * identical strings). Results are identical to grouping on the text
+    * itself up to md5 collisions — the same exposure as the reference's
+    * content-hash record identity. */
   def canonicalize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+    docs.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(textCol)).as(textCol), min(col(idCol)).as(idCol))
+      .select(col(textCol), col(idCol))
+
+  /** Within-bucket candidate pairs: group `rows` by `keys`, collect the
+    * `payload` structs, and explode all (x, y) ordered pairs per bucket.
+    * `maxBucket > 0` switches to `capped_collect_list`: buckets over the
+    * cap are dropped whole, with collection memory bounded at the cap.
+    * Callers order pairs with their own id predicate. */
+  private def bucketPairs(
+      rows: DataFrame, keys: Seq[Column], payload: Column, maxBucket: Int): DataFrame = {
+    val collected =
+      if (maxBucket > 0) capped_collect_list(payload, maxBucket)
+      else collect_list(payload)
+    rows.groupBy(keys: _*).agg(collected.as("ds"))
+      .filter(size(col("ds")) > 1)
+      // pair generation as two codegen'd explodes + an inequality filter —
+      // the equivalent nested-`transform` index lambda runs INTERPRETED
+      // (Spark higher-order functions have no codegen) and was ~40% of the
+      // query's time at 1M+ candidate pairs
+      .select(explode(col("ds")).as("x"), col("ds"))
+      .select(col("x"), explode(col("ds")).as("y"))
+  }
 
   /** Exact n-gram Jaccard similar pairs over canonicalized docs:
     * (doc_a, doc_b, n_inter, jaccard) for jaccard >= `threshold`.
     * `maxDf`: drop shingles appearing in more than this many documents
     * (0 = exact, no cap).
     *
-    * Each document's shingle count rides THROUGH the postings explode
-    * (`(doc_id, n)` structs in the posting lists), so |A| and |B| fall out
-    * of the pair aggregate itself — the corpus is scanned once and the
-    * only full-text exchange is the caller's canonicalization. Joining
-    * counts back in afterwards would re-derive this whole subplan twice
-    * (three scans + three text shuffles — a measured 43% regression, and
-    * a scale-killer at 100 TB). */
+    * Each document's shingle count rides THROUGH the posting rows (the
+    * `shingle_posts` generator emits (n, s) per distinct shingle), so |A|
+    * and |B| fall out of the pair aggregate itself — the corpus is scanned
+    * once and the only full-text exchange is the caller's
+    * canonicalization. A document emits each distinct shingle exactly once
+    * (the generator dedups), so plain `collect_list` postings carry no
+    * duplicates. */
   def jaccardPairs(
       canon: DataFrame,
       idCol: String,
@@ -57,22 +98,8 @@ object TextDedup {
       threshold: Double,
       portable: Boolean = false,
       maxDf: Int = 0): DataFrame = {
-    val docs = canon
-      .select(col(idCol).as("doc_id"),
-        ShingleHashes.shingle_hashes(col(textCol), portable).as("hs"))
-      .filter(col("hs").isNotNull)
-    val sh = docs.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
-    val posts0 = sh.groupBy("s")
-      .agg(collect_set(struct(col("doc_id"), col("n"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val posts = if (maxDf > 0) posts0.filter(size(col("ds")) <= maxDf) else posts0
-    // pair generation as two codegen'd explodes + an inequality filter —
-    // the equivalent nested-`transform` index lambda runs INTERPRETED
-    // (Spark higher-order functions have no codegen) and was ~40% of the
-    // query's time at 1M+ candidate pairs
-    posts
-      .select(explode(col("ds")).as("x"), col("ds"))
-      .select(col("x"), explode(col("ds")).as("y"))
+    val sh = canon.select(col(idCol).as("doc_id"), shingle_posts(col(textCol), portable))
+    bucketPairs(sh, Seq(col("s")), struct(col("doc_id"), col("n")), maxDf)
       .filter(col("y.doc_id") > col("x.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"), max(col("x.n")).as("na"), max(col("y.n")).as("nb"))
@@ -86,9 +113,9 @@ object TextDedup {
     * two corpora — (doc_id, bench_id, n_shared) for every corpus/benchmark
     * document pair sharing at least `minOverlap` n-gram shingles. The
     * bipartite inverted-index join: candidates only from shared shingles
-    * (never corpus × benchmark), map-side `shingle_hashes` signatures,
-    * one equi-join on the 64-bit shingle key. The benchmark side is
-    * typically tiny (an eval set) — Spark broadcasts it when it fits. */
+    * (never corpus × benchmark), one `shingle_posts` generator pass per
+    * document, one equi-join on the 64-bit shingle key. The benchmark side
+    * is typically tiny (an eval set) — Spark broadcasts it when it fits. */
   def crossOverlapPairs(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -97,10 +124,8 @@ object TextDedup {
       minOverlap: Int,
       portable: Boolean = false): DataFrame = {
     def postings(df: DataFrame, out: String) = df
-      .select(col(idCol).as(out),
-        ShingleHashes.shingle_hashes(col(textCol), portable).as("hs"))
-      .filter(col("hs").isNotNull)
-      .select(col(out), explode(col("hs")).as("s"))
+      .select(col(idCol).as(out), shingle_posts(col(textCol), portable))
+      .select(col(out), col("s"))
     postings(corpus, "doc_id").join(postings(benchmark, "bench_id"), "s")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -108,7 +133,10 @@ object TextDedup {
   }
 
   /** MinHash/LSH candidate pairs over canonicalized docs:
-    * (doc_a, doc_b, n_match, est_jaccard) for est >= `threshold`. */
+    * (doc_a, doc_b, n_match, est_jaccard) for est >= `threshold`.
+    * `maxBucket`: drop (band, bkey) buckets holding more than this many
+    * documents (0 = no cap) — the LSH analogue of `maxDf`; a pair is lost
+    * only if EVERY band it agrees on is degenerate. */
   def minhashPairs(
       canon: DataFrame,
       idCol: String,
@@ -116,26 +144,14 @@ object TextDedup {
       threshold: Double,
       k: Int = 32,
       bands: Int = 8,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rowsPerBand = k / bands
-    val sig = canon
-      .select(col(idCol).as("doc_id"),
-        MinHashSig.minhash_sig(col(textCol), k, portable).as("sig"))
-      .filter(col("sig").isNotNull)
-    // band keys as STATIC per-band expressions (band count is a knob, not
-    // data): a transform-over-sequence lambda would run interpreted per
-    // document — Spark higher-order functions have no codegen
-    val bandStructs = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*).as("bkey"))
-    }: _*)
-    val banded = sig.select(col("doc_id"), col("sig"), explode(bandStructs).as("x"))
-      .select(col("doc_id"), col("sig"), col("x.band").as("band"), col("x.bkey").as("bkey"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+    val banded = canon.select(col(idCol).as("doc_id"),
+      minhash_bands(col(textCol), k, bands, portable))
+    bucketPairs(banded, Seq(col("band"), col("bkey")),
+        struct(col("doc_id"), col("sig")), maxBucket)
+      .filter(col("y.doc_id") > col("x.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         // codegen'd signature-agreement count (zip_with/filter lambdas
         // would run interpreted per candidate pair)
@@ -149,28 +165,24 @@ object TextDedup {
   /** SimHash candidate pairs over canonicalized docs:
     * (doc_a, doc_b, hamming) for hamming <= `maxHamming`. Band count and
     * width follow the pigeonhole rule: maxHamming+1 bands guarantee two
-    * signatures within the distance share an exact band. */
+    * signatures within the distance share an exact band. `maxBucket` as in
+    * [[minhashPairs]] — here a dropped band bucket can break the
+    * pigeonhole guarantee for pairs confined to it, the documented recall
+    * trade of capping. */
   def simhashPairs(
       canon: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      maxBucket: Int = 0): DataFrame = {
     val bands = maxHamming + 1
     val width = 60 / bands
-    val mask = (1L << width) - 1
-    val sim = canon.select(col(idCol).as("doc_id"),
-      SimHash64.simhash_text(col(textCol), portable).as("simhash"))
-    // static per-band expressions — see the minhash banding note
-    val bandStructs = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bkey"))
-    }: _*)
-    val banded = sim.select(col("doc_id"), col("simhash"), explode(bandStructs).as("x"))
-      .select(col("doc_id"), col("simhash"), col("x.band").as("band"), col("x.bkey").as("bkey"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
+    val banded = canon.select(col(idCol).as("doc_id"),
+      simhash_bands(col(textCol), bands, width, portable))
+    bucketPairs(banded, Seq(col("band"), col("bkey")),
+        struct(col("doc_id"), col("simhash")), maxBucket)
+      .filter(col("y.doc_id") > col("x.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()

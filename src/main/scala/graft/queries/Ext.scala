@@ -95,11 +95,10 @@ object Ext {
   /** Exact-dup canonicalization: one representative (min doc_id) per
     * distinct text. Near-dup operators run over representatives — with d
     * exact copies of a document, pairwise candidate generation would
-    * otherwise inflate d²-fold. One hash-groupBy shuffle. */
+    * otherwise inflate d²-fold. One hash-groupBy shuffle, keyed on the
+    * 16-byte content hash (see TextDedup.canonicalize). */
   private def canonicalDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
+    graft.operators.TextDedup.canonicalize(t(s, dir, "documents"), "doc_id", "text")
 
   // ---- deduplication --------------------------------------------------
 
@@ -130,7 +129,10 @@ object Ext {
     "q_dedup_minhash" -> ((s, dir) => {
       ord(graft.operators.TextDedup.minhashPairs(
         canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
-        portable = !graft.Tables.benchMode))
+        portable = !graft.Tables.benchMode,
+        // bench/production mode load-tests the degenerate-bucket cap (the
+        // LSH analogue of maxDf); the oracle-checked path stays exact
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
     // SimHash: bit-vote signature packed into one BIGINT, oracle-checked
     // (60-bit md5-derived token hashes, same in both engines). Candidate
@@ -140,7 +142,8 @@ object Ext {
     "q_dedup_simhash" -> ((s, dir) => {
       ord(graft.operators.TextDedup.simhashPairs(
         canonicalDocs(s, dir), "doc_id", "text", maxHamming = 3,
-        portable = !graft.Tables.benchMode))
+        portable = !graft.Tables.benchMode,
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
     // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
     // q_dedup_embedding_lsh below is the scale path)
@@ -158,7 +161,8 @@ object Ext {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.cosinePairs(
-        e, threshold = 0.3, bucket = Some(lshBucket)))
+        e, threshold = 0.3, bucket = Some(lshBucket),
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
 
     // train/eval CONTAMINATION check: shingle overlap between the corpus

@@ -80,6 +80,49 @@ class PlanCheckSpec extends SparkSpec {
       s"queries with an unexpected serial exchange: $offending")
   }
 
+  test("LSH dedup queries scan the corpus exactly once (no self-join double-derivation)") {
+    // The round-3 banded SELF-joins derived the whole canonicalize+signature
+    // subplan twice (AQE broadcasts one side, so exchange reuse can never
+    // fire): 2x corpus scans + 2x full-text shuffles + 2x signature cost at
+    // scale. The bucket-collect form groups banded rows once — candidate
+    // pairs explode within each bucket, so a single scan suffices.
+    // Formatted-plan "Scan parquet" appears twice per physical scan (tree +
+    // node detail), hence the == 2.
+    for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+        "q_dedup_embedding_lsh")) {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert("Scan parquet".r.findAllIn(p).size == 2,
+        s"$q must scan its input exactly once:\n${p.take(1200)}")
+    }
+  }
+
+  test("no per-document signature expression leaks into a Filter condition") {
+    // Round-3 lesson, now guarded catalog-wide: join-inferred IsNotNull and
+    // InferFiltersFromGenerate push the full signature expression (the
+    // dominant per-doc cost) into per-raw-document Filter conditions, so
+    // each document pays it 2-4x. The band generators + cheap gates keep
+    // signatures out of every Condition; this asserts none regresses.
+    // (vec_dot appears legitimately in ONE condition shape: the cosine
+    // pair-threshold filter `round(vec_dot(x.v, y.v)/..) >= t`, which is
+    // the operator's own per-candidate scoring — evaluated once per pair,
+    // at the only point it can be. An `isnotnull(vec_dot(...))` would be
+    // the pathological inferred form, so that exact shape is banned.)
+    // word_scan is deliberately NOT banned: the quality gate's
+    // `reason === "ok"` filter IS that operator's selection — word_scan in
+    // its condition is the gate's own per-doc work (one Filter, CSE'd),
+    // not an optimizer-inferred duplicate.
+    val sig = "minhash_sig|simhash_text|simhash64|shingle_hashes|minhash_bands|simhash_bands|shingle_posts|rolling_hash".r
+    val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      val p = fn(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val bad = p.linesIterator.filter(l => l.contains("Condition :") &&
+        (sig.findFirstIn(l).isDefined || l.contains("isnotnull(vec_dot"))).toSeq
+      if (bad.nonEmpty) Some(n -> bad.head.take(160)) else None
+    }
+    assert(offending.isEmpty, s"signature expressions inside Filter conditions: $offending")
+  }
+
   test("whole-stage codegen covers the custom fingerprint expressions") {
     // AQE reports 0 codegen subtrees before execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -29,6 +29,22 @@ class SimilaritySpec extends SparkSpec {
     assert(a1.values.toSet.size <= 4 && a1.values.toSet.nonEmpty)
   }
 
+  test("cosinePairs maxBucket drops oversized sketch buckets, keeps healthy ones") {
+    // constant bucket expression = every vector in ONE bucket: with the cap
+    // below the corpus size the bucket is dropped whole (collection
+    // memory-bounded at the cap); without it, pairs flow. A second run
+    // buckets by vec_id parity so one bucket stays under the cap.
+    val pairsAll = Similarity.cosinePairs(vecs, threshold = -1.0,
+      bucket = Some(lit(0L)), maxBucket = 10)
+    assert(pairsAll.count() == 0, "over-cap bucket must be dropped whole")
+    val n = vecs.count()
+    val uncapped = Similarity.cosinePairs(vecs, threshold = -1.0, bucket = Some(lit(0L)))
+    assert(uncapped.count() == n * (n - 1) / 2, "uncapped single bucket pairs all")
+    val parity = Similarity.cosinePairs(vecs, threshold = -1.0,
+      bucket = Some(pmod(col("vec_id"), lit(2))), maxBucket = n.toInt)
+    assert(parity.count() > 0 && parity.count() < n * (n - 1) / 2)
+  }
+
   test("each Lloyd iteration does not increase within-cluster SSE") {
     val seeds = vecs.orderBy("vec_id").limit(4)
       .select(col("vec_id").as("cid"), col("v").as("cen"))

@@ -59,6 +59,49 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 100L, 1L)), s"got $pairs")
   }
 
+  test("maxBucket drops degenerate LSH buckets whole, with bounded collection") {
+    // a boilerplate-heavy corpus: 3000 distinct-id copies of one short text
+    // put 3000 docs into EVERY (band, bkey) bucket — uncapped that is
+    // ~4.5M candidate pairs per band; capped, the degenerate buckets are
+    // dropped in the aggregate itself (capped_collect_list keeps at most
+    // `cap` elements per bucket, so the collecting task is memory-bounded
+    // no matter how large the bucket) — while pairs living in healthy
+    // buckets survive untouched.
+    import spark.implicits._
+    val boiler = (1L to 3000L).map(i => (i, "the same boilerplate header text repeated"))
+    // identical healthy texts (distinct ids): identical signatures agree on
+    // every band deterministically — no LSH collision luck in the assert
+    val healthy = Seq(
+      (9001L, "a rare document about parquet file layouts and row groups"),
+      (9002L, "a rare document about parquet file layouts and row groups"))
+    val docs = (boiler ++ healthy).toDF("doc_id", "text")
+    val capped = TextDedup.minhashPairs(docs, "doc_id", "text", threshold = 0.2,
+        maxBucket = 100)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((9001L, 9002L)),
+      s"cap must drop only the degenerate bucket's pairs: ${capped.take(5)}")
+    // simhash: same contract through the shared bucket machinery
+    val simCapped = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+        maxBucket = 100)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(simCapped == Set((9001L, 9002L)), s"got ${simCapped.take(5)}")
+  }
+
+  test("capped_collect_list: exact under the cap, null over it, across merges") {
+    import graft.functions.CappedCollectList.capped_collect_list
+    import org.apache.spark.sql.functions._
+    // group 0: 50 rows (over cap 40 -> null); group 1: 30 rows (exact list);
+    // 8 input partitions force partial-buffer serialization and merges
+    val df = spark.range(0, 80, 1, 8)
+      .select((col("id") < 50).cast("int").as("g"),
+        when(col("id") < 50, lit(0L)).otherwise(lit(1L)).as("grp"), col("id"))
+    val out = df.groupBy("grp").agg(capped_collect_list(col("id"), 40).as("xs"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out(0L).isEmpty, "over-cap group must evaluate to null")
+    assert(out(1L).map(_.sorted) == Some((50L until 80L).toSeq),
+      "under-cap group must collect every row exactly once")
+  }
+
   test("minhash band/k parameters are validated") {
     assertThrows[IllegalArgumentException](
       TextDedup.minhashPairs(canon, "doc_id", "text", 0.2, k = 32, bands = 7))
