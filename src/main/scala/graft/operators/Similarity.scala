@@ -53,13 +53,20 @@ object Similarity {
     * Scale shape: each iteration is one broadcast of k centroids, one
     * corpus scan for assignment (k·dim multiply-adds per row) and one
     * (cid, dim)-keyed partial+final aggregate; nothing global. The loop
-    * builds one lazy plan (the corpus is re-scanned per iteration when it
-    * finally executes); at high iteration counts persist or checkpoint
-    * `cents` each round to cap lineage depth. */
-  def trainIvf(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    * builds one lazy plan, so at high iteration counts analysis time and
+    * failure-recovery cost grow linearly with the unbroken lineage —
+    * `persistEvery = n` materializes the k-row centroid frame every n
+    * iterations via an eager `localCheckpoint`, truncating the lineage at
+    * a cost of k tiny rows per cut. (localCheckpoint stores blocks on
+    * executors: fast, but recomputed work is lost if an executor dies
+    * mid-train — for long multi-hour trainings on a lossy cluster prefer
+    * a reliable `checkpoint` directory outside this helper.) Centroids
+    * are bit-identical with the knob on or off: the checkpoint stores the
+    * exact rows the deterministic pipeline computed. */
+  def trainIvf(vectors: DataFrame, k: Int, iters: Int, persistEvery: Int = 0): DataFrame = {
     var cents = vectors.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cen"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       cents = assignToCentroids(vectors, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("cid", "d")
@@ -67,6 +74,8 @@ object Similarity {
           count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(expr("transform(sort_array(collect_list(struct(d, m))), p -> p.m)").as("cen"))
+      if (persistEvery > 0 && i % persistEvery == 0 && i < iters)
+        cents = cents.localCheckpoint(true)
     }
     cents
   }

@@ -29,6 +29,25 @@ class SimilaritySpec extends SparkSpec {
     assert(a1.values.toSet.size <= 4 && a1.values.toSet.nonEmpty)
   }
 
+  test("trainIvf persistEvery truncates lineage without changing the centroids") {
+    // 10 Lloyd iterations: the checkpointed run must produce bit-identical
+    // centroids (the checkpoint stores exactly what the deterministic
+    // pipeline computed) on a far shallower plan.
+    def centroids(persistEvery: Int): Map[Long, Seq[Double]] =
+      Similarity.trainIvf(vecs, k = 4, iters = 10, persistEvery = persistEvery)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val plain = centroids(0)
+    val cut = centroids(3)
+    assert(cut == plain, "checkpointing must not perturb a single bit")
+    // the lineage actually got cut: the final plan no longer reaches the
+    // parquet relation count of the unbroken 10-iteration chain
+    def scanCount(persistEvery: Int): Int =
+      "LogicalRDD|Relation".r.findAllIn(
+        Similarity.trainIvf(vecs, k = 4, iters = 10, persistEvery = persistEvery)
+          .queryExecution.optimizedPlan.toString).size
+    assert(scanCount(3) < scanCount(0), "persistEvery must shorten the plan")
+  }
+
   test("cosinePairs maxBucket drops oversized sketch buckets, keeps healthy ones") {
     // constant bucket expression = every vector in ONE bucket: with the cap
     // below the corpus size the bucket is dropped whole (collection
