@@ -67,7 +67,14 @@ object Annotators {
     * (U+1680, U+2000–U+200A, U+2028/29, ...) that TokenPattern and the
     * RE2-based oracle treat as SYM-token characters; using it here dropped
     * those chars and broke exact Spark↔oracle token parity. Mirrors
-    * `WordScan.isWsByte`. */
+    * `WordScan.isWsByte`.
+    *
+    * KNOWN DIVERGENCE — U+000B: Java `\s` includes vertical tab; RE2's
+    * (DuckDB's) `\s` is `[\t\n\f\r ]` without it. The engine follows the
+    * Java-heritage reference semantics; a corpus containing 0x0B would
+    * tokenize differently from a RE2 oracle. AnnotatorsSpec asserts the
+    * fixture corpus is VT-free, which is what makes the oracle parity
+    * claim sound. */
   @inline private def isRegexWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 

@@ -71,6 +71,11 @@ object Multimodal {
     bin.mapPartitions { batch =>
       batch.map { case (id, payload) =>
         val m = decoder(payload)
+        // the decoder seam invites external implementations: fail with a
+        // usable message instead of an ArithmeticException inside the task
+        // when one reports degenerate 0x0 metadata
+        require(m.width > 0 && m.height > 0,
+          s"decoder returned non-positive dimensions ${m.width}x${m.height} for doc $id")
         val mx = math.max(m.width, m.height)
         (id, m.width, m.height,
           (m.width.toLong * box / mx).toInt.max(1),

@@ -39,7 +39,11 @@ import org.apache.spark.sql.functions._
   * a total order for row_number/ntile (unique tiebreaker — the determinism
   * contract already requires this of every query using global order);
   * rank/dense_rank are exact for ANY keys. The first order key must be
-  * numeric (castable to double, non-null).
+  * numeric (castable to double, non-null) and ASCENDING: the quantile
+  * buckets are assigned via `key <= bound`, so a descending sort key
+  * would silently produce wrong global values — every public method
+  * rejects `Column.desc`-style keys up front (order by the negated /
+  * inverted key instead).
   *
   * Working columns use a `__`-prefixed base name, suffixed with a counter
   * if the input already has a column of that name — user columns are never
@@ -66,6 +70,20 @@ object ScalableWindows {
     if (!taken.contains(base)) base
     else Iterator.from(1).map(base + _).find(!taken.contains(_)).get
   }
+
+  /** Reject `Column.desc`-style keys: bucketExpr assigns ASCENDING
+    * quantile buckets (`key <= bound`), so a descending first key would
+    * silently compute wrong global values in the distributed path. The
+    * serial fast path could handle them, but a result that flips from
+    * right to wrong when the input crosses the size threshold is worse
+    * than an up-front error — callers order by the negated key instead. */
+  private def requireAscending(order: Seq[Column]): Unit =
+    order.foreach { c =>
+      if (org.apache.spark.sql.GraftColumnBridge.isDescending(c))
+        throw new IllegalArgumentException(
+          s"descending order key unsupported ($c): ScalableWindows buckets " +
+            "ascend; order by the negated/inverted key instead")
+    }
 
   /** Deterministic quantile bucket expression over the first order key:
     * rows with key <= bound(i) fall in bucket i (first-match when-chain);
@@ -133,6 +151,7 @@ object ScalableWindows {
       order: Seq[Column],
       out: String,
       partitions: Int = 0): DataFrame = {
+    requireAscending(order)
     if (partitions <= 0 && smallEnoughForSerial(df))
       return df.withColumn(out, row_number().over(Window.orderBy(order: _*)))
     val (bkt, lrn, off, tot) =
@@ -151,6 +170,7 @@ object ScalableWindows {
       order: Seq[Column],
       out: String,
       partitions: Int = 0): DataFrame = {
+    requireAscending(order)
     if (partitions <= 0 && smallEnoughForSerial(df))
       return df.withColumn(out, rank().over(Window.orderBy(order: _*)))
     val (bkt, lrk, off, tot) =
@@ -172,6 +192,7 @@ object ScalableWindows {
       rankOut: String,
       denseOut: String,
       partitions: Int = 0): DataFrame = {
+    requireAscending(order)
     if (partitions <= 0 && smallEnoughForSerial(df)) {
       val w = Window.orderBy(order: _*)
       return df.withColumn(rankOut, rank().over(w))
@@ -213,6 +234,7 @@ object ScalableWindows {
       pctOut: String,
       cumeOut: String,
       partitions: Int = 0): DataFrame = {
+    requireAscending(order)
     if (partitions <= 0 && smallEnoughForSerial(df)) {
       val w = Window.orderBy(order: _*)
       return df.withColumn(pctOut, percent_rank().over(w))
@@ -251,6 +273,7 @@ object ScalableWindows {
       order: Seq[Column],
       out: String,
       partitions: Int = 0): DataFrame = {
+    requireAscending(order)
     if (partitions <= 0 && smallEnoughForSerial(df))
       return df.withColumn(out, dense_rank().over(Window.orderBy(order: _*)))
     val (bkt, ldr, off, tot) =
@@ -276,6 +299,7 @@ object ScalableWindows {
       order: Seq[Column],
       out: String,
       partitions: Int = 0): DataFrame = {
+    requireAscending(order)
     if (partitions <= 0 && smallEnoughForSerial(df))
       return df.withColumn(out, ntile(buckets).over(Window.orderBy(order: _*)))
     val (bkt, lrn, off, tot) =

@@ -76,10 +76,23 @@ object Sources {
   /** Compact a record store to ~`targetBytes` files. Long-lived archives
     * accumulate small files (every micro-batch / upsert writes its own):
     * at cluster scale the store's READ cost becomes dominated by file-open
-    * overhead and driver file-listing, not bytes. Rewrites the store with
-    * `ceil(bytes / targetBytes)` output files via write-then-swap (the
-    * previous store is rotated, never overwritten in place). Returns the
-    * new file count. */
+    * overhead and driver file-listing, not bytes.
+    *
+    * The rewrite goes through [[swapInPlace]] with the store's standard
+    * `_tmp`/`_bak` companions, so a crash at ANY point leaves a complete
+    * copy that [[recoverSwap]] (run here on entry, and by the streaming
+    * sinks before every batch) restores — an earlier rotate-then-rename
+    * version had a window where the only full copy sat in a
+    * `_compact_tmp` dir no recovery path knew about, and the next batch's
+    * record probe would re-seed an empty store.
+    *
+    * A store laid out in `id_prefix=<hex>` cells (the incremental
+    * streaming sink's format) is rewritten IN that layout —
+    * `repartitionByRange` over (cell, identifier) respects the file-size
+    * target across cells while each output task straddles at most two
+    * cell directories; a flat rewrite would leave flat files that the
+    * next incremental batch's partition dirs then sit beside, breaking
+    * partition discovery. Returns the new data-file count. */
   def compactRecords(
       spark: SparkSession,
       path: String,
@@ -87,15 +100,25 @@ object Sources {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "_bak")
+    recoverSwap(fs, p, tmp, bak)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val compacted = readRecords(spark, path).repartition(nFiles)
-    val tmp = path + "_compact_tmp"
-    writeRecords(compacted, tmp)
-    rotateOldOutput(spark, path)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compaction swap failed: rename($tmp, $path)")
-    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val celled = fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("id_prefix="))
+    val compacted = readRecords(spark, path)
+    swapInPlace(fs, p, tmp, bak) { t =>
+      if (celled)
+        compacted.withColumn("id_prefix", substring(col("identifier"), 1, 1))
+          .repartitionByRange(nFiles, col("id_prefix"), col("identifier"))
+          .write.partitionBy("id_prefix").mode(SaveMode.Overwrite).parquet(t)
+      else writeRecords(compacted.repartition(nFiles), t)
+    }
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
   /** D15: archive lookup — incoming documents keep the stored (annotated)
@@ -124,13 +147,29 @@ object Sources {
 
   /** D14: archive upsert — a record replaces its stored version iff it
     * carries MORE views (`CuratorClient.informDatabaseOfUpdatedRecords`,
-    * 581-651). Full outer join on identifier; the richer side wins. */
+    * 581-651). Full outer join on identifier; the richer side wins.
+    *
+    * Updates may carry the same identifier more than once (a micro-batch
+    * that saw a document twice): they are reduced to the richest version
+    * per id FIRST — richer-wins is then associative over any batch
+    * split, which is what makes the streaming sinks' sequential folds
+    * equal a one-shot merge (StreamingSpec's split-invariance property).
+    * Equal-richness duplicates tie-break on the sorted view-name list —
+    * deterministic, and immaterial when they are the same annotation
+    * depth of the same content (the only way ties arise from the
+    * deterministic annotators). */
   def upsert(store: Dataset[Record], updates: Dataset[Record]): Dataset[Record] = {
     val spark = store.sparkSession
     import spark.implicits._
+    val reduced = updates.groupByKey(_.identifier).reduceGroups { (a, b) =>
+      val (na, nb) = (a.viewNames.size, b.viewNames.size)
+      if (na != nb) { if (na > nb) a else b }
+      else if (a.viewNames.toSeq.sorted.mkString(",") <=
+        b.viewNames.toSeq.sorted.mkString(",")) a else b
+    }.map(_._2)
     def keyed(ds: Dataset[Record], name: String) =
       ds.map(r => (r.identifier, r.viewNames.size, r)).toDF("id", s"${name}_n", name)
-    keyed(store, "stored").join(keyed(updates, "fresh"), Seq("id"), "full")
+    keyed(store, "stored").join(keyed(reduced, "fresh"), Seq("id"), "full")
       .select(when(col("fresh_n").isNotNull &&
           (col("stored_n").isNull || col("fresh_n") > col("stored_n")), col("fresh"))
         .otherwise(col("stored")).as("r"))

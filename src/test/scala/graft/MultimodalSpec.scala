@@ -29,6 +29,16 @@ class MultimodalSpec extends SparkSpec {
     assert((r.getInt(3), r.getInt(4)) == (224, 168))
   }
 
+  test("resize rejects a decoder reporting degenerate 0x0 dimensions with a usable error") {
+    val broken: Multimodal.Decoder = p => Multimodal.MediaMeta(p.length, 0, 0, "x")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resize(payloads, box = 224, decoder = broken).collect()
+    }
+    assert(e.getMessage.contains("non-positive dimensions") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive dimensions")),
+      s"expected the decoder-contract message, got: ${e.getMessage}")
+  }
+
   test("an injected featurizer flows through the feature batch") {
     val f: Multimodal.Featurizer = p => Array(p.length.toLong, 7L)
     val rows = Multimodal.features(payloads, f).collect()

@@ -7,6 +7,18 @@ class QueriesContractSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("fixture corpus is vertical-tab-free (the one Java-\\s vs RE2-\\s divergence)") {
+    // Java \s includes U+000B; RE2's (the DuckDB oracle's) does not. The
+    // engine follows Java semantics (the reference's — Annotators.isRegexWs,
+    // WordScan.isWsByte, the split("\\s+") signature family), so oracle
+    // parity is sound only while the corpus has no vertical tabs — asserted
+    // here for the correctness-gate SF.
+    import org.apache.spark.sql.functions.col
+    val vt = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(col("text").contains("\u000B")).count()
+    assert(vt == 0, s"$vt fixture docs contain U+000B; token parity claim breaks")
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracles without queries: $dangling")

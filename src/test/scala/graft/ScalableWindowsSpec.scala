@@ -12,6 +12,22 @@ class ScalableWindowsSpec extends SparkSpec {
 
   private def orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 
+  test("descending order keys are rejected up front (buckets ascend)") {
+    import org.apache.spark.sql.functions.col
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ScalableWindows.withGlobalRank(
+        orders, Seq(col("o_totalprice").desc), "rk", partitions = 4)
+    }
+    assert(e.getMessage.contains("descending"), e.getMessage)
+    // the serial fast path rejects identically: correctness must not
+    // depend on which side of the size threshold the input lands
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.ScalableWindows.withGlobalRowNumber(
+        orders.limit(5), Seq(col("o_totalprice").desc), "rn")
+    }
+    assert(e2.getMessage.contains("descending"))
+  }
+
   test("global row_number matches the serial window exactly") {
     val serial = orders.withColumn("rn",
       row_number().over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))

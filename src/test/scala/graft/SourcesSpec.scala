@@ -80,7 +80,42 @@ class SourcesSpec extends SparkSpec {
     val back = Sources.readRecords(spark, dir).collect()
     assert(back.map(_.identifier).sorted.toSeq == recs.map(_.identifier).sorted,
       "compaction must preserve exactly the store's records")
-    // the pre-compaction store was rotated aside, not destroyed
-    assert(new java.io.File(new java.io.File(dir).getParent, "old_jobs").exists)
+    // clean swap: no recovery companions or stray copies left behind
+    assert(!new java.io.File(dir + "_tmp").exists && !new java.io.File(dir + "_bak").exists)
+  }
+
+  test("compaction preserves the id_prefix cell layout of incremental stores") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-cell").toString + "/store"
+    val recs = (1 to 60).map(i => Record.fresh(s"celled doc $i"))
+    Sources.writeRecords(spark.createDataset(recs).repartition(10), dir,
+      idPrefixPartitions = true)
+    def cells = new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("id_prefix="))
+    val cellsBefore = cells.map(_.getName).sorted
+    assert(cellsBefore.nonEmpty, "fixture must be cell-partitioned")
+    Sources.compactRecords(spark, dir, targetBytes = 1L << 30)
+    assert(cells.map(_.getName).sorted == cellsBefore,
+      "compaction must rewrite INTO the cell layout, not flatten it")
+    assert(!new java.io.File(dir).listFiles.exists(f =>
+        f.isFile && f.getName.endsWith(".parquet")),
+      "no flat data files may sit beside the cell dirs")
+    val back = Sources.readRecords(spark, dir).collect().map(_.identifier).sorted
+    assert(back.toSeq == recs.map(_.identifier).sorted)
+  }
+
+  test("compaction heals a crashed swap before rewriting") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact-crash").toString + "/store"
+    val recs = (1 to 20).map(i => Record.fresh(s"crashy doc $i"))
+    Sources.writeRecords(spark.createDataset(recs).repartition(5), dir)
+    // simulate a crash inside a previous swap: the live store was moved
+    // aside to _bak and the process died before promoting _tmp
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + "_bak")))
+    val after = Sources.compactRecords(spark, dir)
+    assert(after >= 1)
+    val back = Sources.readRecords(spark, dir).collect().map(_.identifier).sorted
+    assert(back.toSeq == recs.map(_.identifier).sorted,
+      "recoverSwap must restore the full store before compaction touches it")
   }
 }

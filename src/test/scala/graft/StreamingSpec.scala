@@ -213,6 +213,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental sink is split-invariant: any micro-batching equals the one-shot merge") {
+    // Property (seeded): a random update stream — random docs at random
+    // annotation depths, with repeats both across and WITHIN batches —
+    // pushed through the incremental sink under a random batch split must
+    // leave exactly the store a single Sources.upsert of the whole stream
+    // would, and each batch may rewrite only the id-prefix cells its
+    // records hash into. Annotation depth is the richness ladder
+    // (fresh < TOKEN < POS), so richer-wins has deterministic,
+    // depth-identical ties and the fold is associative over any split.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{AnnotationMode => M, Annotators => A}
+    import graft.plans.Planner
+    def rec(t: String, d: Int): graft.model.Record = d match {
+      case 0 => graft.model.Record.fresh(t)
+      case 1 => Planner.provide(A.registry, Planner.chain(M.TOKEN), force = false)(
+        graft.model.Record.fresh(t))
+      case _ => Planner.provide(A.registry, Planner.chain(M.POS), force = false)(
+        graft.model.Record.fresh(t))
+    }
+    for (seed <- Seq(11, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val texts = (1 to 10).map(i => s"property doc $i with several words of text")
+      val updates = Seq.fill(24)((texts(rnd.nextInt(texts.size)), rnd.nextInt(3)))
+      // random split preserving order: 3-6 non-empty batches
+      val cuts = rnd.shuffle((1 until updates.size).toList)
+        .take(2 + rnd.nextInt(4)).sorted
+      val batches = (List(0) ++ cuts ++ List(updates.size)).sliding(2).map {
+        case List(a, b) => updates.slice(a, b)
+      }.toList
+      val base = java.nio.file.Files.createTempDirectory(s"graft_prop_$seed").toString
+      val store = base + "/store"; val ckpt = base + "/ckpt"
+      val ms = MemoryStream[(String, Int)]
+      val q = graft.streaming.Streams.recordUpsertSinkIncremental(
+        ms.toDS().map { case (t, d) => rec(t, d) }, store, ckpt).start()
+      def cellState: Map[String, Set[String]] = {
+        val f = new java.io.File(store)
+        if (!f.exists) Map.empty
+        else f.listFiles.filter(_.getName.startsWith("id_prefix="))
+          .map(d => d.getName -> d.listFiles.map(f => f.getName + f.lastModified).toSet)
+          .toMap
+      }
+      try {
+        for (b <- batches) {
+          val before = cellState
+          ms.addData(b: _*)
+          q.processAllAvailable()
+          val after = cellState
+          val touched = b.map { case (t, d) => rec(t, d).identifier.substring(0, 1) }
+            .map("id_prefix=" + _).toSet
+          val changed = (before.keySet ++ after.keySet)
+            .filter(k => before.get(k) != after.get(k))
+          assert(changed == touched,
+            s"seed $seed: batch touching $touched rewrote $changed")
+        }
+      } finally q.stop()
+      val got = graft.sources.Sources.readRecords(spark, store).collect()
+        .map(r => r.identifier -> (r.rawText, r.viewNames.toSeq.sorted)).toMap
+      val oneShot = graft.sources.Sources.upsert(
+          spark.emptyDataset[graft.model.Record],
+          spark.createDataset(updates.map { case (t, d) => rec(t, d) }))
+        .collect().map(r => r.identifier -> (r.rawText, r.viewNames.toSeq.sorted)).toMap
+      assert(got == oneShot,
+        s"seed $seed: ${batches.size}-way split diverged from the one-shot merge")
+    }
+  }
+
   test("record-store swap recovers when a crash left the store missing") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
