@@ -36,6 +36,7 @@ object Bench {
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_contamination",
+    "q_prep_pipeline",
     "q_dedup_embedding_lsh",
     "q_knn_bruteforce",
     "q_ivf_train",

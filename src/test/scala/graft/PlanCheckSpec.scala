@@ -123,6 +123,21 @@ class PlanCheckSpec extends SparkSpec {
     assert(offending.isEmpty, s"signature expressions inside Filter conditions: $offending")
   }
 
+  test("contamination benchmark side broadcasts, even 10x-duplicated (bench mode)") {
+    // the eval-set side of the bipartite contamination join must stay the
+    // broadcast side as it grows — benchMode's 10x-duplicated slice is the
+    // load test; a SortMergeJoin here would mean the corpus side reshuffles
+    // on the shingle key against a side that fits in memory
+    System.setProperty("graft.bench.noSort", "true")
+    try {
+      val p = SparkEntry.queries("q_contamination")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"benchmark postings must broadcast:\n${p.take(900)}")
+      assert(!p.contains("SortMergeJoin"), "contamination join fell to sort-merge")
+    } finally System.clearProperty("graft.bench.noSort")
+  }
+
   test("whole-stage codegen covers the custom fingerprint expressions") {
     // AQE reports 0 codegen subtrees before execution — inspect the static plan
     spark.conf.set("spark.sql.adaptive.enabled", "false")
