@@ -42,6 +42,9 @@ object Bench {
     "q_ivf_train",
     "q_text_quality",
     "q_lang_id",
+    "q_repetition",
+    "q_pack_sequences",
+    "q_tfidf",
     "q_fingerprint",
     "q_mm_decode")
 

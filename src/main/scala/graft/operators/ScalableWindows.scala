@@ -181,6 +181,40 @@ object ScalableWindows {
       .drop(bkt, lrk, off, tot)
   }
 
+  /** Global running sum of `value` over `order` keys (ROWS unbounded
+    * preceding .. current row), via the same quantile-bucket + broadcast-
+    * offsets machinery: per-bucket running sums plus the cumulative total
+    * of prior buckets. The prefix-sum primitive behind sequence packing
+    * (cumulative token counts -> context-window bins) and any
+    * "concatenate in order, split at a budget" layout.
+    *
+    * Exact for integral/decimal `value` types (addition is associative);
+    * for floating point the two-level summation order differs from the
+    * serial window's left-to-right fold — route doubles through DECIMAL
+    * first, as the determinism contract already requires of oracle
+    * queries. The `order` keys must be a TOTAL order (like row_number: a
+    * ROWS frame over tied keys sums them in arbitrary order, so per-row
+    * prefix values within a tie group are not deterministic). Null values
+    * count as zero (SUM skips them), identically in both paths. */
+  def withGlobalRunningSum(
+      df: DataFrame,
+      value: Column,
+      order: Seq[Column],
+      out: String,
+      partitions: Int = 0): DataFrame = {
+    requireAscending(order)
+    if (partitions <= 0 && smallEnoughForSerial(df))
+      return df.withColumn(out, sum(value).over(Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val (bkt, lcs, off, tot) =
+      (fresh(df, "__bkt"), fresh(df, "__lcs"), fresh(df, "__off"), fresh(df, "__tot"))
+    distributed(df, order, partitions,
+        w => sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        sum(value), bkt, lcs, off, tot)
+      .withColumn(out, col(off) + col(lcs))
+      .drop(bkt, lcs, off, tot)
+  }
+
   /** Global rank AND dense_rank in ONE pass: a single quantile probe, a
     * single per-bucket Window node (both functions share the window spec)
     * and one offsets frame carrying both row-count and distinct-tuple

@@ -351,6 +351,63 @@ object Ext {
       ord(bi.groupBy("bigram").agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("bigram")).limit(100))
     }),
+    // intra-document repetition: top-bigram fraction (the Gopher-style
+    // "page dominated by one repeated phrase" gate). A pure per-document
+    // statistic, so it is ONE codegen'd rep_scan expression per doc —
+    // zero shuffles; the relational explode→count→re-aggregate form would
+    // move every (doc, bigram) pair through two corpus-wide exchanges
+    // (the oracle keeps that form and must agree exactly).
+    "q_repetition" -> ((s, dir) => {
+      val r = graft.functions.RepScan.rep_scan(col("text"))
+      ord(t(s, dir, "documents")
+        .select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r").getItem(0).as("n_bigrams"),
+          col("r").getItem(1).as("max_tf"),
+          when(col("r").getItem(0) > 0,
+            round(col("r").getItem(1) / col("r").getItem(0).cast("double"), 6))
+            .as("rep_ratio")))
+    }),
+    // sequence packing: concatenate documents in a deterministic order and
+    // split at a context-length budget — the layout step between data prep
+    // and tokenization. pack_id = (token start offset) div budget over the
+    // GLOBAL running token sum, computed by ScalableWindows' prefix-sum
+    // (quantile buckets + broadcast offsets; partitions forces the
+    // distributed path — no serial exchange over the corpus).
+    "q_pack_sequences" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= lit(""))).as("n"))
+      val cum = graft.operators.ScalableWindows.withGlobalRunningSum(
+        toks, col("n").cast("bigint"), Seq(col("doc_id")), "cum", partitions = 8)
+      ord(cum
+        .withColumn("pack_id", expr("(cum - n) div 2048"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc")))
+    }),
+    // per-document top-3 TF-IDF terms (stopword induction / keyword
+    // extraction over the corpus). Single lineage: tf per (doc, term),
+    // document frequency as a count over the term partition of that SAME
+    // frame (a second derivation joined back would scan the corpus twice —
+    // the LSH lesson), idf in exact micro-units (round(ln·1e6) as BIGINT)
+    // so ranking and hashing never touch cross-engine double ULPs.
+    "q_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+      val scored = withDf.crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+        .withColumn("tfidf_micro", col("tf") *
+          round(log(col("nd").cast("double") / col("df")) * 1e6, 0).cast("bigint"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf_micro").desc, col("w"))
+      ord(scored.withColumn("rk", row_number().over(byDoc))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("w"), col("tfidf_micro"), col("rk")))
+    }),
     // document fingerprinting: custom codegen'd Catalyst expressions
     // (rolling polynomial hash + winnowing-style min-window hash)
     "q_fingerprint" -> ((s, dir) => {
@@ -640,6 +697,55 @@ object Ext {
         |  GROUP BY bigram
         |  ORDER BY tf DESC, bigram LIMIT 100)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_repetition" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+        |  FROM ws, unnest(range(1, len(w))) AS u(i)),
+        |cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_bigrams,
+        |               CAST(max(c) AS INT) AS max_tf
+        |        FROM cnt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.max_tf, 0) AS max_tf,
+        |  CASE WHEN a.n_bigrams > 0
+        |       THEN round(a.max_tf / CAST(a.n_bigrams AS DOUBLE), 6) END AS rep_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, sum(n) OVER (
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT CAST((cum - n) // 2048 AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE w != ''),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+        |wdf AS (SELECT doc_id, w, tf, COUNT(*) OVER (PARTITION BY w) AS df FROM tf),
+        |s AS (SELECT doc_id, w, CAST(tf AS BIGINT) *
+        |        CAST(round(ln((SELECT COUNT(*) FROM documents) / CAST(df AS DOUBLE)) * 1e6)
+        |             AS BIGINT) AS tfidf_micro
+        |      FROM wdf),
+        |r AS (SELECT doc_id, w, tfidf_micro,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf_micro DESC, w) AS rk
+        |      FROM s)
+        |SELECT doc_id, w, tfidf_micro, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_ws_tokens,

@@ -51,6 +51,24 @@ class ScalableWindowsSpec extends SparkSpec {
     }
   }
 
+  test("global running sum matches the serial window exactly (forced distributed)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val serial = orders.withColumn("cum",
+      sum(col("o_totalprice").cast("decimal(18,4)")).over(
+        Window.orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("o_orderkey", "cum").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val dist = graft.operators.ScalableWindows.withGlobalRunningSum(
+        orders, col("o_totalprice").cast("decimal(18,4)"),
+        Seq(col("o_orderkey")), "cum", partitions = 8)
+      .select("o_orderkey", "cum").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(dist.size == serial.size)
+    assert(dist == serial, "decimal prefix sums must agree bit-for-bit")
+  }
+
   test("global rank and dense_rank match the serial window on heavy ties") {
     // l_quantity has ~50 distinct values over the whole table — every rank
     // is a tie group, and tie groups straddle quantile boundaries unless
