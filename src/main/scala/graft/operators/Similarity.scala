@@ -80,6 +80,40 @@ object Similarity {
     cents
   }
 
+  /** Trained-IVF ANN with multi-cell probing: top-k cosine neighbors per
+    * query, searching the `nprobe` cells whose centroids are nearest each
+    * query — the standard IVF recall knob (nprobe = 1 is [[knn]] with the
+    * assignment column as bucket; nprobe = number of cells is exact).
+    *
+    * Scale shape: the probe list (queries × their nprobe nearest cells,
+    * tiny) broadcasts; the assigned corpus is scanned ONCE and each row
+    * compares only against queries probing its cell — candidate volume is
+    * nprobe/cells of the corpus per query. Probe selection itself is a
+    * query-set × k-centroid cross join (both broadcast-size). Ties in
+    * centroid distance break by cid, in cosine by vec_id — deterministic
+    * end to end, so the DuckDB oracle replays it exactly. */
+  def knnIvfProbed(
+      assigned: DataFrame,
+      cents: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val n = assigned.withColumn("nrm", vec_norm(col("v")))
+    val q = n.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
+    val probes = broadcast(q.crossJoin(broadcast(cents))
+      .withColumn("dist", graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("cen")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid").as("qb")))
+    val scored = n.join(probes, col("cid") === col("qb") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+  }
+
   /** Nearest-centroid assignment: (vec_id, v, cid). Centroids broadcast;
     * distance is the codegen'd in-order squared-diff fold `vec_sqdiff`
     * (matches the oracle's list comprehension exactly); ties broken by

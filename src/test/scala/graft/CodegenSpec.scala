@@ -75,6 +75,55 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("rep_scan and the band generators compile under strict codegen") {
+    withStrictCodegen {
+      import spark.implicits._
+      import graft.functions.RepScan.rep_scan
+      val r = Seq("a b a b a b", "x", "")
+        .toDF("text").select(rep_scan(col("text")).as("r"))
+        .collect().map(_.getSeq[Int](0))
+      // "a b a b a b": bigrams a·b ×3, b·a ×2 -> n=5, max=3
+      assert(r(0) == Seq(5, 3) && r(1) == Seq(0, 0) && r(2) == Seq(0, 0), r.toSeq)
+
+      import graft.functions.BandGenerators.{minhash_bands, shingle_posts, simhash_bands}
+      val mb = Seq("one two three four", "ab")
+        .toDF("text").select(col("text"), minhash_bands(col("text"), 8, 4, true))
+        .collect()
+      // 4 band rows for the real doc, zero for the under-3-token doc
+      assert(mb.length == 4 && mb.forall(_.getString(0) == "one two three four"))
+      val sp = Seq("one two three four").toDF("text")
+        .select(shingle_posts(col("text"), true)).collect()
+      assert(sp.length == 2 && sp.forall(_.getInt(0) == 2), "2 shingles, each carrying n=2")
+      val sb = Seq("x y z").toDF("text")
+        .select(simhash_bands(col("text"), 4, 15, true)).collect()
+      assert(sb.length == 4 && sb.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    }
+  }
+
+  test("capped_collect_list survives the sort-based aggregation fallback") {
+    // ObjectHashAggregate falls back to sort-based aggregation beyond the
+    // in-memory key budget — force it with a threshold of 1 so every group
+    // takes the serialize -> sort -> merge path (the path a degenerate
+    // 100-TB bucket would take), and assert cap semantics are unchanged.
+    import graft.functions.CappedCollectList.capped_collect_list
+    val prev = spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
+    try {
+      val out = spark.range(0, 90, 1, 8)
+        .select((col("id") % 3).as("g"), col("id"))
+        .groupBy("g").agg(capped_collect_list(col("id"), 25).as("xs"))
+        .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+      // every group has 30 > 25 rows -> all null, even across serialized merges
+      assert(out.values.forall(_.isEmpty), s"over-cap groups must be null: $out")
+      val ok = spark.range(0, 60, 1, 8)
+        .select((col("id") % 3).as("g"), col("id"))
+        .groupBy("g").agg(capped_collect_list(col("id"), 25).as("xs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+      assert(ok.forall { case (g, xs) => xs == (g until 60L by 3).toSeq },
+        s"under-cap groups must collect exactly once each: $ok")
+    } finally spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", prev)
+  }
+
   test("min_window_hash static forwarder exists (codegen callable from Java)") {
     // The generated code calls graft.functions.MinWindowHash.evalBytes(byte[], int)
     // as a static method; verify the forwarder is present on the class.

@@ -48,6 +48,25 @@ class SimilaritySpec extends SparkSpec {
     assert(scanCount(3) < scanCount(0), "persistEvery must shorten the plan")
   }
 
+  test("IVF probing: nprobe=all cells equals brute force; recall grows with nprobe") {
+    import org.apache.spark.sql.functions.col
+    val cents = Similarity.trainIvf(vecs, k = 4, iters = 2)
+    val assigned = Similarity.assignToCentroids(vecs, cents)
+    def res(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Long] =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val exact = res(Similarity.knn(vecs, col("vec_id") < 5, k = 3))
+    val full = res(Similarity.knnIvfProbed(assigned, cents, col("vec_id") < 5, k = 3, nprobe = 4))
+    assert(full == exact, "probing every cell must reproduce the exact top-k")
+    // recall against exact neighbors is monotone in nprobe
+    def recall(np: Int): Double = {
+      val got = res(Similarity.knnIvfProbed(assigned, cents, col("vec_id") < 5, k = 3, nprobe = np))
+        .toSet
+      exact.toSet.intersect(got).size.toDouble / exact.size
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r1 <= r2 + 1e-9 && r2 <= 1.0 + 1e-9, s"recall must grow: $r1 -> $r2")
+  }
+
   test("cosinePairs maxBucket drops oversized sketch buckets, keeps healthy ones") {
     // constant bucket expression = every vector in ONE bucket: with the cap
     // below the corpus size the bucket is dropped whole (collection
