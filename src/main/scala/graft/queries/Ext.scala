@@ -71,25 +71,17 @@ object Ext {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Quality-gate reasons per document (one single-pass `word_scan`
-    * expression; shared by `q_quality_filter` and `q_prep_pipeline`):
-    * first failing rule wins, "ok" passes. */
+  /** Quality-gate reasons per document (shared by `q_quality_filter` and
+    * `q_prep_pipeline`): first failing rule wins, "ok" passes. ONE
+    * single-pass `quality_gate` expression — the former CASE-chain column
+    * form re-ran `word_scan` per WHEN branch once q_prep_pipeline's
+    * filter absorbed it (FilterExec codegen has no cross-predicate
+    * subexpression elimination: ~4 scans per passing doc). The oracle
+    * keeps the regexp-based CASE formulation and must agree exactly. */
   private def qualityReasons(s: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
-    val scan = graft.functions.WordScan.word_scan(col("text"), stop, 2)
-    val base = t(s, dir, "documents")
-      .select(col("doc_id"), length(col("text")).as("n_chars"), scan.as("sc"))
-      .select(col("doc_id"),
-        col("sc").getItem(3).as("n_tokens"),
-        ((col("n_chars") - col("sc").getItem(4)) / col("n_chars").cast("double")).as("alpha"),
-        (col("sc").getItem(0) / col("sc").getItem(3).cast("double")).as("stopr"),
-        (col("sc").getItem(1) / col("sc").getItem(3).cast("double")).as("shortr"))
-    val reason = when(col("n_tokens") < 10, "too_short")
-      .when(col("alpha") < 0.7, "low_alpha")
-      .when(col("shortr") > 0.4, "high_short")
-      .when(col("stopr") < 0.01, "no_stopwords")
-      .otherwise("ok")
-    base.select(col("doc_id"), reason.as("reason"))
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.functions.QualityGate.quality_gate(col("text"), stop, 2).as("reason"))
   }
 
   /** Exact-dup canonicalization: one representative (min doc_id) per

@@ -131,6 +131,64 @@ object Streams {
       col("r_ts") <= col("l_ts") + expr(s"INTERVAL $range"))
   }
 
+  /** Streaming near-duplicate candidate detection: SimHash pigeonhole
+    * bands as keyed state. Each arriving document fans out to its
+    * `maxHamming + 1` band buckets (`flatMap`, the streaming twin of the
+    * batch `simhash_bands` generator); per (band, bkey) bucket the state
+    * holds the (doc_id, simhash) pairs seen so far, and a new arrival
+    * emits `(doc_a, doc_b, hamming)` for every stored doc within
+    * `maxHamming` — incremental dedup for a corpus that grows batch by
+    * batch (a crawl feed), without rescanning the archive.
+    *
+    * Contracts: candidate pairs may surface once per shared band (the
+    * batch form's `.distinct()`) — dedupe downstream or key the sink by
+    * the pair. `maxBucket` caps per-bucket state: arrivals to a full
+    * bucket are ignored (the streaming form of the degenerate-bucket
+    * guard — a batch cap drops the whole bucket retroactively; a stream
+    * cannot). Intra-batch arrivals process in doc_id order and re-deliveries
+    * of an already-stored doc_id are no-ops, so output is deterministic
+    * for any batch split. State is per-bucket and unbounded in bucket
+    * COUNT (dedup state never expires by design — at 100 TB this state
+    * is |docs|·bands rows of 16 bytes, hash-partitioned across
+    * executors; RocksDB-backed state stores hold it off-heap). */
+  def streamingNearDups(
+      docs: Dataset[(Long, String)],
+      maxHamming: Int = 3,
+      maxBucket: Int = 1024,
+      portable: Boolean = false): Dataset[(Long, Long, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = maxHamming + 1
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val banded = docs.flatMap { case (id, text) =>
+      if (text == null) Iterator.empty
+      else {
+        val sig = graft.functions.SimHash64.evalText(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text), portable)
+        (0 until bands).iterator.map(b => (b, (sig >>> (b * width)) & mask, id, sig))
+      }
+    }
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+            state: GroupState[Seq[(Long, Long)]]) => {
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          for ((_, _, id, sig) <- rows.toSeq.sortBy(_._3)
+               if !seen.exists(_._1 == id) && seen.size < maxBucket) {
+            for ((oid, osig) <- seen) {
+              val h = java.lang.Long.bitCount(osig ^ sig)
+              if (h <= maxHamming)
+                out += ((math.min(oid, id), math.max(oid, id), h))
+            }
+            seen = seen :+ ((id, sig))
+          }
+          state.update(seen)
+          out.iterator
+        })
+  }
+
   /** Streaming archive upsert (reference D14 as a stream): each micro-batch
     * merges into the record store via the same richer-record-wins upsert
     * the batch pipeline uses, with a write-then-swap that keeps a full

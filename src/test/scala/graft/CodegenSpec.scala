@@ -97,6 +97,15 @@ class CodegenSpec extends SparkSpec {
       val sb = Seq("x y z").toDF("text")
         .select(simhash_bands(col("text"), 4, 15, true)).collect()
       assert(sb.length == 4 && sb.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+
+      import graft.functions.QualityGate.quality_gate
+      val qg = Seq(
+        "too short",
+        "the dog and the cat and the fox go to the park for a very long walk today",
+        "qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp ssss dddd")
+        .toDF("text").select(quality_gate(col("text"), Seq("the", "a", "to", "for"), 2).as("r"))
+        .collect().map(_.getString(0)).toSeq
+      assert(qg == Seq("too_short", "ok", "no_stopwords"), qg)
     }
   }
 

@@ -213,6 +213,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates match the batch simhash pairs across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "a completely different document about parquet row groups",
+      4L -> "the quick brown fox jumps over the lazy dog",   // exact dup of 1, later batch
+      5L -> "columnar storage formats and vectorized execution engines")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.streamingNearDups(ms.toDS(), maxHamming = 3,
+        portable = true)
+      .toDF("doc_a", "doc_b", "hamming")
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      ms.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(3): _*)   // doc 4 must pair with doc 1 from batch 1
+      q.processAllAvailable()
+      val streamed = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.operators.TextDedup.simhashPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3, portable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch,
+        s"streamed $streamed must equal batch $batch (pairs may repeat per band, sets equal)")
+      assert(streamed.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0),
+        "the cross-batch exact dup must be detected incrementally")
+    } finally q.stop()
+  }
+
   test("incremental sink is split-invariant: any micro-batching equals the one-shot merge") {
     // Property (seeded): a random update stream — random docs at random
     // annotation depths, with repeats both across and WITHIN batches —
