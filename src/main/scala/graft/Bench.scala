@@ -33,6 +33,7 @@ object Bench {
     "q_annotate_srl",
     "q_dedup_exact",
     "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_contamination",

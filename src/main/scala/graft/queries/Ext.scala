@@ -114,6 +114,18 @@ object Ext {
         // path stays exact — uncapped
         maxDf = if (graft.Tables.benchMode) 64 else 0))
     }),
+    // pairwise evidence -> duplicate GROUPS: connected components over the
+    // exact-Jaccard pair graph (min-label propagation; unique fixpoint, so
+    // the DuckDB recursive-CTE oracle must land on the identical labels).
+    // This is the step a dedup pipeline actually acts on - keep
+    // cluster_rep, drop the other members.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      ord(graft.operators.TextDedup.duplicateClusters(pairs))
+    }),
     // MinHash + LSH banding, fully oracle-checked (portable affine hash
     // family, see MinHashP above); banding is an equi-join on
     // (band, band-slice key), so the only shuffle is |docs|*bands rows,
@@ -831,6 +843,34 @@ object Ext {
         |  round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
         |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE canon AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
+        |SELECT src AS member, min(lbl) AS cluster_rep
+        |FROM reach GROUP BY src
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -102,6 +102,27 @@ class TextDedupSpec extends SparkSpec {
       "under-cap group must collect every row exactly once")
   }
 
+  test("duplicateClusters equals union-find on random pair graphs") {
+    import spark.implicits._
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val got = TextDedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find with component-minimum representatives
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = touched.groupBy(v => find(v.toInt)).values
+        .flatMap { vs => val m = vs.min; vs.map(_ -> m) }.toMap
+      assert(got == expect, s"seed $seed: components diverge from union-find")
+    }
+  }
+
   test("minhash band/k parameters are validated") {
     assertThrows[IllegalArgumentException](
       TextDedup.minhashPairs(canon, "doc_id", "text", 0.2, k = 32, bands = 7))
