@@ -550,6 +550,36 @@ object Relational {
           |WHERE o_totalprice > 1.8 * (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders)""".stripMargin))
     }),
 
+    // correlated LATERAL subquery with ORDER BY + LIMIT (per-nation top-2
+    // suppliers) — Catalyst decorrelates it into a window-limited join,
+    // the SQL surface of q_topk_pergroup
+    "q_sql_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      ord(s.sql(
+        """SELECT n_name, s.s_name, s.s_acctbal
+          |FROM nation, LATERAL (
+          |  SELECT s_name, s_acctbal FROM supplier
+          |  WHERE s_nationkey = n_nationkey
+          |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s""".stripMargin))
+    }),
+    // time-series gap filling: per-user hourly counts with missing hours
+    // materialized as zeros over each user's observed range — resampling
+    // for downstream models. The hour spine is generated per user from a
+    // tiny post-aggregate bounds frame (sequence + explode); only the
+    // already-aggregated counts frame joins back, never raw events.
+    "q_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      val cnt = ev.groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("n"))
+      val hours = cnt.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      ord(hours.join(cnt, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"), coalesce(col("n"), lit(0L)).as("n")))
+    }),
+
     // ---- JSON struct parsing + map functions ----
     "q_from_json" -> ((s, dir) => {
       ord(t(s, dir, "events")
@@ -977,6 +1007,23 @@ object Relational {
     "q_sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 1.8 * (SELECT CAST(AVG(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) FROM orders)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT n_name, s.s_name, s.s_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT s_name, s_acctbal FROM supplier
+        |  WHERE s_nationkey = n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |cnt AS (SELECT user_id, h, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM cnt GROUP BY 1),
+        |hours AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT hours.user_id, hours.h, coalesce(cnt.n, 0) AS n
+        |FROM hours LEFT JOIN cnt USING (user_id, h)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_map_funcs" ->
       """SELECT event_id,
