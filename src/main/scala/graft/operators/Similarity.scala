@@ -62,7 +62,10 @@ object Similarity {
     * mid-train — for long multi-hour trainings on a lossy cluster prefer
     * a reliable `checkpoint` directory outside this helper.) Centroids
     * are bit-identical with the knob on or off: the checkpoint stores the
-    * exact rows the deterministic pipeline computed. */
+    * exact rows the deterministic pipeline computed. Callers fanning the
+    * returned k-row frame into MULTIPLE consumers (assignment + probing,
+    * say) should `localCheckpoint(true)` it once — every lazy reference
+    * otherwise replays the whole training. */
   def trainIvf(vectors: DataFrame, k: Int, iters: Int, persistEvery: Int = 0): DataFrame = {
     var cents = vectors.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cen"))

@@ -49,14 +49,19 @@ object TextDedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
 
-  /** One representative (min id) per distinct text, grouped on the 16-byte
-    * content hash with the text carried as a value (`min` over a group of
-    * identical strings). Results are identical to grouping on the text
-    * itself up to md5 collisions — the same exposure as the reference's
-    * content-hash record identity. */
+  /** One representative (min id) per distinct text, grouped on
+    * (content hash, text) with the 16-byte hash FIRST. The hash is
+    * redundant as a key (it determines the text up to md5 collisions) but
+    * leading with it means every key comparison — hash-table probes and
+    * any sort-based aggregation fallback — decides on 32 hex chars
+    * instead of whole documents. Both columns stay grouping KEYS: carrying
+    * the text as a `min()` value would put a var-length buffer in the
+    * aggregate, which HashAggregateExec cannot hold — the whole
+    * canonicalization would silently fall to SortAggregate (measured in
+    * the round-4 plan audit). */
   def canonicalize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("__h"))
-      .agg(min(col(textCol)).as(textCol), min(col(idCol)).as(idCol))
+    docs.groupBy(md5(col(textCol)).as("__h"), col(textCol))
+      .agg(min(col(idCol)).as(idCol))
       .select(col(textCol), col(idCol))
 
   /** Within-bucket candidate pairs: group `rows` by `keys`, collect the

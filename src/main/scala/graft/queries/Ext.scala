@@ -238,7 +238,13 @@ object Ext {
       val kept = t(s, dir, "documents")
         .join(qualityReasons(s, dir).filter(col("reason") === "ok")
           .select("doc_id"), "doc_id")
-      ord(kept.groupBy(col("text"))
+      // the `min(lang)` string buffer forces SortAggregate (HashAggregate
+      // holds only fixed-width buffers, and a protective pre-distinct gets
+      // removed by RemoveRedundantAggregates since min ignores
+      // duplicates); leading the grouping key with the 16-byte content
+      // hash makes that sort compare hashes, not whole documents
+      ord(kept
+        .groupBy(md5(col("text")).as("__h"), col("text"))
         .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
         .groupBy("lang").agg(count(lit(1)).as("n_docs")))
     }),
@@ -271,7 +277,11 @@ object Ext {
     "q_knn_ivf_trained" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
+      // materialize the k trained centroids before fanning them into
+      // multiple consumers: each lazy reference replays the whole Lloyd
+      // training (the round-4 plan audit counted 8 corpus scans here)
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+        .localCheckpoint(true)
       val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
       ord(graft.operators.Similarity.knn(
         assigned, col("vec_id") < 10, k = 5, bucket = Some(col("cid"))))
@@ -285,6 +295,7 @@ object Ext {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+        .localCheckpoint(true)   // see q_knn_ivf_trained
       val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
       ord(graft.operators.Similarity.knnIvfProbed(
         assigned, cents, col("vec_id") < 10, k = 5, nprobe = 2))
