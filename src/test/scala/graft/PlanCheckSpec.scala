@@ -130,6 +130,24 @@ class PlanCheckSpec extends SparkSpec {
     assert(offending.isEmpty, s"signature expressions inside Filter conditions: $offending")
   }
 
+  test("dedup canonicalization stays HashAggregate; trained-IVF scans stay bounded") {
+    // round-4 audit regressions, locked in: (1) a var-length VALUE buffer
+    // (min over a string) silently downgrades the corpus-scale
+    // canonicalization to SortAggregate — all var-length columns belong in
+    // the grouping key; (2) every lazy reference to the trained centroid
+    // frame replays the whole Lloyd training unless it is materialized at
+    // the fan-out point (was 8-11 corpus scans).
+    for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+        "q_dedup_exact")) {
+      assert(!plan(q).contains("SortAggregate"),
+        s"$q canonicalization fell out of HashAggregate")
+    }
+    for (q <- Seq("q_knn_ivf_trained", "q_knn_ivf_probed")) {
+      val scans = "Scan parquet".r.findAllIn(plan(q)).size
+      assert(scans <= 2, s"$q re-derives the training subplan: $scans scans")
+    }
+  }
+
   test("contamination benchmark side broadcasts, even 10x-duplicated (bench mode)") {
     // the eval-set side of the bipartite contamination join must stay the
     // broadcast side as it grows — benchMode's 10x-duplicated slice is the
