@@ -379,6 +379,32 @@ object Ext {
       ord(bi.groupBy("bigram").agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("bigram")).limit(100))
     }),
+    // source-weighted corpus MIXING: per-source sampling weights realized
+    // as floor(w) whole copies plus one more with probability frac(w) —
+    // the epoch/data-mixture step of corpus prep (upsample books, damp
+    // web, drop a blocked source). Deterministic: the fractional draw is
+    // a 28-bit md5 integer of doc_id against a per-source integer
+    // threshold, never a float compare, so both engines pick identical
+    // docs. One scan, explode materializes the mixture, counts verify it.
+    "q_mix_sources" -> ((s, dir) => {
+      val base28 = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+      // weights: src0 -> 2.5x, src1 -> 0.25x, src2 -> dropped, rest 1x
+      val wfloor = when(col("source") === "src0", 2)
+        .when(col("source") === "src1" || col("source") === "src2", 0)
+        .otherwise(1)
+      val thresh = when(col("source") === "src0", 134217728L)   // 0.5 * 2^28
+        .when(col("source") === "src1", 67108864L)              // 0.25 * 2^28
+        .otherwise(0L)
+      val mixed = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          (wfloor + when(base28 < thresh, 1).otherwise(0)).as("n_copies"))
+        .filter(col("n_copies") > 0)
+        .select(col("source"), col("doc_id"),
+          explode(sequence(lit(1), col("n_copies"))).as("copy"))
+      ord(mixed.groupBy("source")
+        .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_rows")))
+    }),
     // intra-document repetition: top-bigram fraction (the Gopher-style
     // "page dominated by one repeated phrase" gate). A pure per-document
     // statistic, so it is ONE codegen'd rep_scan expression per doc —
@@ -749,6 +775,21 @@ object Ext {
         |  GROUP BY bigram
         |  ORDER BY tf DESC, bigram LIMIT 100)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_mix_sources" ->
+      """WITH w AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN source = 'src0' THEN 2
+        |         WHEN source IN ('src1', 'src2') THEN 0 ELSE 1 END
+        |    + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) <
+        |        CASE WHEN source = 'src0' THEN 134217728
+        |             WHEN source = 'src1' THEN 67108864 ELSE 0 END
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents),
+        |m AS (SELECT source, doc_id, unnest(range(1, n_copies + 1)) AS copy
+        |      FROM w WHERE n_copies > 0)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM m GROUP BY source ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_repetition" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
