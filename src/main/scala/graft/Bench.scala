@@ -40,6 +40,7 @@ object Bench {
     "q_prep_pipeline",
     "q_dedup_embedding_lsh",
     "q_knn_bruteforce",
+    "q_knn_ivf_probed",
     "q_ivf_train",
     "q_text_quality",
     "q_lang_id",
