@@ -69,13 +69,25 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
+      val t =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // bench hygiene (round-4 lesson): blocks persisted by one query and
+      // never released slow every query scheduled after it — measured
+      // 1.6-4.5x on everything downstream of q_dedup_clusters. Operators
+      // release their own intermediates; what remains here is at most the
+      // query's own checkpointed RESULT, released outside the timed
+      // region. Anything beyond that is a leak worth seeing.
+      val leaked = graft.plans.Checkpoints.releaseAll(spark)
+      if (leaked > 1)
+        System.err.println(s"[bench] $name left $leaked persisted RDDs (expected <= 1)")
+      t
     }
 
     runOnce("q1_agg") // warmup: JIT + codegen + parquet footer caches

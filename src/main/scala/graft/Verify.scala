@@ -26,6 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release any frame the query checkpointed (e.g. a clustering
+      // result) — 115 queries share this JVM, leaked blocks compound
+      graft.plans.Checkpoints.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -117,7 +117,8 @@ object ScalableWindows {
       partitions: Int,
       localFn: org.apache.spark.sql.expressions.WindowSpec => Column,
       offAgg: Column,
-      bktCol: String, localCol: String, offCol: String, totalCol: String): DataFrame = {
+      bktCol: String, localCol: String, offCol: String, totalCol: String,
+      coalesceOff: Boolean = true): DataFrame = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val bucket = bucketExpr(df, order.head, n)
@@ -127,13 +128,16 @@ object ScalableWindows {
     // offsets: one row per bucket — the only global window left, over
     // <= `n` rows (trivial); broadcast back to the data. The same frame
     // carries the grand total so downstream arithmetic (ntile) costs no
-    // extra pass over the input.
+    // extra pass over the input. `coalesceOff = false` keeps the offset
+    // NULL when no prior bucket contributed — running sum needs the
+    // distinction (SUM's "all-null prefix" is NULL, not 0); the count
+    // offsets (rank family) always want 0 for the first bucket.
     val nCol = fresh(df, "__n")
     val w = Window.orderBy(col(bktCol))
+    val rawOff = sum(col(nCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
     val offsets = local.groupBy(col(bktCol))
       .agg(offAgg.as(nCol), count(lit(1)).as(totalCol))
-      .withColumn(offCol, coalesce(
-        sum(col(nCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn(offCol, if (coalesceOff) coalesce(rawOff, lit(0L)) else rawOff)
       .withColumn(totalCol, sum(col(totalCol)).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col(bktCol), col(offCol), col(totalCol))
@@ -194,8 +198,12 @@ object ScalableWindows {
     * first, as the determinism contract already requires of oracle
     * queries. The `order` keys must be a TOTAL order (like row_number: a
     * ROWS frame over tied keys sums them in arbitrary order, so per-row
-    * prefix values within a tie group are not deterministic). Null values
-    * count as zero (SUM skips them), identically in both paths. */
+    * prefix values within a tie group are not deterministic). Nulls are
+    * skipped exactly like the serial SUM, including its edge case: a row
+    * whose ENTIRE prefix is null gets NULL, not 0 — the per-bucket
+    * running sum and the cross-bucket offset are both left nullable and
+    * recombined with coalesce(off + local, off, local), which reproduces
+    * the serial null-skipping fold for every null pattern. */
   def withGlobalRunningSum(
       df: DataFrame,
       value: Column,
@@ -210,8 +218,11 @@ object ScalableWindows {
       (fresh(df, "__bkt"), fresh(df, "__lcs"), fresh(df, "__off"), fresh(df, "__tot"))
     distributed(df, order, partitions,
         w => sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        sum(value), bkt, lcs, off, tot)
-      .withColumn(out, col(off) + col(lcs))
+        sum(value), bkt, lcs, off, tot, coalesceOff = false)
+      // off NULL ⇔ no non-null value in any prior bucket; lcs NULL ⇔ no
+      // non-null in-bucket prefix. coalesce of (sum, off, lcs) is the
+      // serial SUM's null-skipping semantics for all four combinations.
+      .withColumn(out, coalesce(col(off) + col(lcs), col(off), col(lcs)))
       .drop(bkt, lcs, off, tot)
   }
 

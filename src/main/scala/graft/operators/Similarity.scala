@@ -69,6 +69,14 @@ object Similarity {
   def trainIvf(vectors: DataFrame, k: Int, iters: Int, persistEvery: Int = 0): DataFrame = {
     var cents = vectors.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cen"))
+    // each lineage cut supersedes the previous one: once the new k-row
+    // frame is eagerly materialized, the older checkpoint's blocks are
+    // unreachable by any future computation — release them immediately
+    // (blocks pinned for the session's life were round 4's bench killer).
+    // The LAST cut stays alive: the returned frame's lineage hangs off it
+    // until the caller is done (release via Checkpoints.release, or
+    // localCheckpoint the result and sweep).
+    var prevCut: Option[DataFrame] = None
     for (i <- 1 to iters) {
       cents = assignToCentroids(vectors, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
@@ -77,8 +85,11 @@ object Similarity {
           count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(expr("transform(sort_array(collect_list(struct(d, m))), p -> p.m)").as("cen"))
-      if (persistEvery > 0 && i % persistEvery == 0 && i < iters)
+      if (persistEvery > 0 && i % persistEvery == 0 && i < iters) {
         cents = cents.localCheckpoint(true)
+        prevCut.foreach(graft.plans.Checkpoints.release)
+        prevCut = Some(cents)
+      }
     }
     cents
   }

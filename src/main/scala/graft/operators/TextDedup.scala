@@ -177,17 +177,32 @@ object TextDedup {
     * vertex takes the minimum label among itself and its neighbors — one
     * equi-join + one groupBy per round, `O(component diameter)` rounds
     * (near-dup clusters are small and star-like, so a handful; the
-    * fixpoint is unique, hence deterministic). Labels are eagerly
-    * localCheckpointed per round: the driver loop's convergence count
-    * would otherwise replay every prior round per action and the lineage
-    * would deepen linearly (the trainIvf lesson). For graphs with long
-    * chains the classic large-star/small-star variant halves the round
-    * count; the per-round plan shape here is identical. */
+    * fixpoint is unique, hence deterministic). For chain-heavy graphs —
+    * where diameter, not cluster count, dominates — use
+    * [[duplicateClustersStar]]: same output, `O(log n)` rounds.
+    *
+    * Round cost is ONE Spark job: each round's labels localCheckpoint
+    * LAZILY and the convergence count doubles as the materializing
+    * action (an eager checkpoint plus a separate count probe was two
+    * blocking round-trips per round — 25% of the round-4 bench headline
+    * in this one operator). Blocks are released as soon as they are
+    * superseded: the previous round's labels right after the new round
+    * materializes, the edge list on exit. The RETURNED frame is itself
+    * checkpointed (it must be — its lineage is gone); callers release it
+    * via `graft.plans.Checkpoints.release` once consumed. */
   def duplicateClusters(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    propagateMinLabels(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[duplicateClusters]] plus the round count (spec instrumentation). */
+  private[graft] def propagateMinLabels(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int): (DataFrame, Int) = {
     // materialize the edge list ONCE: every propagation round joins it,
     // and candidate pairs are usually the output of a whole dedup
     // pipeline — leaving them lazy re-executes that pipeline per round
@@ -207,12 +222,107 @@ object TextDedup {
       val updated = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), col("nmin")).as("lbl"),
           (col("nmin") < col("lbl")).as("chg"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("chg")).limit(1).count() == 0
+        .localCheckpoint(eager = false)
+      // the ONE action of the round: counting changed rows scans every
+      // partition of `updated`, so it materializes the lazy checkpoint
+      // as a side effect — convergence probe and checkpoint job fused
+      converged = updated.filter(col("chg")).count() == 0
+      graft.plans.Checkpoints.release(labels) // superseded; updated is materialized
       labels = updated.select(col("id"), col("lbl"))
       round += 1
     }
-    labels.select(col("id").as("member"), col("lbl").as("cluster_rep"))
+    graft.plans.Checkpoints.release(edges)
+    (labels.select(col("id").as("member"), col("lbl").as("cluster_rep")), round)
+  }
+
+  /** [[duplicateClusters]] by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * identical output — (member, cluster_rep = component minimum), same
+    * unique fixpoint — but `O(log n)` rounds instead of `O(diameter)`,
+    * the right choice when components may be long CHAINS (transitive
+    * near-dup evidence: A~B~C~... without A~C pairs) rather than the
+    * star-like clusters plain propagation handles in a handful of rounds.
+    *
+    * Each phase rewrites the edge set toward a forest of stars rooted at
+    * component minima: large-star points every neighbor LARGER than a
+    * node at that node's neighborhood minimum (including itself);
+    * small-star does the same for the smaller-or-equal neighbors. Both
+    * are one groupBy (neighborhood min) + one broadcast-size join back —
+    * the same per-round plan family as propagation, over an edge frame
+    * that only ever shrinks toward one edge per non-root vertex.
+    * Convergence: the edge set is a fixpoint of both phases (checked
+    * with count + anti-join emptiness, two cheap jobs over checkpointed
+    * edges). The per-round lifecycle matches [[duplicateClusters]]:
+    * lazy checkpoint materialized by the convergence action, superseded
+    * frames released immediately, the returned frame checkpointed
+    * (callers release it via `graft.plans.Checkpoints.release`). */
+  def duplicateClustersStar(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxRounds: Int = 50): DataFrame =
+    starClusters(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[duplicateClustersStar]] plus the round count (spec instrumentation). */
+  private[graft] def starClusters(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int): (DataFrame, Int) = {
+    // undirected edges, no self-loops; (u, v) kept one-per-pair — each
+    // phase re-derives the bidirectional view it needs
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+
+    // one star phase: for each node x, m(x) = min(N(x) ∪ {x}); re-point
+    // the selected side of every edge at m. `largeSide` picks which
+    // neighbors move: the larger one (large-star) or the smaller-or-equal
+    // one plus the node itself (small-star).
+    def phase(bi: DataFrame, large: Boolean): DataFrame = {
+      val m = bi.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      val joined = bi.join(m, "src")
+      val out =
+        if (large) joined.filter(col("dst") > col("src"))
+          .select(col("dst").as("x"), col("m"))
+        else joined.filter(col("dst") < col("src"))
+          .select(col("dst").as("x"), col("m"))
+          .union(m.select(col("src").as("x"), col("m")))
+      out.filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("u"), greatest(col("x"), col("m")).as("v"))
+        .distinct()
+    }
+    def bidir(e: DataFrame): DataFrame =
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+
+    var round = 0
+    var converged = false
+    while (!converged) {
+      require(round < maxRounds, s"star rounds did not converge in $maxRounds rounds")
+      val next = phase(bidir(phase(bidir(edges), large = true)), large = false)
+        .localCheckpoint(eager = false)
+      val nNext = next.count() // materializes the lazy checkpoint
+      // set equality: both sides are distinct, so equal counts plus an
+      // empty one-sided difference suffice
+      converged = nNext == nEdges &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      graft.plans.Checkpoints.release(edges)
+      edges = next
+      nEdges = nNext
+      round += 1
+    }
+    // fixpoint = forest of stars: every edge is (root=u, member=v) with
+    // u the component minimum; roots are members of their own cluster
+    val labels = edges.select(col("v").as("member"), col("u").as("cluster_rep"))
+      .union(edges.select(col("u").as("member"), col("u").as("cluster_rep")))
+      .distinct()
+      .localCheckpoint(true)
+    graft.plans.Checkpoints.release(edges)
+    (labels, round)
   }
 
   /** SimHash candidate pairs over canonicalized docs:

@@ -238,14 +238,28 @@ object Ext {
       val kept = t(s, dir, "documents")
         .join(qualityReasons(s, dir).filter(col("reason") === "ok")
           .select("doc_id"), "doc_id")
-      // the `min(lang)` string buffer forces SortAggregate (HashAggregate
-      // holds only fixed-width buffers, and a protective pre-distinct gets
-      // removed by RemoveRedundantAggregates since min ignores
-      // duplicates); leading the grouping key with the 16-byte content
-      // hash makes that sort compare hashes, not whole documents
+      // `min(lang)` as a STRING buffer would force the corpus-scale
+      // canonicalization out of HashAggregate (fixed-width buffers only)
+      // into a full SortAggregate — the round-4 plan audit's one wrong
+      // plan. Instead min() runs over an order-isomorphic FIXED-WIDTH
+      // encoding: the first 7 bytes of lang packed big-endian into a
+      // BIGINT (NUL-padded, so shorter strings sort first exactly like
+      // UTF-8 memcmp — both engines' string order). assert_true guards
+      // the ≤7-byte contract inside the expression so pruning can't drop
+      // it; the min code decodes back to the identical min(lang) string.
+      // null lang stays null (min() skips it, like min(lang) would) and
+      // must not reach assert_true, which throws on a null condition
+      val packedLang = when(col("lang").isNotNull, when(
+        assert_true(octet_length(col("lang")) <= 7,
+          lit("lang exceeds the 7-byte order-isomorphic pack")).isNull,
+        conv(hex(rpad(col("lang"), 7, "\u0000")), 16, 10).cast("bigint")))
+      val decodedLang = rtrim(
+        unhex(lpad(conv(col("__lc").cast("string"), 10, 16), 14, "0")).cast("string"),
+        "\u0000")
       ord(kept
         .groupBy(md5(col("text")).as("__h"), col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"))
+        .agg(min(col("doc_id")).as("doc_id"), min(packedLang).as("__lc"))
+        .select(decodedLang.as("lang"))
         .groupBy("lang").agg(count(lit(1)).as("n_docs")))
     }),
 
@@ -443,8 +457,25 @@ object Ext {
     // extraction over the corpus). Single lineage: tf per (doc, term),
     // document frequency as a count over the term partition of that SAME
     // frame (a second derivation joined back would scan the corpus twice —
-    // the LSH lesson), idf in exact micro-units (round(ln·1e6) as BIGINT)
-    // so ranking and hashing never touch cross-engine double ULPs.
+    // the LSH lesson), idf in micro-units (round(ln·1e6) as BIGINT) so
+    // ranking and hashing compare integers, not raw doubles. Residual
+    // cross-engine risk, documented: the micro-unit idf still derives
+    // from ONE double ln() per distinct df, and if Spark's Math.log and
+    // DuckDB's libm ln differ by 1 ULP within ~1e-6 relative of a .5
+    // micro-unit boundary the rounded idf flips by 1 — unlike the
+    // md5-integer families used elsewhere, this cannot be made fully
+    // integral without changing the score's definition (cross-doc
+    // ordering mixes tf and ln(nd/df), which has no exact integer
+    // equivalent). Not observed at any test SF.
+    // Plan-tail audit (round 5): the per-doc top-3 runs ONE partial/final
+    // WindowGroupLimit pair — Sort+WGL(partial) before the doc_id
+    // exchange prunes to ≤3 rows per (doc, partition), then Sort+WGL
+    // (final) after it; both sorts are inherent to the pattern (same
+    // shape as q_topk_pergroup). The alternative — df as a separate
+    // groupBy(w) aggregate broadcast-joined back, saving the full-frame
+    // w-exchange — would consume the tf frame TWICE and Spark re-derives
+    // unshared subplans, re-scanning the corpus (the LSH lesson). The
+    // window-over-the-same-frame form stays the single-derivation optimum.
     "q_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val words = docs

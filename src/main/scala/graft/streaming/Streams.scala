@@ -145,9 +145,16 @@ object Streams {
     * the pair. `maxBucket` caps per-bucket state: arrivals to a full
     * bucket are ignored (the streaming form of the degenerate-bucket
     * guard — a batch cap drops the whole bucket retroactively; a stream
-    * cannot). Intra-batch arrivals process in doc_id order and re-deliveries
-    * of an already-stored doc_id are no-ops, so output is deterministic
-    * for any batch split. State is per-bucket and unbounded in bucket
+    * cannot). Intra-batch arrivals process in doc_id order and
+    * re-deliveries of an already-stored doc_id are no-ops, so output is
+    * deterministic for any batch split AS LONG AS no bucket reaches
+    * `maxBucket`: admission to a cap-straddling bucket is first-arrival,
+    * and which docs arrive first depends on the batching (a bucket at
+    * cap−1 admits doc 3 from the single batch {3, 5} but doc 5 from the
+    * split [5], [3]). Pairs among admitted docs are still exact; only the
+    * admission set of degenerate buckets is batching-dependent — the
+    * price of capping without retroactive eviction. State is per-bucket
+    * and unbounded in bucket
     * COUNT (dedup state never expires by design — at 100 TB this state
     * is |docs|·bands rows of 16 bytes, hash-partitioned across
     * executors; RocksDB-backed state stores hold it off-heap). */
@@ -181,6 +188,74 @@ object Streams {
               val h = java.lang.Long.bitCount(osig ^ sig)
               if (h <= maxHamming)
                 out += ((math.min(oid, id), math.max(oid, id), h))
+            }
+            seen = seen :+ ((id, sig))
+          }
+          state.update(seen)
+          out.iterator
+        })
+  }
+
+  /** Streaming MinHash/LSH near-duplicate candidates — the highest-recall
+    * dedup path ([[graft.operators.TextDedup.minhashPairs]]) as keyed
+    * state, closing the batch/stream gap for the full band family. Each
+    * arriving document computes its k-value MinHash signature ONCE (the
+    * same `MinHashSig.evalSig` core the batch generator codegens) and
+    * fans out to its `bands` (band, slice-key) buckets; a new arrival
+    * emits `(doc_a, doc_b, n_match, est_jaccard)` against every stored
+    * doc in the bucket with estimated Jaccard >= `threshold`, scoring
+    * with the identical signature-agreement count and HALF_UP 6-digit
+    * rounding as the batch operator — so for any batch split the emitted
+    * pair SET equals the batch `minhashPairs` output (pairs may repeat
+    * once per agreeing band, like the batch form before `.distinct()`).
+    * Contracts match [[streamingNearDups]]: per-bucket state of
+    * (doc_id, signature), doc_id-ordered intra-batch processing,
+    * re-delivery no-ops, `maxBucket` first-arrival admission with the
+    * same determinism scoping (split-invariant only while every bucket
+    * stays under the cap). State: |docs|·bands entries of k+1 longs,
+    * hash-partitioned by bucket. */
+  def streamingNearDupsMinHash(
+      docs: Dataset[(Long, String)],
+      threshold: Double,
+      k: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 1024,
+      portable: Boolean = false): Dataset[(Long, Long, Int, Double)] = {
+    require(k > 0 && bands > 0 && k % bands == 0, "bands must divide k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val banded = docs.flatMap { case (id, text) =>
+      if (text == null) Iterator.empty
+      else {
+        val sigArr = graft.functions.MinHashSig.evalSig(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text), k, portable)
+        if (sigArr == null) Iterator.empty // under 3 tokens: no signature
+        else {
+          val sig = sigArr.toLongArray()
+          (0 until bands).iterator.map { b =>
+            (b, sig.slice(b * r, (b + 1) * r).mkString("_"), id, sig.toSeq)
+          }
+        }
+      }
+    }
+    banded.groupByKey(row => (row._1, row._2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (Int, String), rows: Iterator[(Int, String, Long, Seq[Long])],
+            state: GroupState[Seq[(Long, Seq[Long])]]) => {
+          var seen = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+          for ((_, _, id, sig) <- rows.toSeq.sortBy(_._3)
+               if !seen.exists(_._1 == id) && seen.size < maxBucket) {
+            for ((oid, osig) <- seen) {
+              var m = 0
+              var i = 0
+              while (i < k) { if (osig(i) == sig(i)) m += 1; i += 1 }
+              // exactly Spark's round(x, 6): BigDecimal HALF_UP on the double
+              val est = java.math.BigDecimal.valueOf(m.toDouble / k)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (est >= threshold)
+                out += ((math.min(oid, id), math.max(oid, id), m, est))
             }
             seen = seen :+ ((id, sig))
           }

@@ -137,8 +137,11 @@ class PlanCheckSpec extends SparkSpec {
     // the grouping key; (2) every lazy reference to the trained centroid
     // frame replays the whole Lloyd training unless it is materialized at
     // the fan-out point (was 8-11 corpus scans).
+    // q_prep_pipeline joined the guard in round 5: its min(lang) was the
+    // last var-length aggregation buffer in the catalog (now a fixed-width
+    // order-isomorphic BIGINT pack, so the whole prep chain hash-aggregates)
     for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-        "q_dedup_exact")) {
+        "q_dedup_exact", "q_prep_pipeline")) {
       assert(!plan(q).contains("SortAggregate"),
         s"$q canonicalization fell out of HashAggregate")
     }

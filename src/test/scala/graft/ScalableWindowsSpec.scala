@@ -69,6 +69,31 @@ class ScalableWindowsSpec extends SparkSpec {
     assert(dist == serial, "decimal prefix sums must agree bit-for-bit")
   }
 
+  test("global running sum: null values match the serial window for every prefix pattern") {
+    // the round-4 advice finding: a row whose in-bucket prefix is all-NULL
+    // must still inherit prior buckets' sums, and a row whose ENTIRE
+    // prefix is null must be NULL (not 0) — exactly SUM's null-skipping.
+    // Rows 0..9 with values null,null,1,null,2,null,... put all-null
+    // prefixes in the first bucket(s) of the 8-partition distributed path.
+    import spark.implicits._
+    val df = (0L until 10L).map { i =>
+      (i, if (i < 2 || i % 2 == 1) None else Some(i))
+    }.toDF("k", "x")
+    val serial = df.withColumn("cum",
+      sum(col("x")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "cum").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val dist = ScalableWindows.withGlobalRunningSum(
+        df, col("x"), Seq(col("k")), "cum", partitions = 8)
+      .select("k", "cum").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(dist == serial,
+      s"null handling diverged: serial=$serial dist=$dist")
+    assert(serial(0L).isEmpty && serial(1L).isEmpty,
+      "fixture must exercise the all-null global prefix (expects NULL)")
+  }
+
   test("global rank and dense_rank match the serial window on heavy ties") {
     // l_quantity has ~50 distinct values over the whole table — every rank
     // is a tie group, and tie groups straddle quantile boundaries unless

@@ -48,6 +48,19 @@ class SimilaritySpec extends SparkSpec {
     assert(scanCount(3) < scanCount(0), "persistEvery must shorten the plan")
   }
 
+  test("trainIvf releases superseded checkpoints; only the live cut survives") {
+    // persist-lifecycle contract: with persistEvery = 2 over 10 iterations,
+    // cuts happen at i = 2,4,6,8 but each supersedes the last — at most ONE
+    // checkpoint (the one the returned frame's lineage hangs off) may
+    // remain persisted after training returns.
+    graft.plans.Checkpoints.releaseAll(spark)
+    val cents = Similarity.trainIvf(vecs, k = 4, iters = 10, persistEvery = 2)
+    cents.count() // consume the result
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.size <= 1, s"training leaked superseded checkpoints: ${live.size}")
+    graft.plans.Checkpoints.releaseAll(spark)
+  }
+
   test("IVF probing: nprobe=all cells equals brute force; recall grows with nprobe") {
     import org.apache.spark.sql.functions.col
     val cents = Similarity.trainIvf(vecs, k = 4, iters = 2)

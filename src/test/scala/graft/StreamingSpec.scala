@@ -244,6 +244,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dups match batch minhashPairs across batch splits") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps over the lazy cat tonight",
+      3L -> "a completely different document about parquet row groups",
+      4L -> "the quick brown fox jumps over the lazy dog tonight", // exact dup of 1, later batch
+      5L -> "columnar storage formats and vectorized execution engines")
+    def batchPairs = graft.operators.TextDedup.minhashPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // two different splits must both land on the batch pair set
+    for (splitAt <- Seq(2, 3)) {
+      val ms = MemoryStream[(Long, String)]
+      val name = s"neardup_mh_$splitAt"
+      val q = graft.streaming.Streams.streamingNearDupsMinHash(
+          ms.toDS(), threshold = 0.2, portable = true)
+        .toDF("doc_a", "doc_b", "n_match", "est_jaccard")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(docs.take(splitAt): _*)
+        q.processAllAvailable()
+        ms.addData(docs.drop(splitAt): _*)
+        q.processAllAvailable()
+        val streamed = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+        assert(streamed == batchPairs,
+          s"split@$splitAt: streamed $streamed must equal batch $batchPairs")
+        assert(streamed.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 32),
+          "the cross-batch exact dup must agree on the full signature")
+      } finally q.stop()
+    }
+  }
+
   test("incremental sink is split-invariant: any micro-batching equals the one-shot merge") {
     // Property (seeded): a random update stream — random docs at random
     // annotation depths, with repeats both across and WITHIN batches —
