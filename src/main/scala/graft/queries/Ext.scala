@@ -126,6 +126,17 @@ object Ext {
         maxDf = if (graft.Tables.benchMode) 64 else 0)
       ord(graft.operators.TextDedup.duplicateClusters(pairs))
     }),
+    // the same components via alternating large-star/small-star (the
+    // O(log n)-round variant for chain-heavy pair graphs): identical
+    // unique fixpoint, so it shares q_dedup_clusters' recursive-CTE
+    // oracle verbatim — both implementations are oracle-checked.
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      ord(graft.operators.TextDedup.duplicateClustersStar(pairs))
+    }),
     // MinHash + LSH banding, fully oracle-checked (portable affine hash
     // family, see MinHashP above); banding is an equi-join on
     // (band, band-slice key), so the only shuffle is |docs|*bands rows,
@@ -607,7 +618,13 @@ object Ext {
     s"min((${aCoef(i)} * base + ${bCoef(i)}) % $MinHashP) AS h$i").mkString(",\n  ")
   private val minhashArr: String = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
 
-  val oracles: Map[String, String] = Map(
+  /** q_dedup_clusters_star shares q_dedup_clusters' oracle: the two
+    * implementations compute the same unique fixpoint (see the catalog
+    * entry), so one recursive-CTE spec checks both. */
+  def oracles: Map[String, String] =
+    oracles0 + ("q_dedup_clusters_star" -> oracles0("q_dedup_clusters"))
+
+  private val oracles0: Map[String, String] = Map(
     "q_dedup_minhash" ->
       s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
          |w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM canon
