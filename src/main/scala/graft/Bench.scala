@@ -92,11 +92,14 @@ object Bench {
 
     runOnce("q1_agg") // warmup: JIT + codegen + parquet footer caches
 
-    // two runs per query, report the min: steady-state throughput (what
-    // holds on a long-lived cluster), not first-run JIT noise
+    // three runs per query, report the min: steady-state throughput (what
+    // holds on a long-lived cluster), not first-run JIT noise — and the
+    // build host shows multi-minute background-load BURSTS (round-5
+    // measurements: the same query 1.1 s and 24 s in adjacent runs), so a
+    // burst must span all three attempts to pollute a number
     val results = selected.map { n =>
-      val a = runOnce(n); val b = runOnce(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val runs = Seq(runOnce(n), runOnce(n), runOnce(n))
+      n -> (if (runs.exists(_ < 0)) runs.max else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
