@@ -114,6 +114,57 @@ object TextDedup {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** Containment similar pairs over canonicalized docs:
+    * (doc_a, doc_b, n_inter, containment) for
+    * containment = |A∩B| / min(|A|, |B|) >= `threshold` — the ASYMMETRIC
+    * overlap metric that catches partial copies (a quoted paragraph, a
+    * doc embedded in a larger one), which symmetric Jaccard dilutes
+    * toward zero as the containing document grows. Identical plan shape
+    * to [[jaccardPairs]]: shingle posting generator, one groupBy, counts
+    * riding the postings; `maxDf` caps degenerate shingles. */
+  def containmentPairs(
+      canon: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      portable: Boolean = false,
+      maxDf: Int = 0): DataFrame = {
+    val sh = canon.select(col(idCol).as("doc_id"), shingle_posts(col(textCol), portable))
+    bucketPairs(sh, Seq(col("s")), struct(col("doc_id"), col("n")), maxDf)
+      .filter(col("y.doc_id") > col("x.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"), max(col("x.n")).as("na"), max(col("y.n")).as("nb"))
+      .withColumn("containment", round(col("n_inter").cast("double") /
+        least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_inter", "containment")
+  }
+
+  /** Winnowing-fingerprint candidate pairs over canonicalized docs:
+    * (doc_a, doc_b) for documents sharing their minimal 32-byte-window
+    * rolling hash (the MOSS/winnowing selection rule: the minimum over
+    * all window hashes is always among any winnowed sketch, so two docs
+    * sharing a long run of bytes that contains both their global minima
+    * collide). The cheapest near-dup family: ONE 8-byte fingerprint per
+    * document — grouping, shuffle, and state are all constant-size per
+    * doc, no signature arrays, no banding — at the recall floor (exact
+    * copies and copies-with-suffix/prefix-edits collide; interior edits
+    * near the minimum break it). `maxBucket` as in [[minhashPairs]]. */
+  def fingerprintPairs(
+      canon: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 32,
+      maxBucket: Int = 0): DataFrame = {
+    val fp = canon.select(col(idCol).as("doc_id"),
+      graft.functions.RollingHash.min_window_hash(col(textCol), window).as("fp"))
+    // no .distinct(): each doc carries exactly ONE fingerprint, so a pair
+    // can only arise in one bucket, once — unlike the banded families
+    bucketPairs(fp, Seq(col("fp")), col("doc_id"), maxBucket)
+      .filter(col("y") > col("x"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"))
+  }
+
   /** Train/eval contamination detection: shingle-overlap pairs BETWEEN
     * two corpora — (doc_id, bench_id, n_shared) for every corpus/benchmark
     * document pair sharing at least `minOverlap` n-gram shingles. The

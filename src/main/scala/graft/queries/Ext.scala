@@ -114,6 +114,26 @@ object Ext {
         // path stays exact — uncapped
         maxDf = if (graft.Tables.benchMode) 64 else 0))
     }),
+    // asymmetric containment |A∩B| / min(|A|,|B|): the partial-copy
+    // detector (quoted paragraphs, embedded documents) that symmetric
+    // Jaccard dilutes toward zero as the containing side grows. Same
+    // single-scan posting-join plan as q_dedup_ngram_jaccard.
+    "q_dedup_containment" -> ((s, dir) => {
+      ord(graft.operators.TextDedup.containmentPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.3,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0))
+    }),
+    // winnowing-fingerprint collisions: docs sharing their minimal
+    // 32-byte-window rolling hash (the MOSS selection rule's floor) —
+    // the cheapest near-dup family, ONE 8-byte key per doc, for the
+    // triage pass before banded LSH. Oracle replays the byte-level
+    // rolling hash in SQL (same machinery as q_fingerprint).
+    "q_dedup_fingerprint" -> ((s, dir) => {
+      ord(graft.operators.TextDedup.fingerprintPairs(
+        canonicalDocs(s, dir), "doc_id", "text",
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0))
+    }),
     // pairwise evidence -> duplicate GROUPS: connected components over the
     // exact-Jaccard pair graph (min-label propagation; unique fixpoint, so
     // the DuckDB recursive-CTE oracle must land on the identical labels).
@@ -944,6 +964,43 @@ object Ext {
         |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH canon AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / least(ca.n, cb.n), 6) AS containment
+        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE round(CAST(n_inter AS DOUBLE) / least(ca.n, cb.n), 6) >= 0.3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_fingerprint" ->
+      s"""WITH canon AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM canon),
+         |bytes AS (SELECT doc_id, nb, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(nb)] AS bs FROM h),
+         |mw AS (SELECT doc_id,
+         |  CASE WHEN nb <= 32 THEN
+         |         list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(bs, b -> CAST(b AS HUGEINT))),
+         |                     (a, b) -> (a * 1000003 + b) % $M64)
+         |       ELSE list_min([list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |              list_transform(bs[i+1:i+32], b -> CAST(b AS HUGEINT))),
+         |              (a, b) -> (a * 1000003 + b) % $M64)
+         |            FOR i IN range(nb - 31)])
+         |  END AS fpu FROM bytes)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM mw a JOIN mw b ON a.fpu = b.fpu AND a.doc_id < b.doc_id
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE canon AS (
         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),

@@ -47,6 +47,42 @@ class TextDedupSpec extends SparkSpec {
       s"cap=3 must keep exactly the rare-shingle pair with its sub-cap count: $capped")
   }
 
+  test("containmentPairs flags a partial copy that symmetric Jaccard misses") {
+    // doc 2 is a verbatim 12-token prefix of the 60-token doc 1: every one
+    // of its 10 shingles is contained, so containment = 1.0 while
+    // jaccard = 10/58 ≈ 0.17 — the asymmetric metric's whole point
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val sub = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, big), (2L, sub),
+      (3L, "a completely unrelated document about row groups"))).toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cont == Seq((1L, 2L, 1.0)), s"got $cont")
+    val jac = TextDedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9).count()
+    assert(jac == 0, "jaccard at the same threshold must miss the partial copy")
+  }
+
+  test("fingerprintPairs: shared minimal window pairs, cap drops degenerate buckets") {
+    // identical texts share the min-window hash exactly; a disjoint text
+    // cannot (hash equality over different bytes is a 2^-64 event)
+    val same = "a long enough shared document body so windows exist here"
+    val docs = spark.createDataFrame(Seq(
+      (1L, same), (2L, same),
+      (3L, "entirely different content with entirely different bytes inside"))).toDF("doc_id", "text")
+    val pairs = TextDedup.fingerprintPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // 50 copies in one fingerprint bucket: cap 10 drops the bucket whole
+    val boiler = spark.createDataFrame(
+      (1L to 50L).map(i => (i, same))).toDF("doc_id", "text")
+    assert(TextDedup.fingerprintPairs(boiler, "doc_id", "text", maxBucket = 10).count() == 0,
+      "over-cap fingerprint bucket must be dropped whole")
+    assert(TextDedup.fingerprintPairs(boiler, "doc_id", "text").count() == 50L * 49 / 2,
+      "uncapped bucket must emit all pairs")
+  }
+
   test("crossOverlapPairs flags only corpus docs overlapping the benchmark") {
     val corpus = spark.createDataFrame(Seq(
       (1L, "alpha beta gamma delta"),
