@@ -55,8 +55,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // optional args: benchmark only these queries (local A/B iteration
-    // aid; the driver always runs arg-less = the full headline set)
-    val selected = if (args.isEmpty) headline else headline.filter(args.toSet)
+    // aid; the driver always runs arg-less = the full headline set).
+    // Any catalog query is addressable by name, not just headline members
+    // (e.g. A/B-ing q_dedup_clusters_star against its headline sibling).
+    val selected =
+      if (args.isEmpty) headline
+      else args.toSeq.distinct.filter(SparkEntry.queries.contains)
     System.setProperty("graft.bench.noSort", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
