@@ -32,6 +32,7 @@ object Bench {
     "q_annotate_pos",
     "q_annotate_srl",
     "q_dedup_exact",
+    "q_dedup_fingerprint",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
     "q_dedup_minhash",
