@@ -137,14 +137,18 @@ class PlanCheckSpec extends SparkSpec {
     // the grouping key; (2) every lazy reference to the trained centroid
     // frame replays the whole Lloyd training unless it is materialized at
     // the fan-out point (was 8-11 corpus scans).
-    // q_prep_pipeline joined the guard in round 5: its min(lang) was the
-    // last var-length aggregation buffer in the catalog (now a fixed-width
-    // order-isomorphic BIGINT pack, so the whole prep chain hash-aggregates)
-    for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_simhash",
-        "q_dedup_exact", "q_prep_pipeline")) {
-      assert(!plan(q).contains("SortAggregate"),
-        s"$q canonicalization fell out of HashAggregate")
+    // round 5: the guard went catalog-wide. q_prep_pipeline's min(lang)
+    // was the last var-length aggregation buffer (now a fixed-width
+    // order-isomorphic BIGINT pack) — with it gone, NO catalog query
+    // sort-aggregates: every aggregation is HashAggregate or
+    // ObjectHashAggregate (collect/percentile buffers), both hash-routed.
+    // A SortAggregate means some aggregate's buffer stopped fitting the
+    // fixed-width/object paths — at 100 TB that is a silent full sort.
+    val sortAgg = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
+      if (fn(spark, dir).queryExecution.executedPlan.toString
+          .contains("SortAggregate")) Some(n) else None
     }
+    assert(sortAgg.isEmpty, s"queries fell out of hash aggregation: $sortAgg")
     for (q <- Seq("q_knn_ivf_trained", "q_knn_ivf_probed")) {
       val scans = "Scan parquet".r.findAllIn(plan(q)).size
       assert(scans <= 2, s"$q re-derives the training subplan: $scans scans")
