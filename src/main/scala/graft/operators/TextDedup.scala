@@ -354,13 +354,21 @@ object TextDedup {
     var converged = false
     while (!converged) {
       require(round < maxRounds, s"star rounds did not converge in $maxRounds rounds")
-      val next = phase(bidir(phase(bidir(edges), large = true)), large = false)
+      // the large-star intermediate feeds the small-star phase TWICE (its
+      // neighborhood-min aggregate and the join back) — a lazy checkpoint
+      // pins it to ONE RDD, so the round's single job computes the phase
+      // once and the second consumer reads persisted blocks; without it,
+      // AQE broadcasting one join side defeats exchange reuse and the
+      // whole large-star subplan derives twice (the round-3 LSH lesson)
+      val large = phase(bidir(edges), large = true).localCheckpoint(eager = false)
+      val next = phase(bidir(large), large = false)
         .localCheckpoint(eager = false)
-      val nNext = next.count() // materializes the lazy checkpoint
+      val nNext = next.count() // materializes both lazy checkpoints
       // set equality: both sides are distinct, so equal counts plus an
       // empty one-sided difference suffice
       converged = nNext == nEdges &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      graft.plans.Checkpoints.release(large) // intra-round scratch
       graft.plans.Checkpoints.release(edges)
       edges = next
       nEdges = nNext
