@@ -264,6 +264,45 @@ object Streams {
         })
   }
 
+  /** Streaming contamination check: corpus documents arriving as a
+    * STREAM (a crawl feed) tested against a STATIC benchmark corpus (the
+    * eval sets, fixed for the run) — the at-ingest decontamination gate,
+    * [[graft.operators.TextDedup.crossOverlapPairs]]' streaming twin.
+    * Emits (doc_id, bench_id, n_shared) for pairs sharing at least
+    * `minOverlap` word-3-gram shingles.
+    *
+    * Plan: a stream-STATIC equi-join on the 64-bit shingle hash — the
+    * benchmark posting list is a bounded static frame (broadcast when it
+    * fits; no stream-stream state, no watermark bookkeeping), and the
+    * same `shingle_posts` generator the batch side codegens emits the
+    * stream's postings. The overlap count is a streaming aggregation
+    * keyed on (doc_id, bench_id); each document's shingles all live in
+    * its arrival batch and doc_ids don't repeat, so every key reaches
+    * its final count in that one batch — Update output mode emits each
+    * contaminated pair exactly once, and results match the batch
+    * operator for any batch split. State is the per-pair counts;
+    * production runs window it or clear it at benchmark-rotation
+    * boundaries. */
+  def streamingContamination(
+      docs: Dataset[(Long, String)],
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      minOverlap: Int,
+      portable: Boolean = false): DataFrame = {
+    import graft.functions.BandGenerators.shingle_posts
+    val sposts = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), shingle_posts(col("text"), portable))
+      .select(col("doc_id"), col("s"))
+    val bposts = broadcast(benchmark
+      .select(col(idCol).as("bench_id"), shingle_posts(col(textCol), portable))
+      .select(col("bench_id"), col("s")))
+    sposts.join(bposts, "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   /** Streaming archive upsert (reference D14 as a stream): each micro-batch
     * merges into the record store via the same richer-record-wins upsert
     * the batch pipeline uses, with a write-then-swap that keeps a full

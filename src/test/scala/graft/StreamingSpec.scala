@@ -279,6 +279,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming contamination matches the batch cross-overlap pairs across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (200L, "parquet row groups and column chunks explained")).toDF("doc_id", "text")
+    val stream = Seq(
+      1L -> "alpha beta gamma delta something else entirely", // 3 shared shingles w/ 100
+      2L -> "no overlap with any benchmark document here",
+      3L -> "row groups and column chunks explained nicely",  // shares with 200, later batch
+      4L -> "alpha beta gamma but then it diverges")          // 1 shared shingle: below min
+    val batch = graft.operators.TextDedup.crossOverlapPairs(
+        stream.toDF("doc_id", "text"), benchmark, "doc_id", "text",
+        minOverlap = 2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && !batch.exists(_._1 == 4L),
+      s"fixture must contaminate above and below the threshold: $batch")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.streamingContamination(
+        ms.toDS(), benchmark, "doc_id", "text", minOverlap = 2, portable = true)
+      .writeStream.format("memory").queryName("contam").outputMode("update").start()
+    try {
+      ms.addData(stream.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(stream.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("contam").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"streamed $streamed must equal batch $batch")
+    } finally q.stop()
+  }
+
   test("incremental sink is split-invariant: any micro-batching equals the one-shot merge") {
     // Property (seeded): a random update stream — random docs at random
     // annotation depths, with repeats both across and WITHIN batches —
