@@ -50,34 +50,24 @@ object Similarity {
     *     double summation order varies across partitions, decimal
     *     addition is exact and order-free — then one double division.
     *
-    * Scale shape: each iteration is one broadcast of k centroids, one
-    * corpus scan for assignment (k·dim multiply-adds per row) and one
-    * (cid, dim)-keyed partial+final aggregate; nothing global. The loop
-    * builds one lazy plan, so at high iteration counts analysis time and
-    * failure-recovery cost grow linearly with the unbroken lineage —
-    * `persistEvery = n` materializes the k-row centroid frame every n
-    * iterations via an eager `localCheckpoint`, truncating the lineage at
-    * a cost of k tiny rows per cut. (localCheckpoint stores blocks on
-    * executors: fast, but recomputed work is lost if an executor dies
-    * mid-train — for long multi-hour trainings on a lossy cluster prefer
-    * a reliable `checkpoint` directory outside this helper.) Centroids
-    * are bit-identical with the knob on or off: the checkpoint stores the
-    * exact rows the deterministic pipeline computed. Callers fanning the
-    * returned k-row frame into MULTIPLE consumers (assignment + probing,
-    * say) should `localCheckpoint(true)` it once — every lazy reference
-    * otherwise replays the whole training. */
-  def trainIvf(vectors: DataFrame, k: Int, iters: Int, persistEvery: Int = 0): DataFrame = {
+    * Scale shape: each iteration is one corpus scan for assignment —
+    * [[assignToCentroids]] folds the k collected centroids into a static
+    * codegen'd argmin expression, so assignment is SHUFFLE-FREE — and
+    * one (cid, dim)-keyed partial+final mean aggregate whose exchange
+    * carries only per-partition partials; nothing global, nothing wide.
+    * Because each iteration collects the k-row centroid frame to the
+    * driver (the per-iteration action every distributed Lloyd shares),
+    * the plan is CONSTANT depth: iteration i's lineage starts from
+    * literal centroids, so analysis time, failure-recovery cost and
+    * storage footprint do not grow with `iters` — no checkpoint knob
+    * needed, nothing persisted to release. Callers fanning the returned
+    * k-row frame into MULTIPLE consumers (assignment + probing, say)
+    * should `localCheckpoint(true)` it once — every lazy reference
+    * otherwise replays the final iteration's aggregate. */
+  def trainIvf(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = vectors.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cen"))
-    // each lineage cut supersedes the previous one: once the new k-row
-    // frame is eagerly materialized, the older checkpoint's blocks are
-    // unreachable by any future computation — release them immediately
-    // (blocks pinned for the session's life were round 4's bench killer).
-    // The LAST cut stays alive: the returned frame's lineage hangs off it
-    // until the caller is done (release via Checkpoints.release, or
-    // localCheckpoint the result and sweep).
-    var prevCut: Option[DataFrame] = None
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       cents = assignToCentroids(vectors, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("cid", "d")
@@ -85,11 +75,6 @@ object Similarity {
           count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(expr("transform(sort_array(collect_list(struct(d, m))), p -> p.m)").as("cen"))
-      if (persistEvery > 0 && i % persistEvery == 0 && i < iters) {
-        cents = cents.localCheckpoint(true)
-        prevCut.foreach(graft.plans.Checkpoints.release)
-        prevCut = Some(cents)
-      }
     }
     cents
   }
@@ -128,17 +113,47 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
   }
 
-  /** Nearest-centroid assignment: (vec_id, v, cid). Centroids broadcast;
-    * distance is the codegen'd in-order squared-diff fold `vec_sqdiff`
-    * (matches the oracle's list comprehension exactly); ties broken by
-    * cid. */
+  /** Above this many centroids the static argmin expression tree gives
+    * way to the exchange-based window form: a `least()` over thousands of
+    * per-centroid structs stresses codegen/plan size, and a coarse
+    * quantizer that big belongs in a different index family anyway. */
+  val ArgminTreeMaxK: Int = 256
+
+  /** Nearest-centroid assignment: (vec_id, v, cid). Distance is the
+    * codegen'd in-order squared-diff fold `vec_sqdiff` (matches the
+    * oracle's list comprehension exactly); ties broken by cid.
+    *
+    * The k centroids are COLLECTED (a bounded k-row action — the coarse
+    * quantizer is small by definition) and folded into one static
+    * `least(struct(dist_i, cid_i)...)` expression: struct ordering is
+    * lexicographic, so the minimum is exactly argmin-with-cid-tiebreak —
+    * ONE codegen'd projection per corpus row, ZERO shuffles. The former
+    * crossJoin + `Window.partitionBy(vec_id)` form pushed the whole
+    * corpus (wide embedding arrays) through a hash exchange just to rank
+    * k candidate rows per vector — a full corpus shuffle per Lloyd
+    * iteration and per ANN assignment at 100 TB. Beyond
+    * [[ArgminTreeMaxK]] centroids it falls back to that window form. */
   def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(cents))
-      .withColumn("dist",
-        graft.functions.VecSqDiff.vec_sqdiff(col("v"), col("cen")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+    val cs = cents.select(col("cid"), col("cen")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(cs.nonEmpty, "assignToCentroids: empty centroid frame")
+    if (cs.length <= ArgminTreeMaxK) {
+      val candidates = cs.map { case (cid, cen) =>
+        struct(
+          graft.functions.VecSqDiff.vec_sqdiff(
+            col("v"), array(cen.map(lit): _*)).as("dist"),
+          lit(cid).as("cid"))
+      }
+      vectors.select(col("vec_id"), col("v"),
+        least(candidates: _*).getField("cid").as("cid"))
+    } else {
+      val scored = vectors.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          graft.functions.VecSqDiff.vec_sqdiff(col("v"), col("cen")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+    }
   }
 
   /** All pairs with cosine >= `threshold`: (vec_a, vec_b, cos).

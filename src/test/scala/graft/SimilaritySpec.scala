@@ -29,36 +29,39 @@ class SimilaritySpec extends SparkSpec {
     assert(a1.values.toSet.size <= 4 && a1.values.toSet.nonEmpty)
   }
 
-  test("trainIvf persistEvery truncates lineage without changing the centroids") {
-    // 10 Lloyd iterations: the checkpointed run must produce bit-identical
-    // centroids (the checkpoint stores exactly what the deterministic
-    // pipeline computed) on a far shallower plan.
-    def centroids(persistEvery: Int): Map[Long, Seq[Double]] =
-      Similarity.trainIvf(vecs, k = 4, iters = 10, persistEvery = persistEvery)
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val plain = centroids(0)
-    val cut = centroids(3)
-    assert(cut == plain, "checkpointing must not perturb a single bit")
-    // the lineage actually got cut: the final plan no longer reaches the
-    // parquet relation count of the unbroken 10-iteration chain
-    def scanCount(persistEvery: Int): Int =
-      "LogicalRDD|Relation".r.findAllIn(
-        Similarity.trainIvf(vecs, k = 4, iters = 10, persistEvery = persistEvery)
-          .queryExecution.optimizedPlan.toString).size
-    assert(scanCount(3) < scanCount(0), "persistEvery must shorten the plan")
+  test("trainIvf plan depth is constant in iteration count, nothing persisted") {
+    // each iteration collects the k-row centroid frame and folds it into
+    // literals, so the returned frame's lineage holds exactly ONE
+    // iteration's operators no matter how many ran — no checkpoint knob,
+    // no growing analysis cost, and zero persisted blocks to leak.
+    graft.plans.Checkpoints.releaseAll(spark)
+    def planSize(iters: Int): Int =
+      Similarity.trainIvf(vecs, k = 4, iters = iters)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planSize(10) == planSize(2),
+      "plan must not deepen with iteration count")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "training must not leave persisted blocks")
   }
 
-  test("trainIvf releases superseded checkpoints; only the live cut survives") {
-    // persist-lifecycle contract: with persistEvery = 2 over 10 iterations,
-    // cuts happen at i = 2,4,6,8 but each supersedes the last — at most ONE
-    // checkpoint (the one the returned frame's lineage hangs off) may
-    // remain persisted after training returns.
-    graft.plans.Checkpoints.releaseAll(spark)
-    val cents = Similarity.trainIvf(vecs, k = 4, iters = 10, persistEvery = 2)
-    cents.count() // consume the result
-    val live = spark.sparkContext.getPersistentRDDs
-    assert(live.size <= 1, s"training leaked superseded checkpoints: ${live.size}")
-    graft.plans.Checkpoints.releaseAll(spark)
+  test("argmin expression tree matches the exchange-based window assignment") {
+    // the shuffle-free least(struct(dist, cid)...) form must pick exactly
+    // the row the rank-1 window picked: min distance, ties to min cid
+    val cents = Similarity.trainIvf(vecs, k = 4, iters = 1)
+    val tree = Similarity.assignToCentroids(vecs, cents)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cj = vecs.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+      .withColumn("dist", graft.functions.VecSqDiff.vec_sqdiff(col("v"), col("cen")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val win = cj.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tree == win, "argmin forms diverge")
+    // and the fast path really is exchange-free
+    val p = Similarity.assignToCentroids(vecs, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"tree assignment must not shuffle:\n${p.take(400)}")
   }
 
   test("IVF probing: nprobe=all cells equals brute force; recall grows with nprobe") {
