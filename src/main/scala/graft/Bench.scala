@@ -97,14 +97,22 @@ object Bench {
 
     runOnce("q1_agg") // warmup: JIT + codegen + parquet footer caches
 
-    // three runs per query, report the min: steady-state throughput (what
-    // holds on a long-lived cluster), not first-run JIT noise — and the
-    // build host shows multi-minute background-load BURSTS (round-5
-    // measurements: the same query 1.1 s and 24 s in adjacent runs), so a
-    // burst must span all three attempts to pollute a number
+    // two runs per query + an adaptive third, report the min:
+    // steady-state throughput (what holds on a long-lived cluster), not
+    // first-run JIT noise. The build host shows multi-minute
+    // background-load BURSTS (round-5 measurements: the same query 1.1 s
+    // and 24 s in adjacent runs) — when the two runs disagree by >1.5×,
+    // one of them ate a burst, so a third run arbitrates; in calm windows
+    // the suite stays at min-of-2 cost.
     val results = selected.map { n =>
-      val runs = Seq(runOnce(n), runOnce(n), runOnce(n))
-      n -> (if (runs.exists(_ < 0)) runs.max else runs.min)
+      val a = runOnce(n); val b = runOnce(n)
+      val t =
+        if (a < 0 || b < 0) math.max(a, b)
+        else if (math.max(a, b) > 1.5 * math.min(a, b)) {
+          val c = runOnce(n)
+          if (c < 0) math.min(a, b) else math.min(c, math.min(a, b))
+        } else math.min(a, b)
+      n -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
