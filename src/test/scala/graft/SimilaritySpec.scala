@@ -64,6 +64,29 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"tree assignment must not shuffle:\n${p.take(400)}")
   }
 
+  test("assignment window fallback (k > ArgminTreeMaxK) matches a driver-side argmin") {
+    // 300 centroids exceed ArgminTreeMaxK = 256, forcing the
+    // exchange-based window path — assert it still computes exact
+    // argmin-with-cid-tiebreak against an independent in-memory replay
+    val cents = vecs.orderBy("vec_id").limit(300)
+      .select(col("vec_id").as("cid"), col("v").as("cen"))
+    assert(cents.count() > Similarity.ArgminTreeMaxK,
+      "fixture must exceed the expression-tree limit")
+    val got = Similarity.assignToCentroids(vecs, cents)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cs = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val vs = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val expect = vs.map { case (id, v) =>
+      id -> cs.map { case (cid, cen) =>
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val x = v(i) - cen(i); d += x * x; i += 1 }
+        (d, cid)
+      }.min._2
+    }.toMap
+    assert(got == expect, "window fallback diverges from exact argmin")
+  }
+
   test("IVF probing: nprobe=all cells equals brute force; recall grows with nprobe") {
     import org.apache.spark.sql.functions.col
     val cents = Similarity.trainIvf(vecs, k = 4, iters = 2)
