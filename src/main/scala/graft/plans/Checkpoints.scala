@@ -25,20 +25,43 @@ object Checkpoints {
     * otherwise RDD-backed) frame. After this the frame CANNOT be
     * recomputed — local checkpoints truncate lineage by design — so only
     * call it on frames no consumer will touch again. No-op for plans not
-    * backed by a materialized RDD. */
+    * backed by a materialized RDD.
+    *
+    * CONTRACT: the frame must be the SOLE remaining consumer view of its
+    * checkpoint — either the materialized node itself (what
+    * `localCheckpoint()` returns) or a thin projection over exactly one
+    * (the shape operators return after a final column rename). A plan
+    * sweeping MORE than one distinct checkpoint is rejected outright:
+    * that is a frame built by joining/unioning several checkpointed
+    * ancestors, and blindly unpersisting them would irreversibly destroy
+    * blocks other consumers may still need — lineage is truncated, so
+    * they fail instead of recomputing. */
   def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case l: LogicalRDD => l.rdd
-    }.foreach(_.unpersist(blocking = false))
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case other =>
+        val nested = other.collect { case l: LogicalRDD => l }
+        require(nested.size <= 1,
+          s"release() requires a frame backed by a single checkpoint, but " +
+            s"this plan nests ${nested.size} LogicalRDD nodes — a frame " +
+            "combining several checkpointed ancestors whose blocks may " +
+            "back other live consumers. Release each original " +
+            "checkpointed frame individually instead.")
+        nested.foreach(_.rdd.unpersist(blocking = false))
+    }
 
-  /** Unpersist every RDD the context still tracks; returns how many were
-    * released. Expected between independent queries in a long-lived
-    * session: at that boundary anything still persisted is either a
-    * documented checkpointed RESULT the caller has finished with, or a
-    * leak (an operator violating the contract above — worth logging). */
-  def releaseAll(spark: SparkSession): Int = {
+  /** Unpersist every RDD the context still tracks; returns one
+    * `id=… name=…` descriptor per released RDD so a leak is
+    * attributable to the operator that persisted it. Expected between
+    * independent queries in a long-lived session: at that boundary
+    * anything still persisted is either a documented checkpointed RESULT
+    * the caller has finished with, or a leak (an operator violating the
+    * contract above — worth logging). */
+  def releaseAll(spark: SparkSession): Seq[String] = {
     val rdds = spark.sparkContext.getPersistentRDDs
     rdds.values.foreach(_.unpersist(blocking = false))
-    rdds.size
+    rdds.map { case (id, r) =>
+      s"id=$id name=${Option(r.name).getOrElse(r.toString.takeWhile(_ != ' '))}"
+    }.toSeq
   }
 }
