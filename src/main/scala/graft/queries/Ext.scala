@@ -38,6 +38,46 @@ object Ext {
   private[queries] def aCoef(i: Int): Long = (2654435761L * (2 * i + 1)) % MinHashP
   private[queries] def bCoef(i: Int): Long = (2246822519L * (i + 1)) % MinHashP
 
+  /** Order-isomorphic fixed-width lang pack (q_prep_pipeline): the first
+    * 14 UTF-8 BYTES of the tag, big-endian, as a DECIMAL(38,0) — numeric
+    * order ≡ memcmp order on the NUL-right-padded byte string, which is
+    * both engines' string comparison, so `min(packLang(lang))` decodes to
+    * exactly `min(lang)`. A decimal is a fixed 16-byte MUTABLE aggregation
+    * buffer slot, so the min stays inside HashAggregate (the catalog-wide
+    * no-SortAggregate guard). Packing is BYTE-level (`cast(binary)` +
+    * binary rpad): a multi-byte UTF-8 tag pads to exactly 14 bytes, where
+    * the round-4 character-level `rpad` overflowed `conv` and silently
+    * turned the value NULL. 14 bytes covers every registered BCP-47 tag
+    * (`zh-Hant-TW` = 10); a longer tag fails LOUDLY via assert_true
+    * (guarded inside the expression so pruning can't drop it). NULL lang
+    * stays NULL — min() skips it exactly like min(lang) — and never
+    * reaches assert_true, which throws on a null condition. */
+  private[graft] val LangPackBytes = 14
+  private val Pow56 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(56)))
+  private[graft] def packLang(lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bytes = lang.cast("binary")
+    // one 7-byte half = 56 bits, inside conv()'s unsigned-64 exact range
+    def half(pos: Int) =
+      conv(hex(rpad(substring(bytes, pos, 7), 7, Array[Byte](0))), 16, 10)
+        .cast("decimal(18,0)")
+    when(lang.isNotNull, when(
+      assert_true(octet_length(lang) <= LangPackBytes,
+        lit(s"lang exceeds the $LangPackBytes-byte order-isomorphic pack")).isNull,
+      (half(1) * Pow56 + half(8)).cast("decimal(38,0)")))
+  }
+
+  /** Inverse of [[packLang]]: split at 2^56 (the subtraction makes the
+    * division exact — a direct `floor(x / 2^56)` rounds at decimal scale
+    * 6 and can carry up when the low half is near-max), hex each 56-bit
+    * half back to 7 bytes, strip the NUL pad. */
+  private[graft] def unpackLang(packed: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val lo = packed % Pow56
+    val hi = ((packed - lo) / Pow56).cast("decimal(18,0)")
+    def bytesOf(c: org.apache.spark.sql.Column) =
+      unhex(lpad(conv(c.cast("string"), 10, 16), 14, "0"))
+    rtrim(concat(bytesOf(hi), bytesOf(lo.cast("decimal(18,0)"))).cast("string"), "\u0000")
+  }
+
   // Hash sources are pluggable throughout this catalog: the oracle gate
   // uses portable md5-derived families (DuckDB replicates them
   // bit-for-bit); bench/production mode uses xxhash64-derived values of
@@ -273,24 +313,16 @@ object Ext {
       // canonicalization out of HashAggregate (fixed-width buffers only)
       // into a full SortAggregate — the round-4 plan audit's one wrong
       // plan. Instead min() runs over an order-isomorphic FIXED-WIDTH
-      // encoding: the first 7 bytes of lang packed big-endian into a
-      // BIGINT (NUL-padded, so shorter strings sort first exactly like
-      // UTF-8 memcmp — both engines' string order). assert_true guards
-      // the ≤7-byte contract inside the expression so pruning can't drop
-      // it; the min code decodes back to the identical min(lang) string.
-      // null lang stays null (min() skips it, like min(lang) would) and
-      // must not reach assert_true, which throws on a null condition
-      val packedLang = when(col("lang").isNotNull, when(
-        assert_true(octet_length(col("lang")) <= 7,
-          lit("lang exceeds the 7-byte order-isomorphic pack")).isNull,
-        conv(hex(rpad(col("lang"), 7, "\u0000")), 16, 10).cast("bigint")))
-      val decodedLang = rtrim(
-        unhex(lpad(conv(col("__lc").cast("string"), 10, 16), 14, "0")).cast("string"),
-        "\u0000")
+      // encoding (packLang): the first 14 UTF-8 BYTES of lang, big-endian
+      // into a DECIMAL(38,0) — still a fixed 16-byte mutable aggregation
+      // buffer, so the chain stays HashAggregate (spec-guarded), while
+      // 14 bytes covers every registered BCP-47 tag (zh-Hant-TW = 10)
+      // and the byte-level pad keeps the isomorphism for non-ASCII tags.
       ord(kept
         .groupBy(md5(col("text")).as("__h"), col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), min(packedLang).as("__lc"))
-        .select(decodedLang.as("lang"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(packLang(col("lang"))).as("__lc"))
+        .select(unpackLang(col("__lc")).as("lang"))
         .groupBy("lang").agg(count(lit(1)).as("n_docs")))
     }),
 
