@@ -301,9 +301,11 @@ object TextDedup {
     * are one groupBy (neighborhood min) + one broadcast-size join back —
     * the same per-round plan family as propagation, over an edge frame
     * that only ever shrinks toward one edge per non-root vertex.
-    * Convergence: the edge set is a fixpoint of both phases (checked
-    * with count + anti-join emptiness, two cheap jobs over checkpointed
-    * edges). The per-round lifecycle matches [[duplicateClusters]]:
+    * Convergence: the edge set is a fixpoint of both phases — set
+    * equality probed by ONE 1-row aggregate per round (count plus
+    * left-join membership diff in the same job, which also materializes
+    * the round's lazy checkpoints — the same fused-action shape as
+    * propagation). The per-round lifecycle matches [[duplicateClusters]]:
     * lazy checkpoint materialized by the convergence action, superseded
     * frames released immediately, the returned frame checkpointed
     * (callers release it via `graft.plans.Checkpoints.release`). */
@@ -332,6 +334,12 @@ object TextDedup {
     // the selected side of every edge at m. `largeSide` picks which
     // neighbors move: the larger one (large-star) or the smaller-or-equal
     // one plus the node itself (small-star).
+    // NOTE the closing distinct() is load-bearing for THROUGHPUT, not
+    // just set semantics: an experiment skipping it on the large-star
+    // intermediate (duplicates are harmless to small-star's min and to
+    // the round's final distinct) measured 3.8s -> 6.0s on the 100k
+    // probe — duplicate inflation through small-star's two shuffles and
+    // join costs more than the dedup shuffle it saves.
     def phase(bi: DataFrame, large: Boolean): DataFrame = {
       val m = bi.groupBy(col("src"))
         .agg(least(min(col("dst")), col("src")).as("m"))
@@ -363,11 +371,21 @@ object TextDedup {
       val large = phase(bidir(edges), large = true).localCheckpoint(eager = false)
       val next = phase(bidir(large), large = false)
         .localCheckpoint(eager = false)
-      val nNext = next.count() // materializes both lazy checkpoints
-      // set equality: both sides are distinct, so equal counts plus an
-      // empty one-sided difference suffice
-      converged = nNext == nEdges &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // the ONE action of the round: the membership-diff aggregate scans
+      // every partition of `next`, so it materializes both lazy
+      // checkpoints AND decides convergence in the same job. Set
+      // equality: both sides are distinct, so an equal count plus an
+      // empty one-sided difference suffice — here count and diff ride
+      // one left join into a single 1-row aggregate (the old shape ran
+      // a second anti-join job per round)
+      val probe = next
+        .join(edges.select(col("u"), col("v"), lit(true).as("__old")),
+          Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("__old").isNull, 1)).as("fresh"))
+        .head()
+      val nNext = probe.getLong(0)
+      converged = nNext == nEdges && probe.getLong(1) == 0L
       graft.plans.Checkpoints.release(large) // intra-round scratch
       graft.plans.Checkpoints.release(edges)
       edges = next
