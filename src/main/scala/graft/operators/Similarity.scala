@@ -113,10 +113,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
   }
 
-  /** Above this many centroids the static argmin expression tree gives
-    * way to the exchange-based window form: a `least()` over thousands of
-    * per-centroid structs stresses codegen/plan size, and a coarse
-    * quantizer that big belongs in a different index family anyway. */
+  /** Tournament chunk width for the static argmin: `least()` takes at
+    * most this many per-centroid structs per expression, keeping each
+    * generated method small; chunk winners feed one more `least()`. */
   val ArgminTreeMaxK: Int = 256
 
   /** Nearest-centroid assignment: (vec_id, v, cid). Distance is the
@@ -124,36 +123,42 @@ object Similarity {
     * oracle's list comprehension exactly); ties broken by cid.
     *
     * The k centroids are COLLECTED (a bounded k-row action — the coarse
-    * quantizer is small by definition) and folded into one static
-    * `least(struct(dist_i, cid_i)...)` expression: struct ordering is
-    * lexicographic, so the minimum is exactly argmin-with-cid-tiebreak —
-    * ONE codegen'd projection per corpus row, ZERO shuffles. The former
-    * crossJoin + `Window.partitionBy(vec_id)` form pushed the whole
-    * corpus (wide embedding arrays) through a hash exchange just to rank
-    * k candidate rows per vector — a full corpus shuffle per Lloyd
-    * iteration and per ANN assignment at 100 TB. Beyond
-    * [[ArgminTreeMaxK]] centroids it falls back to that window form. */
+    * quantizer is small by definition) and folded into a static
+    * `least(struct(dist_i, cid_i)...)` TOURNAMENT: struct ordering is
+    * lexicographic, so each `least` is exactly argmin-with-cid-tiebreak,
+    * and nesting preserves it (the global min survives its chunk). One
+    * projection per corpus row, ZERO shuffles, at ANY k: beyond
+    * [[ArgminTreeMaxK]] centroids the structs split into ≤256-wide
+    * chunks whose winners meet in a final `least` — no single expression
+    * grows past the chunk width, so codegen stays inside sane method
+    * sizes instead of one k-wide monster. (The former fallback for
+    * k > 256 was crossJoin + `Window.partitionBy(vec_id)` — it pushed
+    * the whole corpus, wide embedding arrays and all, through a hash
+    * exchange just to rank k candidate rows per vector: a full corpus
+    * shuffle per Lloyd iteration and per ANN assignment at 100 TB. The
+    * tournament does the same k distance evaluations with no exchange
+    * at all.) At k in the low thousands WHOLE-STAGE codegen (which
+    * inlines the full operator pipeline into one processNext()) can
+    * still overflow the JVM's 64 KB method cap and fall back to
+    * per-expression codegen — UnsafeProjection splits the tournament
+    * into many small methods, so the projection stays compiled and
+    * shuffle-free; only the stage fusion is lost, and only at quantizer
+    * sizes far past any coarse-quantizer sweet spot. */
   def assignToCentroids(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val cs = cents.select(col("cid"), col("cen")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
     require(cs.nonEmpty, "assignToCentroids: empty centroid frame")
-    if (cs.length <= ArgminTreeMaxK) {
-      val candidates = cs.map { case (cid, cen) =>
+    def argmin(entries: Seq[Column]): Column =
+      if (entries.length == 1) entries.head else least(entries: _*)
+    val winner = argmin(cs.toSeq.grouped(ArgminTreeMaxK).map { chunk =>
+      argmin(chunk.map { case (cid, cen) =>
         struct(
           graft.functions.VecSqDiff.vec_sqdiff(
             col("v"), array(cen.map(lit): _*)).as("dist"),
           lit(cid).as("cid"))
-      }
-      vectors.select(col("vec_id"), col("v"),
-        least(candidates: _*).getField("cid").as("cid"))
-    } else {
-      val scored = vectors.crossJoin(broadcast(cents))
-        .withColumn("dist",
-          graft.functions.VecSqDiff.vec_sqdiff(col("v"), col("cen")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
-    }
+      })
+    }.toSeq)
+    vectors.select(col("vec_id"), col("v"), winner.getField("cid").as("cid"))
   }
 
   /** All pairs with cosine >= `threshold`: (vec_a, vec_b, cos).

@@ -64,17 +64,26 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"tree assignment must not shuffle:\n${p.take(400)}")
   }
 
-  test("assignment window fallback (k > ArgminTreeMaxK) matches a driver-side argmin") {
-    // 300 centroids exceed ArgminTreeMaxK = 256, forcing the
-    // exchange-based window path — assert it still computes exact
-    // argmin-with-cid-tiebreak against an independent in-memory replay
-    val cents = vecs.orderBy("vec_id").limit(300)
-      .select(col("vec_id").as("cid"), col("v").as("cen"))
-    assert(cents.count() > Similarity.ArgminTreeMaxK,
-      "fixture must exceed the expression-tree limit")
-    val got = Similarity.assignToCentroids(vecs, cents)
+  test("chunked argmin tournament (k > ArgminTreeMaxK) is exact and exchange-free") {
+    // 1024 synthetic centroids force the ≤256-wide chunk tournament
+    // (4 chunk winners meeting in a final least) — assert it still
+    // computes exact argmin-with-cid-tiebreak against an independent
+    // in-memory replay AND that the plan has no Exchange: the point of
+    // retiring the old window fallback was that it pushed the whole
+    // corpus through a hash exchange per assignment.
+    import spark.implicits._
+    val dim = 64
+    val cs = (0 until 1024).map(i =>
+      (i.toLong, Seq.tabulate(dim)(d => ((i * 31 + d * 7) % 17).toDouble)))
+    val cents = cs.toDF("cid", "cen")
+    assert(cs.length > Similarity.ArgminTreeMaxK,
+      "fixture must exceed the chunk width")
+    val assigned = Similarity.assignToCentroids(vecs, cents)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"chunked assignment must not shuffle at k=1024:\n${p.take(400)}")
+    val got = assigned
       .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cs = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     val vs = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     val expect = vs.map { case (id, v) =>
       id -> cs.map { case (cid, cen) =>
@@ -84,7 +93,7 @@ class SimilaritySpec extends SparkSpec {
         (d, cid)
       }.min._2
     }.toMap
-    assert(got == expect, "window fallback diverges from exact argmin")
+    assert(got == expect, "chunked tournament diverges from exact argmin")
   }
 
   test("IVF probing: nprobe=all cells equals brute force; recall grows with nprobe") {
