@@ -136,38 +136,63 @@ object Streams {
     * `maxHamming + 1` band buckets (`flatMap`, the streaming twin of the
     * batch `simhash_bands` generator); per (band, bkey) bucket the state
     * holds the (doc_id, simhash) pairs seen so far, and a new arrival
-    * emits `(doc_a, doc_b, hamming)` for every stored doc within
+    * emits `(doc_a, doc_b, band, hamming)` for every stored doc within
     * `maxHamming` — incremental dedup for a corpus that grows batch by
     * batch (a crawl feed), without rescanning the archive.
     *
-    * Contracts: candidate pairs may surface once per shared band (the
-    * batch form's `.distinct()`) — dedupe downstream or key the sink by
-    * the pair. `maxBucket` caps per-bucket state: arrivals to a full
-    * bucket are ignored (the streaming form of the degenerate-bucket
-    * guard — a batch cap drops the whole bucket retroactively; a stream
-    * cannot). Intra-batch arrivals process in doc_id order and
-    * re-deliveries of an already-stored doc_id are no-ops, so output is
-    * deterministic for any batch split AS LONG AS no bucket reaches
-    * `maxBucket`: admission to a cap-straddling bucket is first-arrival,
-    * and which docs arrive first depends on the batching (a bucket at
-    * cap−1 admits doc 3 from the single batch {3, 5} but doc 5 from the
-    * split [5], [3]). Pairs among admitted docs are still exact; only the
-    * admission set of degenerate buckets is batching-dependent — the
-    * price of capping without retroactive eviction. State is per-bucket
-    * and unbounded in bucket
-    * COUNT (dedup state never expires by design — at 100 TB this state
-    * is |docs|·bands rows of 16 bytes, hash-partitioned across
-    * executors; RocksDB-backed state stores hold it off-heap). */
+    * Contracts: a candidate pair surfaces once per shared band — the
+    * BAND INDEX is part of the output row precisely so this multiset
+    * contract is impossible to miss (project it away and `.distinct()`
+    * for the batch `.distinct()`ed pair set; counting rows without doing
+    * so double-counts pairs that collide in several bands). `maxBucket`
+    * caps per-bucket state: arrivals to a full bucket are ignored (the
+    * streaming form of the degenerate-bucket guard — a batch cap drops
+    * the whole bucket retroactively; a stream cannot). Intra-batch
+    * arrivals process in doc_id order and re-deliveries of an
+    * already-stored doc_id are no-ops, so output is deterministic for
+    * any batch split AS LONG AS no bucket reaches `maxBucket`: admission
+    * to a cap-straddling bucket is first-arrival, and which docs arrive
+    * first depends on the batching (a bucket at cap−1 admits doc 3 from
+    * the single batch {3, 5} but doc 5 from the split [5], [3]). Pairs
+    * among admitted docs are still exact; only the admission set of
+    * degenerate buckets is batching-dependent — the price of capping
+    * without retroactive eviction.
+    *
+    * State: |docs|·bands rows of 16 bytes plus an admission timestamp,
+    * hash-partitioned across executors (RocksDB-backed state stores hold
+    * it off-heap). With `idleTtl = None` dedup state never expires —
+    * right for a bounded backfill, unbounded for a crawl that runs for
+    * months. `idleTtl = Some(d)` bounds it two ways: entries older than
+    * `d` (processing time at admission) stop matching and are dropped at
+    * the bucket's next update, freeing their `maxBucket` capacity
+    * (arrival-order eviction), and a bucket IDLE for `d` is removed
+    * whole by a processing-time timeout. Under a TTL the batch-parity
+    * contract is scoped: the streamed pair set equals the batch
+    * operator's over any docs co-resident within one TTL window; pairs
+    * across a longer gap are consciously forgone (the knob's purpose —
+    * a crawl revisiting a URL a month later is a re-crawl, not a dup).
+    * Engine caveat when a TTL is set: a registered processing-time
+    * timeout makes `shouldRunAnotherBatch` permanently true, so the
+    * micro-batch engine keeps scheduling (empty) batches to fire future
+    * timeouts and `StreamingQuery.processAllAvailable` never receives
+    * its no-new-data signal — it parks forever. Pair the query with a
+    * real `Trigger.ProcessingTime` interval in production, and await
+    * committed source offsets (not processAllAvailable) in tests. */
   def streamingNearDups(
       docs: Dataset[(Long, String)],
       maxHamming: Int = 3,
       maxBucket: Int = 1024,
-      portable: Boolean = false): Dataset[(Long, Long, Int)] = {
+      portable: Boolean = false,
+      idleTtl: Option[java.time.Duration] = None): Dataset[(Long, Long, Int, Int)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bands = maxHamming + 1
     val width = 60 / bands
     val mask = (1L << width) - 1
+    val ttlMs = idleTtl.map(_.toMillis).getOrElse(0L)
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val banded = docs.flatMap { case (id, text) =>
       if (text == null) Iterator.empty
       else {
@@ -177,22 +202,28 @@ object Streams {
       }
     }
     banded.groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
-            state: GroupState[Seq[(Long, Long)]]) => {
-          var seen = state.getOption.getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-          for ((_, _, id, sig) <- rows.toSeq.sortBy(_._3)
-               if !seen.exists(_._1 == id) && seen.size < maxBucket) {
-            for ((oid, osig) <- seen) {
-              val h = java.lang.Long.bitCount(osig ^ sig)
-              if (h <= maxHamming)
-                out += ((math.min(oid, id), math.max(oid, id), h))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Long)],
+            state: GroupState[Seq[(Long, Long, Long)]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val now = state.getCurrentProcessingTimeMs()
+            var seen = state.getOption.getOrElse(Seq.empty)
+              .filter(e => ttlMs <= 0 || now - e._3 <= ttlMs)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+            for ((b, _, id, sig) <- rows.toSeq.sortBy(_._3)
+                 if !seen.exists(_._1 == id) && seen.size < maxBucket) {
+              for ((oid, osig, _) <- seen) {
+                val h = java.lang.Long.bitCount(osig ^ sig)
+                if (h <= maxHamming)
+                  out += ((math.min(oid, id), math.max(oid, id), b, h))
+              }
+              seen = seen :+ ((id, sig, now))
             }
-            seen = seen :+ ((id, sig))
+            if (seen.isEmpty) state.remove() else state.update(seen)
+            if (ttlMs > 0 && seen.nonEmpty) state.setTimeoutDuration(ttlMs)
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
         })
   }
 
@@ -202,29 +233,40 @@ object Streams {
     * arriving document computes its k-value MinHash signature ONCE (the
     * same `MinHashSig.evalSig` core the batch generator codegens) and
     * fans out to its `bands` (band, slice-key) buckets; a new arrival
-    * emits `(doc_a, doc_b, n_match, est_jaccard)` against every stored
-    * doc in the bucket with estimated Jaccard >= `threshold`, scoring
-    * with the identical signature-agreement count and HALF_UP 6-digit
-    * rounding as the batch operator — so for any batch split the emitted
-    * pair SET equals the batch `minhashPairs` output (pairs may repeat
-    * once per agreeing band, like the batch form before `.distinct()`).
-    * Contracts match [[streamingNearDups]]: per-bucket state of
-    * (doc_id, signature), doc_id-ordered intra-batch processing,
-    * re-delivery no-ops, `maxBucket` first-arrival admission with the
-    * same determinism scoping (split-invariant only while every bucket
-    * stays under the cap). State: |docs|·bands entries of k+1 longs,
-    * hash-partitioned by bucket. */
+    * emits `(doc_a, doc_b, band, n_match, est_jaccard)` against every
+    * stored doc in the bucket with estimated Jaccard >= `threshold`,
+    * scoring with the identical signature-agreement count and HALF_UP
+    * 6-digit rounding as the batch operator — so for any batch split the
+    * emitted rows, PROJECTED off the band column and deduped, equal the
+    * batch `minhashPairs` output. A pair surfaces once per agreeing band
+    * (the batch form before `.distinct()`); the band index rides the
+    * output row so that multiset contract is impossible to miss — a
+    * consumer counting rows without dropping it double-counts pairs that
+    * collide in several bands. Contracts otherwise match
+    * [[streamingNearDups]]: per-bucket state of (doc_id, signature,
+    * admitted-at), doc_id-ordered intra-batch processing, re-delivery
+    * no-ops, `maxBucket` first-arrival admission with the same
+    * determinism scoping, and the same `idleTtl` knob (entry-level
+    * arrival-order expiry + whole-bucket idle timeout; batch parity
+    * scoped to docs co-resident within one TTL window). State:
+    * |docs|·bands entries of k+1 longs plus a timestamp, hash-partitioned
+    * by bucket. */
   def streamingNearDupsMinHash(
       docs: Dataset[(Long, String)],
       threshold: Double,
       k: Int = 32,
       bands: Int = 8,
       maxBucket: Int = 1024,
-      portable: Boolean = false): Dataset[(Long, Long, Int, Double)] = {
+      portable: Boolean = false,
+      idleTtl: Option[java.time.Duration] = None): Dataset[(Long, Long, Int, Int, Double)] = {
     require(k > 0 && bands > 0 && k % bands == 0, "bands must divide k")
     val spark = docs.sparkSession
     import spark.implicits._
     val r = k / bands
+    val ttlMs = idleTtl.map(_.toMillis).getOrElse(0L)
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     val banded = docs.flatMap { case (id, text) =>
       if (text == null) Iterator.empty
       else {
@@ -240,27 +282,33 @@ object Streams {
       }
     }
     banded.groupByKey(row => (row._1, row._2))
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (_: (Int, String), rows: Iterator[(Int, String, Long, Seq[Long])],
-            state: GroupState[Seq[(Long, Seq[Long])]]) => {
-          var seen = state.getOption.getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
-          for ((_, _, id, sig) <- rows.toSeq.sortBy(_._3)
-               if !seen.exists(_._1 == id) && seen.size < maxBucket) {
-            for ((oid, osig) <- seen) {
-              var m = 0
-              var i = 0
-              while (i < k) { if (osig(i) == sig(i)) m += 1; i += 1 }
-              // exactly Spark's round(x, 6): BigDecimal HALF_UP on the double
-              val est = java.math.BigDecimal.valueOf(m.toDouble / k)
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-              if (est >= threshold)
-                out += ((math.min(oid, id), math.max(oid, id), m, est))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: (Int, String), rows: Iterator[(Int, String, Long, Seq[Long])],
+            state: GroupState[Seq[(Long, Seq[Long], Long)]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val now = state.getCurrentProcessingTimeMs()
+            var seen = state.getOption.getOrElse(Seq.empty)
+              .filter(e => ttlMs <= 0 || now - e._3 <= ttlMs)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Double)]
+            for ((b, _, id, sig) <- rows.toSeq.sortBy(_._3)
+                 if !seen.exists(_._1 == id) && seen.size < maxBucket) {
+              for ((oid, osig, _) <- seen) {
+                var m = 0
+                var i = 0
+                while (i < k) { if (osig(i) == sig(i)) m += 1; i += 1 }
+                // exactly Spark's round(x, 6): BigDecimal HALF_UP on the double
+                val est = java.math.BigDecimal.valueOf(m.toDouble / k)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                if (est >= threshold)
+                  out += ((math.min(oid, id), math.max(oid, id), b, m, est))
+              }
+              seen = seen :+ ((id, sig, now))
             }
-            seen = seen :+ ((id, sig))
+            if (seen.isEmpty) state.remove() else state.update(seen)
+            if (ttlMs > 0 && seen.nonEmpty) state.setTimeoutDuration(ttlMs)
+            out.iterator
           }
-          state.update(seen)
-          out.iterator
         })
   }
 

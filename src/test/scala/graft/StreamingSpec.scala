@@ -225,15 +225,17 @@ class StreamingSpec extends SparkSpec {
     val ms = MemoryStream[(Long, String)]
     val q = graft.streaming.Streams.streamingNearDups(ms.toDS(), maxHamming = 3,
         portable = true)
-      .toDF("doc_a", "doc_b", "hamming")
+      .toDF("doc_a", "doc_b", "band", "hamming")
       .writeStream.format("memory").queryName("neardup").outputMode("append").start()
     try {
       ms.addData(docs.take(3): _*)
       q.processAllAvailable()
       ms.addData(docs.drop(3): _*)   // doc 4 must pair with doc 1 from batch 1
       q.processAllAvailable()
+      // the band column makes per-band multiplicity explicit; project it
+      // away for the batch (.distinct()ed) pair-set contract
       val streamed = spark.table("neardup").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
       val batch = graft.operators.TextDedup.simhashPairs(
           docs.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3, portable = true)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
@@ -262,21 +264,119 @@ class StreamingSpec extends SparkSpec {
       val name = s"neardup_mh_$splitAt"
       val q = graft.streaming.Streams.streamingNearDupsMinHash(
           ms.toDS(), threshold = 0.2, portable = true)
-        .toDF("doc_a", "doc_b", "n_match", "est_jaccard")
+        .toDF("doc_a", "doc_b", "band", "n_match", "est_jaccard")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
         ms.addData(docs.take(splitAt): _*)
         q.processAllAvailable()
         ms.addData(docs.drop(splitAt): _*)
         q.processAllAvailable()
-        val streamed = spark.table(name).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+        val rows = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+        // band rides every row (the multiset contract made explicit):
+        // (a, b, band) never repeats, while the band-projected pair set
+        // equals the batch .distinct()ed output
+        assert(rows.map(p => (p._1, p._2, p._3)).distinct.length == rows.length,
+          s"split@$splitAt: a pair must surface at most once per band")
+        val streamed = rows.map(p => (p._1, p._2, p._4, p._5)).toSet
         assert(streamed == batchPairs,
           s"split@$splitAt: streamed $streamed must equal batch $batchPairs")
         assert(streamed.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 32),
           "the cross-batch exact dup must agree on the full signature")
       } finally q.stop()
     }
+  }
+
+  /** Wait until the query has committed a batch whose source end-offset
+    * reaches `n` (MemoryStream offsets are the running addData count).
+    * `processAllAvailable` CANNOT be used once a processing-time timeout
+    * is registered: FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    * then always true, the engine keeps scheduling (empty) batches to
+    * fire future timeouts, and the no-new-data signal never arrives —
+    * the call parks forever by design, not by bug. */
+  private def awaitOffset(q: org.apache.spark.sql.streaming.StreamingQuery,
+      addDataCalls: Long, timeoutMs: Long = 120000): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    // MemoryStream offsets are 0-based block indexes: the Nth addData
+    // block is fully processed once endOffset reaches N-1
+    def reached: Boolean = Option(q.lastProgress).exists { p =>
+      p.sources.nonEmpty && Option(p.sources(0).endOffset).exists { o =>
+        val digits = o.replaceAll("[^0-9]", "")
+        digits.nonEmpty && digits.toLong >= addDataCalls - 1
+      }
+    }
+    while (!reached && System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(reached,
+      s"stream did not commit addData block $addDataCalls in ${timeoutMs}ms")
+  }
+
+  test("idleTtl bounds near-dup state: expired entries stop matching, idle buckets drop") {
+    // the crawl-feed eviction knob: with a tiny TTL, a doc arriving long
+    // after its near-twin must NOT pair (the entry expired and its
+    // maxBucket slot was freed); with no TTL the same schedule pairs.
+    // Deliberately generous sleeps vs the 150ms TTL keep this stable on
+    // a loaded host.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // an exact duplicate: guaranteed hamming 0, pairs in every band
+    val first = 1L -> "the quick brown fox jumps over the lazy dog"
+    val late = 2L -> "the quick brown fox jumps over the lazy dog"
+    for ((ttl, expectPair) <- Seq(
+        Some(java.time.Duration.ofMillis(150)) -> false,
+        (None: Option[java.time.Duration]) -> true)) {
+      val ms = MemoryStream[(Long, String)]
+      val name = s"neardup_ttl_${expectPair}"
+      val q = graft.streaming.Streams.streamingNearDups(ms.toDS(), maxHamming = 3,
+          portable = true, idleTtl = ttl)
+        .toDF("doc_a", "doc_b", "band", "hamming")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(first)
+        if (ttl.isDefined) awaitOffset(q, 1) else q.processAllAvailable()
+        if (ttl.isDefined) Thread.sleep(1000) // let every admission expire
+        ms.addData(late)
+        if (ttl.isDefined) awaitOffset(q, 2) else q.processAllAvailable()
+        val pairs = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (expectPair)
+          assert(pairs == Set((1L, 2L)), s"no-TTL run must pair: $pairs")
+        else
+          assert(pairs.isEmpty,
+            s"doc 1's entries outlived a 150ms TTL across a 1s gap: $pairs")
+      } finally q.stop()
+    }
+  }
+
+  test("idleTtl with co-resident docs keeps batch parity (pairs inside the window)") {
+    // the TTL contract's other half: docs arriving within one TTL window
+    // still produce exactly the batch pair set — eviction only forgoes
+    // pairs across a longer gap than the knob allows.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog")
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.streamingNearDups(ms.toDS(), maxHamming = 3,
+        portable = true, idleTtl = Some(java.time.Duration.ofHours(1)))
+      .toDF("doc_a", "doc_b", "band", "hamming")
+      .writeStream.format("memory").queryName("neardup_ttl_parity")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.head)
+      awaitOffset(q, 1)
+      ms.addData(docs(1))
+      awaitOffset(q, 2)
+      val streamed = spark.table("neardup_ttl_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val batch = graft.operators.TextDedup.simhashPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3,
+          portable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(batch.nonEmpty, "fixture must actually pair or parity is vacuous")
+      assert(streamed == batch,
+        s"inside the TTL window streamed $streamed must equal batch $batch")
+    } finally q.stop()
   }
 
   test("streaming contamination matches the batch cross-overlap pairs across batches") {
