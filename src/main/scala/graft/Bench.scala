@@ -47,6 +47,7 @@ object Bench {
     "q_annotate_tokens",
     "q_annotate_pos",
     "q_annotate_srl",
+    "q_pipeline_e2e",
     "q_dedup_exact",
     "q_dedup_fingerprint",
     "q_dedup_ngram_jaccard",

@@ -60,8 +60,14 @@ object ScalableWindows {
     * 1.9s; 14 MB input serial 4.2s vs scalable 2.2s — 4 MB splits it (window-node estimates run ~55% of raw file size). */
   val SerialThresholdBytes: Long = 4L * 1024 * 1024
 
-  private def smallEnoughForSerial(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes <= SerialThresholdBytes
+  private def smallEnoughForSerial(df: DataFrame): Boolean = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val serial = est <= SerialThresholdBytes
+    if (log.isDebugEnabled)
+      log.debug(s"global window path: ${if (serial) "serial" else "distributed"} " +
+        s"(estimated $est B vs $SerialThresholdBytes B gate)")
+    serial
+  }
 
   /** Collision-free working-column name: `base` unless the input already
     * carries it, else `base1`, `base2`, ... */
@@ -77,13 +83,34 @@ object ScalableWindows {
     * serial fast path could handle them, but a result that flips from
     * right to wrong when the input crosses the size threshold is worse
     * than an up-front error — callers order by the negated key instead. */
-  private def requireAscending(order: Seq[Column]): Unit =
+  private def requireAscending(order: Seq[Column]): Unit = {
+    suppressNoPartitionWarn
     order.foreach { c =>
       if (org.apache.spark.sql.GraftColumnBridge.isDescending(c))
         throw new IllegalArgumentException(
           s"descending order key unsupported ($c): ScalableWindows buckets " +
             "ascend; order by the negated/inverted key instead")
     }
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Spark's WindowExec logs `No Partition Defined for Window operation!
+    * Moving all data to a single partition` on EVERY execution of a
+    * no-partition window node. Here that shape is only ever used
+    * deliberately — the size-gated serial fast path and the
+    * bucket-count-bounded offsets frames — so the per-batch warning is
+    * pure noise that makes every sf0.1 bench log look broken. The
+    * library contract routes ALL global windows through these methods
+    * (that is its whole point), so the blanket suppression does not hide
+    * a real single-partition hazard; the chosen path is logged at DEBUG
+    * once per call instead (see [[smallEnoughForSerial]]). One-time,
+    * best-effort: a non-log4j2 binding just keeps its warnings. */
+  private lazy val suppressNoPartitionWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
   /** Deterministic quantile bucket expression over the first order key:
     * rows with key <= bound(i) fall in bucket i (first-match when-chain);

@@ -195,6 +195,42 @@ object Annotation {
           (md5Hex(r.rawText), trees.size, trees.map(_.nodes.size - 1).sum)
         }.toDF("h", "n_predicates", "n_args"))
     }),
+
+    // The reference's ACTUAL workload shape (JobHandler.java:163-194):
+    // not one annotator over an in-memory corpus but the full D11-D18
+    // chain — ingest a record DIRECTORY, plan the dependency chain,
+    // annotate in one narrow pass, rotate old output, write, upsert the
+    // archive. The three q_annotate_* singles above time the operator;
+    // this times the COMPOSITION, so a regression in the planner probe,
+    // the rotation protocol, or the store upsert shows up in the bench
+    // even when each piece passes its own spec. Staging (documents ->
+    // record dir) is cached per sfDir; store and output are reset each
+    // run so every run measures the identical cold path: the archive-HIT
+    // path (plan empty, annotate skipped) is a different workload,
+    // spec'd in PipelineSpec, and mixing the two would make min-of-N
+    // report whichever the scheduler hit. Rows-only check (no SQL
+    // oracle): the composition's per-view counts are already
+    // oracle-checked by the singles; here the value is the timed chain.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_e2e_" + md5Hex(dir).take(12)).getAbsolutePath
+      val inDir = s"$base/input"
+      if (!new java.io.File(inDir).isDirectory)
+        Sources.writeRecords(corpus(s, dir, "documents", "text"), inDir,
+          idPrefixPartitions = true)
+      val outDir = s"$base/out"
+      val storeDir = s"$base/store"
+      for (d <- Seq(outDir, storeDir)) // fresh chain every run
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      val ann = new graft.plans.Pipeline(eng)
+        .run(s, inDir, M.POS, outDir, storeDir = Some(storeDir))
+      ord(ann.map { r =>
+          (md5Hex(r.rawText), r.labelViews("tokens").labels.size,
+            r.labelViews("pos").labels.size)
+        }.toDF("h", "n_tokens", "n_pos"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
