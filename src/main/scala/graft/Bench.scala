@@ -170,7 +170,7 @@ object Bench {
     // still disagree by >1.5x one of them likely ate a burst the gate
     // missed, so re-gate and arbitrate with a third run.
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
-    val results = selected.map { n =>
+    def measure(n: String): Double = {
       ensureCalm(n)
       val a = runOnce(n); val b = runOnce(n)
       var runs = List(a, b)
@@ -182,10 +182,44 @@ object Bench {
           runs = runs :+ c
           if (c < 0) math.min(a, b) else math.min(c, math.min(a, b))
         } else math.min(a, b)
-      rawRuns(n) = runs
-      n -> t
+      rawRuns(n) = rawRuns.getOrElse(n, Nil) ++ runs
+      t
     }
+    var results = selected.map(n => n -> measure(n))
+
+    // END-OF-SUITE REVALIDATION: the pre-query gate cannot see a burst
+    // that STARTS mid-measurement — a full-suite run showed
+    // q_dedup_clusters at [14.3s, 53.3s, 6.3s] with calm probes on both
+    // sides (isolated calm time: 2.5s). A query is suspect when its own
+    // gate saw a hot probe or its runs still disagree >1.5x after
+    // arbitration; suspects get one more gated run at suite end (usually
+    // past the burst), and the min counts. Bounded: one pass, one run
+    // per suspect, plus whatever the gate sleeps.
+    val suspects = results.collect { case (n, t) =>
+      val ok = rawRuns(n).filter(_ >= 0)
+      val sawHotProbe = probeLog.getOrElse(n, Nil).exists(_ > 2.0 * probeRef)
+      val unstable = ok.nonEmpty && ok.max > 1.5 * ok.min
+      if (t >= 0 && (sawHotProbe || unstable)) Some(n) else None
+    }.flatten
+    if (suspects.nonEmpty) {
+      System.err.println(s"[bench] revalidating ${suspects.size} " +
+        s"burst-suspect queries: ${suspects.mkString(", ")}")
+      val better = suspects.map { n =>
+        ensureCalm(n)
+        val r = runOnce(n)
+        rawRuns(n) = rawRuns(n) :+ r
+        n -> r
+      }.toMap
+      results = results.map { case (n, t) =>
+        n -> (better.get(n) match {
+          case Some(r) if r >= 0 && (t < 0 || r < t) => r
+          case _ => t
+        })
+      }
+    }
+
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.4f").mkString("[", ",", "]")
+    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _) =>
@@ -193,7 +227,7 @@ object Bench {
         ",\"probes\":" + arr(probeLog.getOrElse(k, Nil)) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_ref":$probeRef,"cooldown_sec":$cooldownSpent,"raw":$raw}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_ref":$probeRef,"cooldown_sec":$cooldownSpent,"revalidated":${strArr(suspects)},"raw":$raw}""")
     spark.stop()
   }
 }
