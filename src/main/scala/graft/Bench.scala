@@ -139,14 +139,20 @@ object Bench {
     val cooldownBudget = 15 * 60.0 // total seconds we may spend waiting
     var cooldownSpent = 0.0
     val probeLog = scala.collection.mutable.Map.empty[String, List[Double]]
+    // tags whose gate actually detected a burst AT THE TIME (vs the ref
+    // known then) — the revalidation criterion. Judging old probes
+    // against the END-of-suite running min instead retroactively flags
+    // nearly every query once one late calm probe lowers the ref.
+    val gateTripped = scala.collection.mutable.Set.empty[String]
 
-    /** Probe until the host looks calm (probe <= 2x best-ever) or the
+    /** Probe until the host looks calm (probe <= 2x best-so-far) or the
       * cooldown budget is gone. Records every probe time under `tag`. */
     def ensureCalm(tag: String): Unit = {
       var p = probeOnce()
       probeRef = math.min(probeRef, p)
       probeLog(tag) = probeLog.getOrElse(tag, Nil) :+ p
       while (p > 2.0 * probeRef && cooldownSpent < cooldownBudget) {
+        gateTripped += tag
         val napSec = 20
         System.err.println(f"[bench] burst detected before $tag: probe " +
           f"$p%.3fs vs ref $probeRef%.3fs — cooling down ${napSec}s " +
@@ -197,9 +203,8 @@ object Bench {
     // per suspect, plus whatever the gate sleeps.
     val suspects = results.collect { case (n, t) =>
       val ok = rawRuns(n).filter(_ >= 0)
-      val sawHotProbe = probeLog.getOrElse(n, Nil).exists(_ > 2.0 * probeRef)
       val unstable = ok.nonEmpty && ok.max > 1.5 * ok.min
-      if (t >= 0 && (sawHotProbe || unstable)) Some(n) else None
+      if (t >= 0 && (gateTripped(n) || unstable)) Some(n) else None
     }.flatten
     if (suspects.nonEmpty) {
       System.err.println(s"[bench] revalidating ${suspects.size} " +

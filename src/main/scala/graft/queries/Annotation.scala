@@ -217,7 +217,9 @@ object Annotation {
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_e2e_" + md5Hex(dir).take(12)).getAbsolutePath
       val inDir = s"$base/input"
-      if (!new java.io.File(inDir).isDirectory)
+      // _SUCCESS, not the bare dir: a crashed partial write must restage,
+      // not poison every later run of the cached corpus
+      if (!new java.io.File(inDir, "_SUCCESS").isFile)
         Sources.writeRecords(corpus(s, dir, "documents", "text"), inDir,
           idPrefixPartitions = true)
       val outDir = s"$base/out"
