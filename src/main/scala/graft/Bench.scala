@@ -146,22 +146,30 @@ object Bench {
     val gateTripped = scala.collection.mutable.Set.empty[String]
 
     /** Probe until the host looks calm (probe <= 2x best-so-far) or the
-      * cooldown budget is gone. Records every probe time under `tag`. */
+      * cooldown budget is gone. Records every probe time under `tag`.
+      * A hot reading must be CONFIRMED by an immediate second probe
+      * before paying a nap: single calm-window probes spread ~2.5x
+      * (scheduler jitter on a 0.3s job), and unconfirmed trips burned
+      * 280s of cooldown in a run where every query measured calm. A real
+      * burst is minutes long — it trivially survives two probes. */
     def ensureCalm(tag: String): Unit = {
-      var p = probeOnce()
-      probeRef = math.min(probeRef, p)
-      probeLog(tag) = probeLog.getOrElse(tag, Nil) :+ p
-      while (p > 2.0 * probeRef && cooldownSpent < cooldownBudget) {
+      def probeLogged(): Double = {
+        val p = probeOnce()
+        probeRef = math.min(probeRef, p)
+        probeLog(tag) = probeLog.getOrElse(tag, Nil) :+ p
+        p
+      }
+      def hot(p: Double): Boolean = p > 2.0 * probeRef && probeLogged() > 2.0 * probeRef
+      var p = probeLogged()
+      while (hot(p) && cooldownSpent < cooldownBudget) {
         gateTripped += tag
         val napSec = 20
-        System.err.println(f"[bench] burst detected before $tag: probe " +
+        System.err.println(f"[bench] burst confirmed before $tag: probe " +
           f"$p%.3fs vs ref $probeRef%.3fs — cooling down ${napSec}s " +
           f"(budget left ${cooldownBudget - cooldownSpent}%.0fs)")
         Thread.sleep(napSec * 1000L)
         cooldownSpent += napSec
-        p = probeOnce()
-        probeRef = math.min(probeRef, p)
-        probeLog(tag) = probeLog(tag) :+ p
+        p = probeLogged()
       }
     }
 
