@@ -205,29 +205,45 @@ object Bench {
     // that STARTS mid-measurement — a full-suite run showed
     // q_dedup_clusters at [14.3s, 53.3s, 6.3s] with calm probes on both
     // sides (isolated calm time: 2.5s). A query is suspect when its own
-    // gate saw a hot probe or its runs still disagree >1.5x after
-    // arbitration; suspects get one more gated run at suite end (usually
-    // past the burst), and the min counts. Bounded: one pass, one run
-    // per suspect, plus whatever the gate sleeps.
-    val suspects = results.collect { case (n, t) =>
+    // gate tripped or its runs still disagree >1.5x after arbitration;
+    // suspects get another gated run at suite end (usually past the
+    // burst), and the min counts. Iterated up to 3 passes because the
+    // revalidation pass itself can land in a burst (observed live:
+    // star-clustering's extra run recorded 5.9s mid-burst vs 2.5s calm)
+    // — but each later pass re-runs ONLY queries with fresh burst
+    // evidence from the previous pass (a new gate trip, or a latest run
+    // still >1.5x the query's best), so calm passes terminate the loop.
+    var suspects = results.collect { case (n, t) =>
       val ok = rawRuns(n).filter(_ >= 0)
       val unstable = ok.nonEmpty && ok.max > 1.5 * ok.min
       if (t >= 0 && (gateTripped(n) || unstable)) Some(n) else None
     }.flatten
-    if (suspects.nonEmpty) {
-      System.err.println(s"[bench] revalidating ${suspects.size} " +
-        s"burst-suspect queries: ${suspects.mkString(", ")}")
-      val better = suspects.map { n =>
+    val revalidated = scala.collection.mutable.LinkedHashSet.empty[String]
+    var pass = 0
+    while (suspects.nonEmpty && pass < 3 && cooldownSpent < cooldownBudget) {
+      pass += 1
+      System.err.println(s"[bench] revalidation pass $pass: " +
+        s"${suspects.size} burst-suspect queries: ${suspects.mkString(", ")}")
+      revalidated ++= suspects
+      val trippedBefore = gateTripped.toSet
+      val passRun = suspects.map { n =>
         ensureCalm(n)
         val r = runOnce(n)
         rawRuns(n) = rawRuns(n) :+ r
         n -> r
       }.toMap
       results = results.map { case (n, t) =>
-        n -> (better.get(n) match {
+        n -> (passRun.get(n) match {
           case Some(r) if r >= 0 && (t < 0 || r < t) => r
           case _ => t
         })
+      }
+      suspects = suspects.filter { n =>
+        val ok = rawRuns(n).filter(_ >= 0)
+        val freshTrip = gateTripped(n) && !trippedBefore(n)
+        val stillHigh = ok.nonEmpty &&
+          passRun.get(n).exists(r => r >= 0 && r > 1.5 * ok.min)
+        freshTrip || stillHigh
       }
     }
 
@@ -240,7 +256,7 @@ object Bench {
         ",\"probes\":" + arr(probeLog.getOrElse(k, Nil)) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_ref":$probeRef,"cooldown_sec":$cooldownSpent,"revalidated":${strArr(suspects)},"raw":$raw}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_ref":$probeRef,"cooldown_sec":$cooldownSpent,"revalidated":${strArr(revalidated.toSeq)},"raw":$raw}""")
     spark.stop()
   }
 }
