@@ -61,6 +61,7 @@ object Bench {
     "q_dedup_embedding_lsh",
     "q_knn_bruteforce",
     "q_knn_ivf_probed",
+    "q_knn_pq_adc",
     "q_ivf_train",
     "q_text_quality",
     "q_lang_id",

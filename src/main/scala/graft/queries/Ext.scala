@@ -378,6 +378,34 @@ object Ext {
         assigned, cents, col("vec_id") < 10, k = 5, nprobe = 2))
     }),
 
+    // PRODUCT QUANTIZATION (IVF-PQ's compression half): m=4 subspace
+    // codebooks of ksub=8 centroids each, trained by the same
+    // deterministic Lloyd as q_ivf_train on the vector slices; the
+    // 512-byte double vector becomes m small codes — the 100-TB memory
+    // story — and encoding is one shuffle-free static-argmin projection.
+    // The oracle replays all four subspace trainings bit-for-bit.
+    "q_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cb = graft.operators.Similarity.trainPq(e, m = 4, ksub = 8, iters = 2)
+      val enc = graft.operators.Similarity.encodePq(e, cb)
+      ord(enc.select(col("vec_id"),
+        element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
+        element_at(col("codes"), 3).as("c2"), element_at(col("codes"), 4).as("c3")))
+    }),
+    // asymmetric-distance ANN over the PQ codes: each query precomputes
+    // its m x ksub LUT once (broadcast), each corpus candidate costs m
+    // array lookups instead of d multiplies. Distances sum in fixed
+    // subspace order so the oracle reproduces the exact double.
+    "q_knn_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      // trainPq returns a literal-backed frame (training already ran,
+      // fused, during construction) - no checkpoint needed for fan-out
+      val cb = graft.operators.Similarity.trainPq(e, m = 4, ksub = 8, iters = 2)
+      ord(graft.operators.Similarity.knnPqAdc(e, cb, col("vec_id") < 10, k = 5))
+    }),
+
     // ---- text analysis ----------------------------------------------
 
     "q_text_quality" -> ((s, dir) => {
@@ -662,6 +690,34 @@ object Ext {
        |  SELECT cid, d, CAST(sum(CAST(v[d] AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
        |  FROM $aSrc, unnest(range(1, len(v) + 1)) AS t(d) GROUP BY cid, d) GROUP BY cid""".stripMargin
 
+  /** Per-subspace PQ replay (the j-th slice `v[a:b]`): the identical
+    * Lloyd chain the q_ivf_train oracle runs, plus dense 0-based codes
+    * by centroid-id rank and the code-keyed codebook — exactly
+    * trainPq / encodePq's construction, so Spark and DuckDB agree on
+    * every code bit-for-bit. */
+  private def pqSubspaceCtes(j: Int, dsub: Int, ksub: Int): String = {
+    val a = j * dsub + 1
+    val b = (j + 1) * dsub
+    s"""v$j AS (SELECT vec_id, v[$a:$b] AS v FROM v),
+       |c0_$j AS (SELECT vec_id AS cid, v AS cen FROM v$j ORDER BY vec_id LIMIT $ksub),
+       |a1_$j AS (${ivfAssignSql(s"v$j", s"c0_$j")}),
+       |c1_$j AS (${ivfUpdateSql(s"a1_$j")}),
+       |a2_$j AS (${ivfAssignSql(s"v$j", s"c1_$j")}),
+       |c2_$j AS (${ivfUpdateSql(s"a2_$j")}),
+       |rk_$j AS (SELECT cid, CAST(row_number() OVER (ORDER BY cid) - 1 AS INT) AS code FROM c2_$j),
+       |cb_$j AS (SELECT r.code, c.cen FROM c2_$j c JOIN rk_$j r USING (cid)),
+       |fin_$j AS (${ivfAssignSql(s"v$j", s"c2_$j")}),
+       |codes_$j AS (SELECT f.vec_id, r.code FROM fin_$j f JOIN rk_$j r USING (cid))""".stripMargin
+  }
+
+  /** The full 4-subspace chain + the joined (vec_id, c0..c3) encoding. */
+  private def pqEncCtes: String =
+    s"""${(0 until 4).map(pqSubspaceCtes(_, 16, 8)).mkString(",\n")},
+       |enc AS (SELECT vec_id, codes_0.code AS c0, codes_1.code AS c1,
+       |    codes_2.code AS c2, codes_3.code AS c3
+       |  FROM codes_0 JOIN codes_1 USING (vec_id)
+       |  JOIN codes_2 USING (vec_id) JOIN codes_3 USING (vec_id))""".stripMargin
+
   /** DuckDB HUGEINT constants for unsigned-64 wrap arithmetic. */
   private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
   private val M63 = "CAST('9223372036854775808' AS HUGEINT)"
@@ -858,6 +914,33 @@ object Ext {
          |ranked AS (SELECT q_id, vec_id AS neighbor, cos,
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk FROM scored)
          |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_pq_encode" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |$pqEncCtes
+         |SELECT vec_id, c0, c1, c2, c3 FROM enc ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_pq_adc" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |$pqEncCtes,
+         |q0 AS (SELECT vec_id AS q_id, v FROM v WHERE vec_id < 10),
+         |${(0 until 4).map { j =>
+             val a = j * 16 + 1
+             s"""lut_$j AS (SELECT q.q_id, b.code,
+                |    list_sum([(q.v[$a + d - 1] - b.cen[d]) * (q.v[$a + d - 1] - b.cen[d]) FOR d IN range(1, len(b.cen) + 1)]) AS dd
+                |  FROM q0 q, cb_$j b)""".stripMargin
+           }.mkString(",\n")},
+         |scored AS (SELECT l0.q_id, e.vec_id,
+         |    round(((l0.dd + l1.dd) + l2.dd) + l3.dd, 4) AS adist
+         |  FROM enc e
+         |  JOIN lut_0 l0 ON l0.code = e.c0
+         |  JOIN lut_1 l1 ON l1.code = e.c1 AND l1.q_id = l0.q_id
+         |  JOIN lut_2 l2 ON l2.code = e.c2 AND l2.q_id = l0.q_id
+         |  JOIN lut_3 l3 ON l3.code = e.c3 AND l3.q_id = l0.q_id
+         |  WHERE e.vec_id <> l0.q_id),
+         |ranked AS (SELECT q_id, vec_id AS neighbor, adist,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor, adist, rk FROM ranked WHERE rk <= 5
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_vocab" ->
       """SELECT w, tf, df FROM (

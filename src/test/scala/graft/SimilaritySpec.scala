@@ -141,4 +141,68 @@ class SimilaritySpec extends SparkSpec {
     val (s0, s1, s2) = (total(seeds), total(c1), total(c2))
     assert(s1 <= s0 + 1e-9 && s2 <= s1 + 1e-9, s"SSE went up: $s0 -> $s1 -> $s2")
   }
+
+  test("encodePq: m dense codes per vector, shuffle-free encode plan") {
+    val cb = Similarity.trainPq(vecs, m = 4, ksub = 8, iters = 1)
+    val enc = Similarity.encodePq(vecs, cb)
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n${p.take(400)}")
+    val rows = enc.select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(rows.length == vecs.count(), "every vector must encode")
+    assert(rows.forall(_._2.length == 4), "m codes per vector")
+    assert(rows.forall(_._2.forall(c => c >= 0 && c < 8)),
+      "codes must be dense 0-based indexes below ksub")
+  }
+
+  test("ADC is EXACT on codebook-representable vectors") {
+    // the PQ contract in its sharpest form: when every corpus slice
+    // equals some centroid (here: the corpus IS the m=1 codebook's
+    // centroid set), quantization loses nothing and the asymmetric
+    // distance equals the true squared distance (up to the grouping of
+    // the per-slice partial sums, hence the 1e-9 tolerance)
+    import spark.implicits._
+    val cb = Similarity.trainPq(vecs, m = 4, ksub = 8, iters = 2)
+    // reconstruct a corpus from the codebooks: vector i = concat of the
+    // i-th centroid of each subspace
+    val cents = cb.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val byJ = cents.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    val nRep = byJ.map(_.length).min
+    val rep = (0 until nRep).map(i =>
+      (1000L + i, byJ.flatMap(cs => cs(i)).toSeq)).toDF("vec_id", "v")
+    val adc = Similarity.knnPqAdc(rep, cb, col("vec_id") === 1000L, k = nRep - 1)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val vs = rep.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val qv = vs(1000L)
+    for ((id, got) <- adc) {
+      val xv = vs(id)
+      val exact = qv.zip(xv).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(got - BigDecimal(exact).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"adist must be exact on representable vectors: $got vs $exact (id $id)")
+    }
+  }
+
+  test("ADC ranking tracks exact-distance ranking with usable recall") {
+    // lossy-compression sanity on the real corpus: ADC top-5 must share
+    // a meaningful fraction of the exact squared-distance top-5. The
+    // synthetic test embeddings are near-uniform random — PQ's
+    // adversarial case (no cluster structure for the codebooks to
+    // exploit; measured 0.22 here) — so the floor is set well above
+    // chance (5/499 ≈ 0.01) rather than at production-corpus levels.
+    val cb = Similarity.trainPq(vecs, m = 4, ksub = 8, iters = 2)
+    val adc = Similarity.knnPqAdc(vecs, cb, col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val vs = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val queries = vs.filter(_._1 < 10)
+    val recall = queries.map { case (qid, qv) =>
+      val exact = vs.filter(_._1 != qid).map { case (id, xv) =>
+        (xv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+      }.sorted.take(5).map(_._2).toSet
+      (adc(qid) intersect exact).size / 5.0
+    }
+    val mean = recall.sum / recall.length
+    assert(mean >= 0.15, f"mean ADC recall@5 $mean%.2f fell below the sanity floor")
+  }
 }
