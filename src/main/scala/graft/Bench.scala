@@ -62,6 +62,7 @@ object Bench {
     "q_knn_bruteforce",
     "q_knn_ivf_probed",
     "q_knn_pq_adc",
+    "q_knn_ivfpq",
     "q_ivf_train",
     "q_text_quality",
     "q_lang_id",

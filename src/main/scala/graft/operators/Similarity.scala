@@ -307,7 +307,9 @@ object Similarity {
           lit(code).as("code"))
       }.grouped(ArgminTreeMaxK).map(argmin).toSeq).getField("code")
     }
-    vectors.select(col("vec_id"), col("v"), array(codes: _*).as("codes"))
+    // withColumn, not select: extra input columns (an IVF cell id, say)
+    // ride through untouched — [[knnIvfPq]] relies on this
+    vectors.withColumn("codes", array(codes: _*))
   }
 
   /** Asymmetric-distance top-k: (q_id, neighbor, adist, rk) — smallest
@@ -347,6 +349,55 @@ object Similarity {
         element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val scored = encoded.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("adist", round(adist, 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"), col("rk"))
+  }
+
+  /** The composed IVF-PQ search — the architecture that actually runs at
+    * 100 TB: the coarse quantizer prunes candidates to each query's
+    * `nprobe` nearest CELLS (the [[knnIvfProbed]] recall knob), and the
+    * survivors are scored from their PQ CODES via the per-query lookup
+    * tables ([[knnPqAdc]]'s memory-bound inner loop). Per query the scan
+    * touches ~nprobe/cells of the corpus and reads m bytes per candidate
+    * instead of a 512-byte vector — both axes of the pruning multiply.
+    * Probe list and LUTs ride one broadcast query frame; the corpus is
+    * scanned ONCE (assignment and encoding are both static shuffle-free
+    * projections over the same scan). Determinism matches the halves:
+    * centroid ties by cid, adist summed in fixed subspace order, rank by
+    * (rounded adist, vec_id) — the oracle replays coarse training, all
+    * subspace trainings, probing and ADC bit-for-bit. */
+  def knnIvfPq(
+      vectors: DataFrame,
+      cents: DataFrame,
+      codebooks: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    val m = cbs.length
+    val dsub = subWidth(vectors, m)
+    val encoded = encodeWith(assignToCentroids(vectors, cents), cbs)
+    val lut = array((0 until m).map { j =>
+      array(cbs(j).map { case (_, cen) =>
+        graft.functions.VecSqDiff.vec_sqdiff(
+          slice(col("v"), j * dsub + 1, dsub), array(cen.map(lit): _*))
+      }: _*)
+    }: _*)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))
+    val probes = broadcast(vectors.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), lut.as("lut"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("cen")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("lut"), col("cid").as("qb")))
+    val adist = (0 until m).map(j =>
+        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = encoded
+      .join(probes, col("cid") === col("qb") && col("vec_id") =!= col("q_id"))
       .withColumn("adist", round(adist, 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -405,6 +405,18 @@ object Ext {
       val cb = graft.operators.Similarity.trainPq(e, m = 4, ksub = 8, iters = 2)
       ord(graft.operators.Similarity.knnPqAdc(e, cb, col("vec_id") < 10, k = 5))
     }),
+    // the COMPOSED IVF-PQ search - coarse cells prune candidates
+    // (nprobe=2 of 8), PQ codes + LUTs score the survivors: both pruning
+    // axes of the 100-TB ANN architecture in one oracle-checked query.
+    "q_knn_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+        .localCheckpoint(true)   // see q_knn_ivf_trained
+      val cb = graft.operators.Similarity.trainPq(e, m = 4, ksub = 8, iters = 2)
+      ord(graft.operators.Similarity.knnIvfPq(
+        e, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2))
+    }),
 
     // ---- text analysis ----------------------------------------------
 
@@ -937,6 +949,42 @@ object Ext {
          |  JOIN lut_2 l2 ON l2.code = e.c2 AND l2.q_id = l0.q_id
          |  JOIN lut_3 l3 ON l3.code = e.c3 AND l3.q_id = l0.q_id
          |  WHERE e.vec_id <> l0.q_id),
+         |ranked AS (SELECT q_id, vec_id AS neighbor, adist,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor, adist, rk FROM ranked WHERE rk <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |$pqEncCtes,
+         |q0 AS (SELECT vec_id AS q_id, v FROM v WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q_id, cid AS qb FROM (
+         |    SELECT q.q_id, s.cid,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_sum([(q.v[d] - s.cen[d]) * (q.v[d] - s.cen[d]) FOR d IN range(1, len(q.v) + 1)]), s.cid) AS rn
+         |    FROM q0 q, c2 s) WHERE rn <= 2),
+         |${(0 until 4).map { j =>
+             val a = j * 16 + 1
+             s"""lut_$j AS (SELECT q.q_id, b.code,
+                |    list_sum([(q.v[$a + d - 1] - b.cen[d]) * (q.v[$a + d - 1] - b.cen[d]) FOR d IN range(1, len(b.cen) + 1)]) AS dd
+                |  FROM q0 q, cb_$j b)""".stripMargin
+           }.mkString(",\n")},
+         |scored AS (SELECT p.q_id, e.vec_id,
+         |    round(((l0.dd + l1.dd) + l2.dd) + l3.dd, 4) AS adist
+         |  FROM enc e
+         |  JOIN fin f USING (vec_id)
+         |  JOIN probes p ON f.cid = p.qb AND e.vec_id <> p.q_id
+         |  JOIN lut_0 l0 ON l0.q_id = p.q_id AND l0.code = e.c0
+         |  JOIN lut_1 l1 ON l1.q_id = p.q_id AND l1.code = e.c1
+         |  JOIN lut_2 l2 ON l2.q_id = p.q_id AND l2.code = e.c2
+         |  JOIN lut_3 l3 ON l3.q_id = p.q_id AND l3.code = e.c3),
          |ranked AS (SELECT q_id, vec_id AS neighbor, adist,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rk
          |  FROM scored)

@@ -205,4 +205,24 @@ class SimilaritySpec extends SparkSpec {
     val mean = recall.sum / recall.length
     assert(mean >= 0.15, f"mean ADC recall@5 $mean%.2f fell below the sanity floor")
   }
+
+  test("knnIvfPq with nprobe = all cells equals the unpruned ADC search") {
+    // the composition contract: the coarse stage only PRUNES candidates,
+    // so probing every cell must reproduce knnPqAdc exactly; and recall
+    // against the unpruned result is monotone in nprobe
+    val cents = Similarity.trainIvf(vecs, k = 4, iters = 2).localCheckpoint(true)
+    val cb = Similarity.trainPq(vecs, m = 4, ksub = 8, iters = 2)
+    def res(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Long] =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val full = res(Similarity.knnPqAdc(vecs, cb, col("vec_id") < 5, k = 3))
+    val all = res(Similarity.knnIvfPq(vecs, cents, cb, col("vec_id") < 5, k = 3, nprobe = 4))
+    assert(all == full, "probing every cell must reproduce the unpruned ADC top-k")
+    def recall(np: Int): Double = {
+      val got = res(Similarity.knnIvfPq(vecs, cents, cb, col("vec_id") < 5, k = 3, nprobe = np)).toSet
+      full.toSet.intersect(got).size.toDouble / full.size
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r1 <= r2 + 1e-9 && r2 <= 1.0 + 1e-9, s"recall must grow with nprobe: $r1 -> $r2")
+    graft.plans.Checkpoints.release(cents)
+  }
 }
