@@ -148,16 +148,12 @@ object Similarity {
     val cs = cents.select(col("cid"), col("cen")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
     require(cs.nonEmpty, "assignToCentroids: empty centroid frame")
-    def argmin(entries: Seq[Column]): Column =
-      if (entries.length == 1) entries.head else least(entries: _*)
-    val winner = argmin(cs.toSeq.grouped(ArgminTreeMaxK).map { chunk =>
-      argmin(chunk.map { case (cid, cen) =>
-        struct(
-          graft.functions.VecSqDiff.vec_sqdiff(
-            col("v"), array(cen.map(lit): _*)).as("dist"),
-          lit(cid).as("cid"))
-      })
-    }.toSeq)
+    val winner = argminTournament(cs.toSeq.map { case (cid, cen) =>
+      struct(
+        graft.functions.VecSqDiff.vec_sqdiff(
+          col("v"), array(cen.map(lit): _*)).as("dist"),
+        lit(cid).as("cid"))
+    })
     vectors.select(col("vec_id"), col("v"), winner.getField("cid").as("cid"))
   }
 
@@ -250,16 +246,14 @@ object Similarity {
       (0 until m).map(j => seedRows.map { case (id, v) =>
         (id, v.slice(j * dsub, (j + 1) * dsub))
       }.sortBy(_._1).toIndexedSeq)
-    def argmin(entries: Seq[Column]): Column =
-      if (entries.length == 1) entries.head else least(entries: _*)
     for (_ <- 1 to iters) {
       val cidCols = (0 until m).map { j =>
-        argmin(cbs(j).map { case (cid, cen) =>
+        argminTournament(cbs(j).map { case (cid, cen) =>
           struct(
             graft.functions.VecSqDiff.vec_sqdiff(
               slice(col("v"), j * dsub + 1, dsub), array(cen.map(lit): _*)).as("dist"),
             lit(cid).as("cid"))
-        }.grouped(ArgminTreeMaxK).map(argmin).toSeq).getField("cid")
+        }).getField("cid")
       }
       val sub = (col("d") / dsub).cast("int")
       val rows = vectors
@@ -297,15 +291,13 @@ object Similarity {
       cbs: IndexedSeq[IndexedSeq[(Int, Seq[Double])]]): DataFrame = {
     val m = cbs.length
     val dsub = subWidth(vectors, m)
-    def argmin(entries: Seq[Column]): Column =
-      if (entries.length == 1) entries.head else least(entries: _*)
     val codes = (0 until m).map { j =>
-      argmin(cbs(j).map { case (code, cen) =>
+      argminTournament(cbs(j).map { case (code, cen) =>
         struct(
           graft.functions.VecSqDiff.vec_sqdiff(
             slice(col("v"), j * dsub + 1, dsub), array(cen.map(lit): _*)).as("dist"),
           lit(code).as("code"))
-      }.grouped(ArgminTreeMaxK).map(argmin).toSeq).getField("code")
+      }).getField("code")
     }
     // withColumn, not select: extra input columns (an IVF cell id, say)
     // ride through untouched — [[knnIvfPq]] relies on this
@@ -337,12 +329,7 @@ object Similarity {
     val m = cbs.length
     val dsub = subWidth(vectors, m)
     val encoded = encodeWith(vectors, cbs)
-    val lut = array((0 until m).map { j =>
-      array(cbs(j).map { case (_, cen) =>
-        graft.functions.VecSqDiff.vec_sqdiff(
-          slice(col("v"), j * dsub + 1, dsub), array(cen.map(lit): _*))
-      }: _*)
-    }: _*)
+    val lut = adcLut(cbs, dsub)
     val q = broadcast(vectors.filter(queryPred)
       .select(col("vec_id").as("q_id"), lut.as("lut")))
     val adist = (0 until m).map(j =>
@@ -379,12 +366,7 @@ object Similarity {
     val m = cbs.length
     val dsub = subWidth(vectors, m)
     val encoded = encodeWith(assignToCentroids(vectors, cents), cbs)
-    val lut = array((0 until m).map { j =>
-      array(cbs(j).map { case (_, cen) =>
-        graft.functions.VecSqDiff.vec_sqdiff(
-          slice(col("v"), j * dsub + 1, dsub), array(cen.map(lit): _*))
-      }: _*)
-    }: _*)
+    val lut = adcLut(cbs, dsub)
     val wq = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))
     val probes = broadcast(vectors.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), lut.as("lut"))
@@ -403,6 +385,29 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"), col("rk"))
   }
+
+  /** Recursive `least()` tournament: argmin structs meet in chunks of at
+    * most [[ArgminTreeMaxK]] per expression, and chunk winners recurse
+    * until one remains — no single `least()` ever exceeds the chunk
+    * width at ANY k (a two-level form would hand the final round >256
+    * arguments beyond 256² centroids). Struct ordering is lexicographic,
+    * so nesting preserves argmin-with-tiebreak exactly. */
+  private def argminTournament(entries: Seq[Column]): Column =
+    if (entries.length == 1) entries.head
+    else if (entries.length <= ArgminTreeMaxK) least(entries: _*)
+    else argminTournament(entries.grouped(ArgminTreeMaxK).map(argminTournament).toSeq)
+
+  /** The m-subspace ADC lookup table over the current row's `v`: per
+    * subspace j an array of exact slice-to-centroid squared distances,
+    * code order — shared by [[knnPqAdc]] and [[knnIvfPq]] so the two
+    * search paths cannot drift. */
+  private def adcLut(cbs: IndexedSeq[IndexedSeq[(Int, Seq[Double])]], dsub: Int): Column =
+    array(cbs.indices.map { j =>
+      array(cbs(j).map { case (_, cen) =>
+        graft.functions.VecSqDiff.vec_sqdiff(
+          slice(col("v"), j * dsub + 1, dsub), array(cen.map(lit): _*))
+      }: _*)
+    }: _*)
 
   /** Codebooks collected and sorted: per subspace j, (code, cen) by code.
     * Bounded by contract — m·ksub rows, the PQ analogue of the k-row

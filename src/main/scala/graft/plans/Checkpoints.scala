@@ -40,14 +40,18 @@ object Checkpoints {
     df.queryExecution.analyzed match {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false)
       case other =>
-        val nested = other.collect { case l: LogicalRDD => l }
+        // distinct CHECKPOINTS, not LogicalRDD nodes: a self-join/union
+        // of one checkpointed frame (the bidir() shape) nests several
+        // plan nodes that all share a single persisted RDD — legal
+        val nested = other.collect { case l: LogicalRDD => l.rdd }
+          .groupBy(_.id).map(_._2.head).toSeq
         require(nested.size <= 1,
           s"release() requires a frame backed by a single checkpoint, but " +
-            s"this plan nests ${nested.size} LogicalRDD nodes — a frame " +
-            "combining several checkpointed ancestors whose blocks may " +
-            "back other live consumers. Release each original " +
+            s"this plan spans ${nested.size} distinct checkpointed RDDs — " +
+            "a frame combining several checkpointed ancestors whose " +
+            "blocks may back other live consumers. Release each original " +
             "checkpointed frame individually instead.")
-        nested.foreach(_.rdd.unpersist(blocking = false))
+        nested.foreach(_.unpersist(blocking = false))
     }
 
   /** Unpersist every RDD the context still tracks; returns one

@@ -214,8 +214,17 @@ object Annotation {
     "q_pipeline_e2e" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
+      // cache key = dir + a cheap corpus fingerprint (count + id/length
+      // sums), not the path alone: regenerating the fixture data in
+      // place must restage, not silently run the pipeline over a stale
+      // staged corpus that no longer matches what q_annotate_* read
+      val fp = t(s, dir, "documents").agg(count(lit(1)),
+        coalesce(sum(col("doc_id")), lit(0L)),
+        coalesce(sum(length(col("text"))), lit(0L))).head()
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_e2e_" + md5Hex(dir).take(12)).getAbsolutePath
+        "graft_e2e_" + md5Hex(
+          s"$dir|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}").take(12))
+        .getAbsolutePath
       val inDir = s"$base/input"
       // _SUCCESS, not the bare dir: a crashed partial write must restage,
       // not poison every later run of the cached corpus

@@ -26,6 +26,18 @@ class CheckpointsSpec extends SparkSpec {
       "single-checkpoint projection release must unpersist the ancestor")
   }
 
+  test("release accepts a self-union of ONE checkpoint (the bidir shape)") {
+    // several LogicalRDD plan nodes sharing a single persisted RDD are
+    // one checkpoint, not several — the star-clustering bidir() shape;
+    // counting nodes instead of distinct RDD ids spuriously rejected it
+    graft.plans.Checkpoints.releaseAll(spark)
+    val ck = Seq((1L, 2L)).toDF("u", "v").localCheckpoint(true)
+    val bidir = ck.select(col("u").as("src")).union(ck.select(col("v").as("src")))
+    graft.plans.Checkpoints.release(bidir)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "self-union of one checkpoint must release its single RDD")
+  }
+
   test("release REFUSES a frame spanning several checkpoints") {
     graft.plans.Checkpoints.releaseAll(spark)
     val a = Seq((1L, "a")).toDF("k", "va").localCheckpoint(true)
