@@ -3,7 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline queries on
-  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  * `SPARK_GRAFT_SF_DIR` and prints TWO JSON lines — a full diagnostics
+  * object first (raw runs, probe log, revalidation trail), then a compact
+  * summary (`{"metric":"total",...,"queries":{per-query mins}}`, well
+  * under 1.5KB) as the LAST line of stdout. The driver captures only a
+  * 2KB tail of stdout; rounds 1-6 printed one ~8KB line whose head (the
+  * summary fields) was always truncated away, so the official record
+  * never contained a machine-readable result. The compact line must stay
+  * last and stay small.
   *
   * Measurement notes:
   *   - results go to the `noop` sink, forcing full materialization (a bare
@@ -61,8 +68,11 @@ object Bench {
     "q_dedup_embedding_lsh",
     "q_knn_bruteforce",
     "q_knn_ivf_probed",
+    "q_knn_ivf_trained",
+    "q_pq_encode",
     "q_knn_pq_adc",
     "q_knn_ivfpq",
+    "q_knn_ivfpq_residual",
     "q_ivf_train",
     "q_text_quality",
     "q_lang_id",
@@ -146,6 +156,12 @@ object Bench {
     // against the END-of-suite running min instead retroactively flags
     // nearly every query once one late calm probe lowers the ref.
     val gateTripped = scala.collection.mutable.Set.empty[String]
+    // queries whose POST-run probe read hot: a burst that spanned both
+    // runs uniformly (calm pre-probe, runs < 1.5x apart) defeats the gate
+    // and the instability check, but a burst is minutes long, so it is
+    // still there for a probe placed right after the runs (round-6 hole:
+    // q_dedup_clusters bound at 36x, q_knn_ivfpq at 59x calm time).
+    val postHot = scala.collection.mutable.Set.empty[String]
 
     /** Probe until the host looks calm (probe <= 2x best-so-far) or the
       * cooldown budget is gone. Records every probe time under `tag`.
@@ -175,6 +191,21 @@ object Bench {
       }
     }
 
+    /** One confirmed post-run probe under `tag`: hot only if two
+      * consecutive probes both exceed 2x the running reference (same
+      * confirmation rule as the gate — single probes spread ~2.5x on
+      * scheduler jitter). Never sleeps; it gathers evidence, the
+      * revalidation loop pays the cooldown. */
+    def probeAfter(tag: String): Boolean = {
+      def probeLogged(): Double = {
+        val p = probeOnce()
+        probeRef = math.min(probeRef, p)
+        probeLog(tag) = probeLog.getOrElse(tag, Nil) :+ p
+        p
+      }
+      probeLogged() > 2.0 * probeRef && probeLogged() > 2.0 * probeRef
+    }
+
     runOnce("q1_agg") // warmup: JIT + codegen + parquet footer caches
     // calibrate: a few probes post-warmup; the running min keeps
     // improving afterwards, so a burst during calibration self-corrects.
@@ -199,6 +230,7 @@ object Bench {
           if (c < 0) math.min(a, b) else math.min(c, math.min(a, b))
         } else math.min(a, b)
       rawRuns(n) = rawRuns.getOrElse(n, Nil) ++ runs
+      if (probeAfter(n + ":post")) postHot += n
       t
     }
     var results = selected.map(n => n -> measure(n))
@@ -215,11 +247,12 @@ object Bench {
     // — but each later pass re-runs ONLY queries with fresh burst
     // evidence from the previous pass (a new gate trip, or a latest run
     // still >1.5x the query's best), so calm passes terminate the loop.
-    var suspects = results.collect { case (n, t) =>
-      val ok = rawRuns(n).filter(_ >= 0)
-      val unstable = ok.nonEmpty && ok.max > 1.5 * ok.min
-      if (t >= 0 && (gateTripped(n) || unstable)) Some(n) else None
-    }.flatten
+    // Suspect criterion lives in BenchGuard (pure, spec'd in
+    // BenchGuardSpec): gate trip, >1.5x run disagreement, a hot
+    // POST-run probe, or a reported value >3x the best seen this session.
+    var suspects = results.collect {
+      case (n, t) if BenchGuard.suspect(rawRuns(n), gateTripped(n), postHot(n), t) => n
+    }
     val revalidated = scala.collection.mutable.LinkedHashSet.empty[String]
     var pass = 0
     while (suspects.nonEmpty && pass < 3 && cooldownSpent < cooldownBudget) {
@@ -232,6 +265,9 @@ object Bench {
         ensureCalm(n)
         val r = runOnce(n)
         rawRuns(n) = rawRuns(n) :+ r
+        // the revalidation run itself can land in a burst — post-probe it
+        // too, so a tainted re-run is fresh evidence for the next pass
+        if (probeAfter(s"$n:post$pass")) postHot += n else postHot -= n
         n -> r
       }.toMap
       results = results.map { case (n, t) =>
@@ -245,20 +281,37 @@ object Bench {
         val freshTrip = gateTripped(n) && !trippedBefore(n)
         val stillHigh = ok.nonEmpty &&
           passRun.get(n).exists(r => r >= 0 && r > 1.5 * ok.min)
-        freshTrip || stillHigh
+        // postHot(n) here reflects the probe AFTER this pass's re-run
+        // (probeAfter set/cleared it above): a hot one means the re-run
+        // is itself tainted, so the query stays suspect.
+        freshTrip || stillHigh || postHot(n)
       }
     }
 
-    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.4f").mkString("[", ",", "]")
+    // JSON numbers via Locale.ROOT so a host locale can never inject a
+    // comma decimal separator into the machine-parsed line.
+    def num(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    def arr(xs: Seq[Double]) = xs.map(num).mkString("[", ",", "]")
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, _) =>
       "\"" + k + "\":{\"runs\":" + arr(rawRuns(k)) +
-        ",\"probes\":" + arr(probeLog.getOrElse(k, Nil)) + "}"
+        ",\"probes\":" + arr(probeLog.getOrElse(k, Nil)) +
+        ",\"post_probes\":" + arr(probeLog.keys.toSeq.filter(_.startsWith(k + ":post"))
+          .sorted.flatMap(probeLog(_))) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","probe_ref":$probeRef,"cooldown_sec":$cooldownSpent,"revalidated":${strArr(revalidated.toSeq)},"raw":$raw}""")
+    // Line 1: full diagnostics — every raw run and probe, so a polluted
+    // artifact stays self-identifying. This line can run ~8KB and may be
+    // truncated by the driver's tail capture; that is fine, it is for
+    // humans and post-hoc audit.
+    println(s"""{"metric":"diagnostics","sf":"$sfDir","probe_ref":${num(probeRef)},"cooldown_sec":${num(cooldownSpent)},"revalidated":${strArr(revalidated.toSeq)},"post_hot":${strArr(postHot.toSeq.sorted)},"raw":$raw}""")
+    // Line 2 — LAST line of stdout, compact (<1.5KB for ~40 queries): the
+    // machine-readable summary. The driver keeps only a 2KB tail of
+    // stdout, so this line must stay last and stay small.
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

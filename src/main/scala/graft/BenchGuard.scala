@@ -1,0 +1,48 @@
+package graft
+
+/** Pure burst-suspect predicate for the benchmark harness, extracted from
+  * `Bench` so the criterion itself is unit-testable (the round-6 audit
+  * found a hole that only a direct spec would have caught).
+  *
+  * A query's measurement is SUSPECT — i.e. it must be re-measured at suite
+  * end — when any of:
+  *
+  *   1. `gateTripped`: the pre-run calm gate detected a burst while this
+  *      query was being measured (the burst may have ended mid-runs);
+  *   2. `unstable`: the query's own runs disagree by more than 1.5x — one
+  *      of them likely ate a burst the gate missed;
+  *   3. `postProbeHot`: the micro-probe run immediately AFTER the query's
+  *      runs read hot. This is the round-6 hole: a burst spanning BOTH
+  *      runs inflates them uniformly (ratio < 1.5x) behind a calm
+  *      pre-probe, defeating (1) and (2) — BENCH_r06 bound
+  *      q_dedup_clusters at [70.9s, 80.9s] (calm: 1.97s, 36x) and
+  *      q_knn_ivfpq at [133.0s, 188.3s] (calm: 2.26s, 59x) this way.
+  *      Host bursts run minutes, far longer than one query, so a burst
+  *      covering the runs is still visible to a probe placed right after
+  *      them;
+  *   4. `implausible`: the reported value exceeds 3x the best time
+  *      recorded for this query anywhere in the session (any run,
+  *      including revalidation passes) — a bookkeeping-independent
+  *      plausibility floor.
+  */
+object BenchGuard {
+  val instabilityRatio = 1.5
+  val plausibilityRatio = 3.0
+
+  /** @param runs        every raw run of this query so far (negative = failed run)
+    * @param gateTripped the pre-run calm gate tripped while measuring this query
+    * @param postProbeHot the confirmed probe right after the runs read hot
+    * @param reported    the value currently reported for this query
+    */
+  def suspect(
+      runs: Seq[Double],
+      gateTripped: Boolean,
+      postProbeHot: Boolean,
+      reported: Double): Boolean = {
+    if (reported < 0) return false // failed queries are reported as-is, not re-run
+    val ok = runs.filter(_ >= 0)
+    val unstable = ok.nonEmpty && ok.max > instabilityRatio * ok.min
+    val implausible = ok.nonEmpty && reported > plausibilityRatio * ok.min
+    gateTripped || unstable || postProbeHot || implausible
+  }
+}

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Dot product over two ARRAY<DOUBLE> columns as a native codegen'd
   * expression.
@@ -113,6 +113,46 @@ object VecSqDiff {
 
   def vec_sqdiff(a: Column, b: Column): Column =
     column(VecSqDiff(expression(a), expression(b)))
+}
+
+/** Elementwise difference of two ARRAY<DOUBLE> columns — the IVFADC
+  * residual step (v − centroid(cell), Jégou et al. §IV). The SQL form
+  * `zip_with(a, b, (x, y) -> x - y)` runs INTERPRETED (higher-order
+  * functions have no codegen) and at 100 TB the residual projection sits
+  * on every corpus row between coarse assignment and PQ encoding; this is
+  * one primitive loop writing a fresh array, inside whole-stage codegen.
+  * Per-element double subtraction is exact and order-free, so the DuckDB
+  * oracle's list comprehension reproduces it bit-for-bit. Shorter input
+  * bounds the loop (zip semantics). */
+case class VecSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sub"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecSub.evalSub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecSub.evalSub($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecSub =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecSub {
+  /** Named `evalSub`, not `eval` — see the VecDot forwarder note. */
+  def evalSub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def vec_sub(a: Column, b: Column): Column =
+    column(VecSub(expression(a), expression(b)))
 }
 
 /** Count of positions where two ARRAY<BIGINT> signatures agree — the

@@ -386,6 +386,77 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"), col("rk"))
   }
 
+  /** Coarse-cell residuals for IVFADC: (vec_id, v = vector − centroid of
+    * its assigned cell, cid). The canonical IVF-PQ form (Jégou et al.
+    * §IV) quantizes RESIDUALS, not raw vectors — subtracting the cell
+    * centroid concentrates the quantizer's dynamic range around zero, so
+    * the same m·ksub codebook budget buys materially better recall.
+    *
+    * Scale shape: assignment is the static shuffle-free tournament
+    * projection; the subtraction joins the k-row centroid frame BROADCAST
+    * on cid (no exchange on the corpus side) and runs the codegen'd
+    * [[graft.functions.VecSub]] loop — one corpus scan, zero shuffles.
+    * Train PQ on this frame's `v`, then search with [[knnIvfPqResidual]];
+    * callers fanning it into several consumers (seed collect + Lloyd
+    * iterations) should `localCheckpoint(true)` it once. */
+  def residuals(vectors: DataFrame, cents: DataFrame): DataFrame =
+    assignToCentroids(vectors, cents)
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"),
+        graft.functions.VecSub.vec_sub(col("v"), col("cen")).as("v"),
+        col("cid"))
+
+  /** The canonical IVFADC search: coarse cells prune candidates exactly
+    * like [[knnIvfPq]], but quantization works in RESIDUAL space —
+    * corpus codes come from `v − centroid(cell)` against `codebooks`
+    * trained on [[residuals]], and each (query, probed cell) pair gets
+    * its OWN lookup table built from the query's residual against that
+    * cell. Estimated distance ‖q − cen(c) − r̂‖² therefore varies with
+    * the probed cell even for the same candidate code — the reason
+    * residual encoding out-recalls raw-vector PQ at equal budget.
+    *
+    * Scale shape: identical to [[knnIvfPq]] — ONE corpus scan (assign,
+    * subtract, encode are consecutive narrow projections; the centroid
+    * join is broadcast), probes × LUTs ride one broadcast query frame
+    * (nprobe LUTs per query instead of one: ~nprobe·m·ksub doubles per
+    * query, still broadcast-trivial). Determinism matches the halves:
+    * centroid ties by cid, codes tie to the lower code, adist summed in
+    * fixed subspace order, rank by (rounded adist, vec_id) — the DuckDB
+    * oracle replays coarse training, residuals, all subspace trainings,
+    * probing and per-cell LUTs bit-for-bit. */
+  def knnIvfPqResidual(
+      vectors: DataFrame,
+      cents: DataFrame,
+      codebooks: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val cbs = collectCodebooks(codebooks)
+    val m = cbs.length
+    val dsub = subWidth(vectors, m)
+    val encoded = encodeWith(residuals(vectors, cents), cbs)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))
+    val probes = broadcast(vectors.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("cen")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      // the query's residual AGAINST THIS CELL becomes `v`, so adcLut
+      // (which reads `v`) builds the per-(query, cell) table
+      .withColumn("v", graft.functions.VecSub.vec_sub(col("qv"), col("cen")))
+      .select(col("q_id"), adcLut(cbs, dsub).as("lut"), col("cid").as("qb")))
+    val adist = (0 until m).map(j =>
+        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = encoded
+      .join(probes, col("cid") === col("qb") && col("vec_id") =!= col("q_id"))
+      .withColumn("adist", round(adist, 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"), col("rk"))
+  }
+
   /** Recursive `least()` tournament: argmin structs meet in chunks of at
     * most [[ArgminTreeMaxK]] per expression, and chunk winners recurse
     * until one remains — no single `least()` ever exceeds the chunk

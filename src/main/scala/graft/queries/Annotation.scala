@@ -208,9 +208,10 @@ object Annotation {
     // run so every run measures the identical cold path: the archive-HIT
     // path (plan empty, annotate skipped) is a different workload,
     // spec'd in PipelineSpec, and mixing the two would make min-of-N
-    // report whichever the scheduler hit. Rows-only check (no SQL
-    // oracle): the composition's per-view counts are already
-    // oracle-checked by the singles; here the value is the timed chain.
+    // report whichever the scheduler hit. Oracle: per distinct non-empty
+    // doc, n_tokens is the tokenizer replica from q_annotate_tokens and
+    // n_pos equals it (the tagger emits exactly one tag per token) — so
+    // the full D11-D18 chain is value-checked, not just row-counted.
     "q_pipeline_e2e" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -257,6 +258,14 @@ object Annotation {
         |  1 AS n_sentences
         |FROM (SELECT DISTINCT text FROM documents WHERE length(text) > 0)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // The composed pipeline carries the same per-doc counts the singles
+    // check: tokens from the TOKEN view, one POS tag per token.
+    "q_pipeline_e2e" ->
+      s"""SELECT md5(text) AS h,
+         |  CAST(len(regexp_extract_all(text, $tokRegexSql)) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, $tokRegexSql)) AS INT) AS n_pos
+         |FROM (SELECT DISTINCT text FROM documents WHERE length(text) > 0)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_annotate_pos" ->
       s"""WITH ${toksCte("documents", "text")}
          |SELECT h, CAST(i - 1 AS INT) AS idx, l[i] AS token,

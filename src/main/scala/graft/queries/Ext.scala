@@ -417,6 +417,27 @@ object Ext {
       ord(graft.operators.Similarity.knnIvfPq(
         e, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2))
     }),
+    // canonical IVFADC (Jégou et al. §IV): the PQ codebooks quantize
+    // RESIDUALS v - centroid(cell), and each (query, probed cell) pair
+    // builds its own LUT from the query residual — better recall at the
+    // same m x ksub budget than raw-vector PQ. The oracle replays coarse
+    // training, the residual projection, all 4 residual-space subspace
+    // trainings, probing and the per-cell LUTs end-to-end.
+    "q_knn_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+        .localCheckpoint(true)   // see q_knn_ivf_trained
+      // residual frame fans into seed collect + 2 Lloyd scans inside
+      // trainPq: checkpoint once, release after training (trainPq runs
+      // eagerly and returns a literal-backed frame)
+      val res = graft.operators.Similarity.residuals(e, cents)
+        .localCheckpoint(true)
+      val cb = graft.operators.Similarity.trainPq(res, m = 4, ksub = 8, iters = 2)
+      graft.plans.Checkpoints.release(res)
+      ord(graft.operators.Similarity.knnIvfPqResidual(
+        e, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2))
+    }),
 
     // ---- text analysis ----------------------------------------------
 
@@ -707,10 +728,10 @@ object Ext {
     * by centroid-id rank and the code-keyed codebook — exactly
     * trainPq / encodePq's construction, so Spark and DuckDB agree on
     * every code bit-for-bit. */
-  private def pqSubspaceCtes(j: Int, dsub: Int, ksub: Int): String = {
+  private def pqSubspaceCtes(j: Int, dsub: Int, ksub: Int, src: String = "v"): String = {
     val a = j * dsub + 1
     val b = (j + 1) * dsub
-    s"""v$j AS (SELECT vec_id, v[$a:$b] AS v FROM v),
+    s"""v$j AS (SELECT vec_id, v[$a:$b] AS v FROM $src),
        |c0_$j AS (SELECT vec_id AS cid, v AS cen FROM v$j ORDER BY vec_id LIMIT $ksub),
        |a1_$j AS (${ivfAssignSql(s"v$j", s"c0_$j")}),
        |c1_$j AS (${ivfUpdateSql(s"a1_$j")}),
@@ -722,9 +743,11 @@ object Ext {
        |codes_$j AS (SELECT f.vec_id, r.code FROM fin_$j f JOIN rk_$j r USING (cid))""".stripMargin
   }
 
-  /** The full 4-subspace chain + the joined (vec_id, c0..c3) encoding. */
-  private def pqEncCtes: String =
-    s"""${(0 until 4).map(pqSubspaceCtes(_, 16, 8)).mkString(",\n")},
+  /** The full 4-subspace chain + the joined (vec_id, c0..c3) encoding.
+    * `src` is the vector source CTE — "v" for raw-vector PQ, a residual
+    * CTE for the IVFADC variant. */
+  private def pqEncCtes(src: String = "v"): String =
+    s"""${(0 until 4).map(pqSubspaceCtes(_, 16, 8, src)).mkString(",\n")},
        |enc AS (SELECT vec_id, codes_0.code AS c0, codes_1.code AS c1,
        |    codes_2.code AS c2, codes_3.code AS c3
        |  FROM codes_0 JOIN codes_1 USING (vec_id)
@@ -929,11 +952,11 @@ object Ext {
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_pq_encode" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |$pqEncCtes
+         |${pqEncCtes()}
          |SELECT vec_id, c0, c1, c2, c3 FROM enc ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_pq_adc" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |$pqEncCtes,
+         |${pqEncCtes()},
          |q0 AS (SELECT vec_id AS q_id, v FROM v WHERE vec_id < 10),
          |${(0 until 4).map { j =>
              val a = j * 16 + 1
@@ -962,7 +985,7 @@ object Ext {
          |a2 AS (${ivfAssignSql("v", "c1")}),
          |c2 AS (${ivfUpdateSql("a2")}),
          |fin AS (${ivfAssignSql("v", "c2")}),
-         |$pqEncCtes,
+         |${pqEncCtes()},
          |q0 AS (SELECT vec_id AS q_id, v FROM v WHERE vec_id < 10),
          |probes AS (
          |  SELECT q_id, cid AS qb FROM (
@@ -985,6 +1008,46 @@ object Ext {
          |  JOIN lut_1 l1 ON l1.q_id = p.q_id AND l1.code = e.c1
          |  JOIN lut_2 l2 ON l2.q_id = p.q_id AND l2.code = e.c2
          |  JOIN lut_3 l3 ON l3.q_id = p.q_id AND l3.code = e.c3),
+         |ranked AS (SELECT q_id, vec_id AS neighbor, adist,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, neighbor, adist, rk FROM ranked WHERE rk <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_ivfpq_residual" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |res AS (SELECT f.vec_id, [f.v[d] - c.cen[d] FOR d IN range(1, len(f.v) + 1)] AS v
+         |  FROM fin f JOIN c2 c USING (cid)),
+         |${pqEncCtes("res")},
+         |q0 AS (SELECT vec_id AS q_id, v FROM v WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q_id, cid AS qb FROM (
+         |    SELECT q.q_id, s.cid,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_sum([(q.v[d] - s.cen[d]) * (q.v[d] - s.cen[d]) FOR d IN range(1, len(q.v) + 1)]), s.cid) AS rn
+         |    FROM q0 q, c2 s) WHERE rn <= 2),
+         |qres AS (SELECT p.q_id, p.qb, [q.v[d] - c.cen[d] FOR d IN range(1, len(q.v) + 1)] AS v
+         |  FROM probes p JOIN q0 q USING (q_id) JOIN c2 c ON c.cid = p.qb),
+         |${(0 until 4).map { j =>
+             val a = j * 16 + 1
+             s"""lut_$j AS (SELECT r.q_id, r.qb, b.code,
+                |    list_sum([(r.v[$a + d - 1] - b.cen[d]) * (r.v[$a + d - 1] - b.cen[d]) FOR d IN range(1, len(b.cen) + 1)]) AS dd
+                |  FROM qres r, cb_$j b)""".stripMargin
+           }.mkString(",\n")},
+         |scored AS (SELECT p.q_id, e.vec_id,
+         |    round(((l0.dd + l1.dd) + l2.dd) + l3.dd, 4) AS adist
+         |  FROM enc e
+         |  JOIN fin f USING (vec_id)
+         |  JOIN probes p ON f.cid = p.qb AND e.vec_id <> p.q_id
+         |  JOIN lut_0 l0 ON l0.q_id = p.q_id AND l0.qb = p.qb AND l0.code = e.c0
+         |  JOIN lut_1 l1 ON l1.q_id = p.q_id AND l1.qb = p.qb AND l1.code = e.c1
+         |  JOIN lut_2 l2 ON l2.q_id = p.q_id AND l2.qb = p.qb AND l2.code = e.c2
+         |  JOIN lut_3 l3 ON l3.q_id = p.q_id AND l3.qb = p.qb AND l3.code = e.c3),
          |ranked AS (SELECT q_id, vec_id AS neighbor, adist,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rk
          |  FROM scored)

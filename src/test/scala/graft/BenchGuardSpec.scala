@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct spec of the burst-suspect predicate (no Spark needed). The
+  * round-6 audit found the exact scenario `replayed r06 schedule` encodes:
+  * a uniform burst over both runs, behind a calm pre-probe, escaped
+  * revalidation and bound the artifact at 36x/59x calm time.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("calm, stable runs are not suspect") {
+    assert(!BenchGuard.suspect(Seq(1.60, 1.71), gateTripped = false,
+      postProbeHot = false, reported = 1.60))
+  }
+
+  test("gate trip marks suspect even when runs agree") {
+    assert(BenchGuard.suspect(Seq(2.0, 2.1), gateTripped = true,
+      postProbeHot = false, reported = 2.0))
+  }
+
+  test("unstable runs (>1.5x disagreement) are suspect") {
+    assert(BenchGuard.suspect(Seq(1.0, 1.6), gateTripped = false,
+      postProbeHot = false, reported = 1.0))
+    assert(!BenchGuard.suspect(Seq(1.0, 1.49), gateTripped = false,
+      postProbeHot = false, reported = 1.0))
+  }
+
+  test("replayed r06 schedule: uniform burst, calm pre-probe => post-probe catches it") {
+    // BENCH_r06 q_dedup_clusters: runs [70.9, 80.9] (ratio 1.14 < 1.5),
+    // pre-probe calm (0.886 vs ~0.2 ref did not confirm), gate untripped.
+    // Old criterion (gate || unstable) misses it; a burst spanning both
+    // runs is still live for the probe placed right after them.
+    val oldCriterion = {
+      val ok = Seq(70.9, 80.9)
+      false /* gate */ || ok.max > 1.5 * ok.min
+    }
+    assert(!oldCriterion, "r06 criterion must miss this shape (the hole)")
+    assert(BenchGuard.suspect(Seq(70.9, 80.9), gateTripped = false,
+      postProbeHot = true, reported = 70.9))
+    // q_knn_ivfpq: [133.0, 188.3] trips instability (1.42 < 1.5 — no),
+    // so it too relies on the post-probe.
+    assert(BenchGuard.suspect(Seq(133.0, 188.3), gateTripped = false,
+      postProbeHot = true, reported = 133.0))
+  }
+
+  test("plausibility floor: reported >3x session best is suspect") {
+    // A later calm run (e.g. from a revalidation pass) proves the
+    // reported value implausible even if every probe was missed.
+    assert(BenchGuard.suspect(Seq(70.9, 80.9, 1.97), gateTripped = false,
+      postProbeHot = false, reported = 70.9))
+    assert(!BenchGuard.suspect(Seq(2.0, 2.2, 1.97), gateTripped = false,
+      postProbeHot = false, reported = 2.0))
+  }
+
+  test("failed runs are ignored by ratio checks; failed queries never suspect") {
+    assert(!BenchGuard.suspect(Seq(-1.0, 2.0), gateTripped = false,
+      postProbeHot = false, reported = 2.0))
+    assert(!BenchGuard.suspect(Seq(-1.0, -1.0), gateTripped = true,
+      postProbeHot = true, reported = -1.0))
+  }
+}

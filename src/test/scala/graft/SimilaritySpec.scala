@@ -225,4 +225,53 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 <= r2 + 1e-9 && r2 <= 1.0 + 1e-9, s"recall must grow with nprobe: $r1 -> $r2")
     graft.plans.Checkpoints.release(cents)
   }
+
+  test("residuals: codegen'd vec_sub matches the interpreted zip_with bit-for-bit") {
+    val cents = Similarity.trainIvf(vecs, k = 8, iters = 2).localCheckpoint(true)
+    val res = Similarity.residuals(vecs, cents)
+    // both forms compute fl(v[d] - cen[d]) — one codegen'd loop, one
+    // interpreted lambda — so equality must be EXACT (the oracle's list
+    // comprehension is the same fl(a - b)). Note (a-b)+b is NOT a valid
+    // check: double subtraction doesn't round-trip (Sterbenz only holds
+    // for nearby operands).
+    val bad = res.join(cents, "cid").join(vecs.withColumnRenamed("v", "orig"), "vec_id")
+      .withColumn("ref", expr("zip_with(orig, cen, (a, b) -> a - b)"))
+      .filter(not(expr("forall(zip_with(v, ref, (a, b) -> a = b), x -> x)")))
+      .count()
+    assert(bad == 0, s"$bad vectors disagree between vec_sub and zip_with")
+    graft.plans.Checkpoints.release(cents)
+  }
+
+  test("residual IVFADC recall is >= the raw-vector variant at equal budget") {
+    // canonical-IVFADC claim (Jégou et al. §IV): quantizing residuals
+    // concentrates the codebooks' dynamic range, so at the SAME coarse
+    // cells, probes and m x ksub budget, recall@k against the exact
+    // top-k must not fall below the raw-vector composition's. The
+    // near-uniform synthetic embeddings are PQ's adversarial case, so
+    // assert non-inferiority (>=), not strict improvement.
+    val cents = Similarity.trainIvf(vecs, k = 8, iters = 2).localCheckpoint(true)
+    val cbRaw = Similarity.trainPq(vecs, m = 4, ksub = 8, iters = 2)
+    val resFrame = Similarity.residuals(vecs, cents).localCheckpoint(true)
+    val cbRes = Similarity.trainPq(resFrame, m = 4, ksub = 8, iters = 2)
+    graft.plans.Checkpoints.release(resFrame)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val raw = topk(Similarity.knnIvfPq(vecs, cents, cbRaw, col("vec_id") < 10, k = 5, nprobe = 2))
+    val rsd = topk(Similarity.knnIvfPqResidual(vecs, cents, cbRes, col("vec_id") < 10, k = 5, nprobe = 2))
+    val vs = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def meanRecall(got: Map[Long, Set[Long]]): Double = {
+      val per = vs.filter(_._1 < 10).map { case (qid, qv) =>
+        val exact = vs.filter(_._1 != qid).map { case (id, xv) =>
+          (xv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+        }.sorted.take(5).map(_._2).toSet
+        (got.getOrElse(qid, Set.empty) intersect exact).size / 5.0
+      }
+      per.sum / per.length
+    }
+    val (rRaw, rRes) = (meanRecall(raw), meanRecall(rsd))
+    assert(rRes >= rRaw - 1e-9,
+      f"residual encoding must not lose recall: residual $rRes%.3f vs raw $rRaw%.3f")
+    graft.plans.Checkpoints.release(cents)
+  }
 }
