@@ -177,7 +177,10 @@ object Streams {
     * timeouts and `StreamingQuery.processAllAvailable` never receives
     * its no-new-data signal — it parks forever. Pair the query with a
     * real `Trigger.ProcessingTime` interval in production, and await
-    * committed source offsets (not processAllAvailable) in tests. */
+    * committed source offsets (not processAllAvailable) in tests.
+    * `idleTtl` measures WALL CLOCK: replaying a historical feed faster
+    * than real time evicts entries that were co-resident in event time —
+    * use [[streamingNearDupsEventTime]] for backfills. */
   def streamingNearDups(
       docs: Dataset[(Long, String)],
       maxHamming: Int = 3,
@@ -222,6 +225,102 @@ object Streams {
             }
             if (seen.isEmpty) state.remove() else state.update(seen)
             if (ttlMs > 0 && seen.nonEmpty) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
+  /** [[streamingNearDups]] with EVENT-TIME expiry — the variant a backfill
+    * replay needs. `idleTtl` evicts by processing (wall-clock) time, so
+    * replaying a historical feed at replay speed evicts entries that were
+    * co-resident in event time: two docs a minute apart in the data but a
+    * TTL apart on the wall clock lose their pair. Here each doc carries
+    * an event timestamp, the TTL is measured between EVENT times, and the
+    * whole-bucket timeout rides the watermark (`EventTimeTimeout`), so
+    * the same historical stream produces the same pairs at any replay
+    * speed — and batch parity holds for docs within one TTL window in
+    * event time, which is a property of the DATA, not of the scheduler.
+    *
+    * Semantics: an arriving doc at event time `t` matches (and retains)
+    * exactly the stored entries with `t − entry.t <= ttl`; older entries
+    * are dropped and their `maxBucket` capacity freed. Intra-batch
+    * arrivals process in (event time, doc_id) order. An out-of-order doc
+    * (older `t` than a stored entry, admissible while it beats the
+    * watermark) matches entries FORWARD of it without evicting anything —
+    * eviction keys on the arriving doc being later, matching the batch
+    * contract's "co-resident within one window". A bucket whose newest
+    * entry falls a full TTL behind the watermark is removed whole by the
+    * event-time timeout. State size is bounded by the event-time density
+    * of the feed (docs per TTL window × bands), not by how long the query
+    * has been running.
+    *
+    * The watermark must be set by the caller (`withWatermark` on `ts`
+    * before calling, or pass `watermarkDelay` here) — `EventTimeTimeout`
+    * requires one, and it is also what admits late data: docs later than
+    * the delay are dropped at the source like any watermarked operator. */
+  def streamingNearDupsEventTime(
+      docs: Dataset[(Long, String, java.sql.Timestamp)],
+      ttl: java.time.Duration,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1024,
+      portable: Boolean = false,
+      watermarkDelay: String = "0 seconds"): Dataset[(Long, Long, Int, Int)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = maxHamming + 1
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val ttlMs = ttl.toMillis
+    require(ttlMs > 0, "event-time TTL must be positive")
+    // the ts column must survive AS A TIMESTAMP into the stateful
+    // operator's input: a watermark declared before the typed flatMap is
+    // lost in the object re-serialization and the analyzer rejects
+    // EventTimeTimeout ("watermark must be specified"), so the fan-out
+    // carries ts through and the watermark goes on the banded frame
+    val banded = docs.flatMap { case (id, text, ts) =>
+        if (text == null || ts == null) Iterator.empty
+        else {
+          val sig = graft.functions.SimHash64.evalText(
+            org.apache.spark.unsafe.types.UTF8String.fromString(text), portable)
+          (0 until bands).iterator
+            .map(b => (b, (sig >>> (b * width)) & mask, id, sig, ts))
+        }
+      }
+      .toDF("band", "bkey", "doc_id", "sig", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Int, Long, Long, Long, java.sql.Timestamp)]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[Seq[(Long, Long, Long)]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+            for ((b, _, id, sig, t) <- rows.toSeq
+                .map(r => (r._1, r._2, r._3, r._4, r._5.getTime))
+                .sortBy(r => (r._5, r._3))) {
+              // event-time co-residency: entries more than one TTL behind
+              // THIS doc stop matching and free their capacity
+              seen = seen.filter(e => t - e._3 <= ttlMs)
+              if (!seen.exists(_._1 == id) && seen.size < maxBucket) {
+                for ((oid, osig, _) <- seen) {
+                  val h = java.lang.Long.bitCount(osig ^ sig)
+                  if (h <= maxHamming)
+                    out += ((math.min(oid, id), math.max(oid, id), b, h))
+                }
+                seen = seen :+ ((id, sig, t))
+              }
+            }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(seen)
+              // bucket dies when the watermark passes its newest entry by
+              // one TTL; the timeout must sit strictly past the current
+              // watermark or registration throws
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(seen.map(_._3).max + ttlMs, wm + 1))
+            }
             out.iterator
           }
         })

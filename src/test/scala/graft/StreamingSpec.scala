@@ -379,6 +379,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("backfill replay: processing-time TTL drops a pair event-time TTL must keep") {
+    // the round-7 scenario: a HISTORICAL stream (docs 30 event-minutes
+    // apart) replayed at replay speed with >1s of wall clock between
+    // batches. A wall-clock TTL of 150ms evicts doc 1 before doc 2
+    // arrives — the pair is lost even though the docs are co-resident in
+    // event time. The event-time variant (TTL = 1 event-hour) must keep
+    // batch parity on the identical schedule.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    val docsTs = Seq((1L, text, ts(0)), (2L, text, ts(30)))
+
+    // wall-clock TTL loses the pair (the misbehavior, pinned)
+    val msP = MemoryStream[(Long, String)]
+    val qP = graft.streaming.Streams.streamingNearDups(msP.toDS(), maxHamming = 3,
+        portable = true, idleTtl = Some(java.time.Duration.ofMillis(150)))
+      .toDF("doc_a", "doc_b", "band", "hamming")
+      .writeStream.format("memory").queryName("backfill_proc").outputMode("append").start()
+    try {
+      msP.addData(docsTs.head._1 -> docsTs.head._2)
+      awaitOffset(qP, 1)
+      Thread.sleep(1200) // replay pause: tiny in event time terms, fatal for a wall-clock TTL
+      msP.addData(docsTs(1)._1 -> docsTs(1)._2)
+      awaitOffset(qP, 2)
+      assert(spark.table("backfill_proc").isEmpty,
+        "wall-clock TTL kept the pair; the scenario no longer discriminates")
+    } finally qP.stop()
+
+    // event-time TTL on the SAME schedule keeps batch parity
+    val msE = MemoryStream[(Long, String, Timestamp)]
+    val qE = graft.streaming.Streams.streamingNearDupsEventTime(msE.toDS(),
+        ttl = java.time.Duration.ofHours(1), maxHamming = 3, portable = true)
+      .toDF("doc_a", "doc_b", "band", "hamming")
+      .writeStream.format("memory").queryName("backfill_event").outputMode("append").start()
+    try {
+      msE.addData(docsTs.head)
+      awaitOffset(qE, 1)
+      Thread.sleep(1200)
+      msE.addData(docsTs(1))
+      awaitOffset(qE, 2)
+      val streamed = spark.table("backfill_event").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val batch = graft.operators.TextDedup.simhashPairs(
+          docsTs.map(d => (d._1, d._2)).toDF("doc_id", "text"), "doc_id", "text",
+          maxHamming = 3, portable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(batch.nonEmpty, "fixture must actually pair or parity is vacuous")
+      assert(streamed == batch,
+        s"event-time TTL must keep batch parity on a backfill: $streamed vs $batch")
+    } finally qE.stop()
+  }
+
+  test("event-time TTL evicts entries a full window behind the arriving doc") {
+    // same text, event times 0min, 30min, 120min with a 1h TTL: doc 3 is
+    // >1h past BOTH stored entries, so it must pair with neither (and
+    // the expired entries' capacity is freed); docs 1-2 still pair.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.Streams.streamingNearDupsEventTime(ms.toDS(),
+        ttl = java.time.Duration.ofHours(1), maxHamming = 3, portable = true)
+      .toDF("doc_a", "doc_b", "band", "hamming")
+      .writeStream.format("memory").queryName("event_ttl_evict").outputMode("append").start()
+    try {
+      ms.addData((1L, text, ts(0)))
+      awaitOffset(q, 1)
+      ms.addData((2L, text, ts(30)))
+      awaitOffset(q, 2)
+      ms.addData((3L, text, ts(120)))
+      awaitOffset(q, 3)
+      val pairs = spark.table("event_ttl_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)),
+        s"only the co-resident 1-2 pair may surface, got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming contamination matches the batch cross-overlap pairs across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
