@@ -402,6 +402,68 @@ object TextDedup {
     (labels, round)
   }
 
+  /** [[duplicateClusters]] / [[duplicateClustersStar]] with the variant
+    * chosen automatically from a one-pass degree summary of the pair
+    * graph. Propagation costs ~1 job per round for ~diameter rounds;
+    * star costs ~2 jobs per round for ~log n rounds — so propagation
+    * wins on the star-like clusters dedup evidence usually forms
+    * (diameter a handful) and loses badly on chain-shaped transitive
+    * evidence (A~B~C~… without A~C). The chooser computes (vertices,
+    * max degree) in one aggregation over the edge list — cheap: the
+    * degree frame is one row per vertex — and picks star exactly when
+    * the MOORE BOUND proves every layout of that many vertices at that
+    * max degree has a component whose diameter outruns star's
+    * worst-case bill ([[chooseStar]]). The bound errs toward
+    * propagation: a hub-plus-chain graph can hide a long chain behind a
+    * high max degree, costing extra propagation rounds, never a wrong
+    * answer — both variants reach the identical unique fixpoint, and
+    * the returned (checkpointed) frame is release-contracted the same
+    * way. */
+  def duplicateClustersAuto(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxRounds: Int = 50): DataFrame = {
+    // normalized edge list, materialized ONCE: the degree probe and the
+    // chosen variant both consume it (the variant re-derives its own
+    // working frame from persisted blocks, not from the pair pipeline)
+    val edges = pairs
+      .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val stats = edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L)).as("maxDeg"),
+        count(lit(1)).as("nV")).head()
+    val out =
+      if (chooseStar(stats.getLong(1), stats.getLong(0)))
+        duplicateClustersStar(edges, "u", "v", maxRounds)
+      else duplicateClusters(edges, "u", "v", maxRounds)
+    graft.plans.Checkpoints.release(edges)
+    out
+  }
+
+  /** True when star clustering is provably the better bet: the Moore
+    * bound says a graph on `nVertices` with max degree `maxDegree` holds
+    * at most `1 + Δ((Δ−1)^r − 1)/(Δ−2)` vertices within radius `r` of
+    * any node (`2r + 1` when Δ ≤ 2), so covering all of them forces
+    * radius ≥ log_{Δ−1}(n(Δ−2)/Δ + 1) — a DIAMETER lower bound no layout
+    * can beat. When even that floor exceeds star's worst-case bill
+    * (~2 jobs/round × log₂ n rounds, vs propagation's 1 job/diameter
+    * round), chains dominate and star wins. A low floor proves nothing
+    * (hubs can hide chains), so the chooser then defaults to
+    * propagation — the cheap case for the star-like graphs dedup
+    * usually produces. */
+  private[graft] def chooseStar(nVertices: Long, maxDegree: Long): Boolean = {
+    if (nVertices < 3 || maxDegree < 1) return false
+    val n = nVertices.toDouble
+    val diameterFloor =
+      if (maxDegree <= 2) (n - 1) / 2.0 // paths/cycles: Moore = 2r + 1
+      else math.log((n - 1) * (maxDegree - 2) / maxDegree + 1) /
+        math.log((maxDegree - 1).toDouble)
+    diameterFloor > 2.0 * math.log(n) / math.log(2.0) + 2.0
+  }
+
   /** SimHash candidate pairs over canonicalized docs:
     * (doc_a, doc_b, hamming) for hamming <= `maxHamming`. Band count and
     * width follow the pigeonhole rule: maxHamming+1 bands guarantee two

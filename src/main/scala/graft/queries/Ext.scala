@@ -197,6 +197,17 @@ object Ext {
         maxDf = if (graft.Tables.benchMode) 64 else 0)
       ord(graft.operators.TextDedup.duplicateClustersStar(pairs))
     }),
+    // the auto-selecting form: a one-pass degree summary picks
+    // propagation or star (Moore-bound diameter floor, see
+    // TextDedup.chooseStar); same unique fixpoint either way, so it
+    // shares the recursive-CTE oracle verbatim with both siblings.
+    "q_dedup_clusters_auto" -> ((s, dir) => {
+      val pairs = graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      ord(graft.operators.TextDedup.duplicateClustersAuto(pairs))
+    }),
     // MinHash + LSH banding, fully oracle-checked (portable affine hash
     // family, see MinHashP above); banding is an equi-join on
     // (band, band-slice key), so the only shuffle is |docs|*bands rows,
@@ -761,11 +772,13 @@ object Ext {
     s"min((${aCoef(i)} * base + ${bCoef(i)}) % $MinHashP) AS h$i").mkString(",\n  ")
   private val minhashArr: String = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
 
-  /** q_dedup_clusters_star shares q_dedup_clusters' oracle: the two
-    * implementations compute the same unique fixpoint (see the catalog
-    * entry), so one recursive-CTE spec checks both. */
+  /** q_dedup_clusters_star and _auto share q_dedup_clusters' oracle: all
+    * three implementations compute the same unique fixpoint (see the
+    * catalog entries), so one recursive-CTE spec checks them all. */
   def oracles: Map[String, String] =
-    oracles0 + ("q_dedup_clusters_star" -> oracles0("q_dedup_clusters"))
+    oracles0 +
+      ("q_dedup_clusters_star" -> oracles0("q_dedup_clusters")) +
+      ("q_dedup_clusters_auto" -> oracles0("q_dedup_clusters"))
 
   private val oracles0: Map[String, String] = Map(
     "q_dedup_minhash" ->

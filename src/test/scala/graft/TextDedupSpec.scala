@@ -189,6 +189,52 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("chooseStar: Moore floor picks star on chains, propagation on hubs") {
+    // chain of 1000 (max degree 2): the diameter floor is ~500, far past
+    // star's ~2*log2(n) bill — star. A hub graph (one center, degree
+    // n-1) has floor ~1 — propagation. Dense-but-bounded degree at
+    // moderate n also stays propagation (the floor proves nothing).
+    assert(TextDedup.chooseStar(nVertices = 1000, maxDegree = 2), "long chain must pick star")
+    assert(TextDedup.chooseStar(nVertices = 100, maxDegree = 2), "mid chain must pick star")
+    assert(!TextDedup.chooseStar(nVertices = 100, maxDegree = 99), "hub must pick propagation")
+    assert(!TextDedup.chooseStar(nVertices = 10000, maxDegree = 20),
+      "bounded-degree dense graph has a low floor: propagation")
+    assert(!TextDedup.chooseStar(nVertices = 2, maxDegree = 1), "trivial graphs: propagation")
+  }
+
+  test("duplicateClustersAuto matches both variants' fixpoint on either shape") {
+    import spark.implicits._
+    // chain (auto picks star) and hub-and-spokes plus random mixed
+    // graphs (auto picks propagation): the output must equal
+    // duplicateClusters' in every case — the chooser may only affect
+    // cost, never the labels.
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val hub = (1L to 20L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val rnd = new scala.util.Random(5)
+    val mixed = Seq.fill(50)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("doc_a", "doc_b")
+    for ((name, edges) <- Seq(("chain", chain), ("hub", hub), ("mixed", mixed))) {
+      def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val auto = labels(TextDedup.duplicateClustersAuto(edges))
+      val prop = labels(TextDedup.duplicateClusters(edges))
+      assert(auto == prop, s"$name: auto labels diverge from propagation's")
+    }
+  }
+
+  test("duplicateClustersAuto releases every internal block like its siblings") {
+    import spark.implicits._
+    graft.plans.Checkpoints.releaseAll(spark)
+    val edges = ((0L until 39L).map(i => (i, i + 1)) ++ Seq((50L, 51L)))
+      .toDF("doc_a", "doc_b")
+    val out = TextDedup.duplicateClustersAuto(edges)
+    out.count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      "auto leaked internal blocks (degree probe or edge frame)")
+    graft.plans.Checkpoints.release(out)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("clustering releases every internal block; only the result stays persisted") {
     // the library persist-lifecycle contract (round-4 lesson: zero
     // unpersist calls leaked checkpointed blocks for the JVM's life and
