@@ -71,6 +71,7 @@ object Bench {
     "q_knn_ivf_trained",
     "q_pq_encode",
     "q_knn_pq_adc",
+    "q_knn_pq_refine",
     "q_knn_ivfpq",
     "q_knn_ivfpq_residual",
     "q_ivf_train",

@@ -342,6 +342,54 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"), col("rk"))
   }
 
+  /** ADC with EXACT re-ranking (the "R" in IVFADC-R, Jégou et al. §V):
+    * the PQ estimate selects each query's `rerank` best candidates —
+    * m lookups per corpus row, the memory-bound scan — and only those
+    * few rows pay a full-precision distance, which re-orders them into
+    * the final top-k. Compression error then only costs recall when a
+    * true neighbor falls outside the top-`rerank` estimate, not the
+    * top-k: a small multiple of k (4-8x) recovers most of what raw ADC
+    * loses, at ~rerank/|corpus| of the exact scan's FLOPs.
+    *
+    * Scale shape: identical to [[knnPqAdc]] until the candidate cut
+    * (corpus scanned once as codes, per-query LUTs broadcast); the
+    * re-rank touches rerank·|queries| rows. The full-precision column
+    * rides the scan here (the corpus frame carries it anyway); a
+    * deployment whose scan reads ONLY codes would instead join the
+    * candidate ids back to the vector store — a rerank·|queries|-row
+    * bucketed lookup, still trivial. Determinism: candidate cut by
+    * (rounded adist, vec_id), final rank by (rounded exact distance,
+    * vec_id) — the oracle replays both stages bit-for-bit. */
+  def knnPqAdcRefined(
+      vectors: DataFrame,
+      codebooks: DataFrame,
+      queryPred: Column,
+      k: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cbs = collectCodebooks(codebooks)
+    val m = cbs.length
+    val dsub = subWidth(vectors, m)
+    val encoded = encodeWith(vectors, cbs)
+    val lut = adcLut(cbs, dsub)
+    val q = broadcast(vectors.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), lut.as("lut")))
+    val adist = (0 until m).map(j =>
+        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val cand = encoded.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("adist", round(adist, 4))
+      .withColumn("__rn", row_number().over(wA))
+      .filter(col("__rn") <= rerank)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    cand
+      .withColumn("dist", round(
+        graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("v")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("dist"), col("rk"))
+  }
+
   /** The composed IVF-PQ search — the architecture that actually runs at
     * 100 TB: the coarse quantizer prunes candidates to each query's
     * `nprobe` nearest CELLS (the [[knnIvfProbed]] recall knob), and the

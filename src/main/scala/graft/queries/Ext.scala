@@ -416,6 +416,17 @@ object Ext {
       val cb = graft.operators.Similarity.trainPq(e, m = 4, ksub = 8, iters = 2)
       ord(graft.operators.Similarity.knnPqAdc(e, cb, col("vec_id") < 10, k = 5))
     }),
+    // ADC with exact re-rank (IVFADC-R's refine stage): the PQ estimate
+    // cuts to each query's 15 best candidates, full-precision distances
+    // re-order them into the top 5 - compression error only costs
+    // recall past the candidate cut, at 15/|corpus| of the exact FLOPs.
+    "q_knn_pq_refine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cb = graft.operators.Similarity.trainPq(e, m = 4, ksub = 8, iters = 2)
+      ord(graft.operators.Similarity.knnPqAdcRefined(
+        e, cb, col("vec_id") < 10, k = 5, rerank = 15))
+    }),
     // the COMPOSED IVF-PQ search - coarse cells prune candidates
     // (nprobe=2 of 8), PQ codes + LUTs score the survivors: both pruning
     // axes of the 100-TB ANN architecture in one oracle-checked query.
@@ -989,6 +1000,34 @@ object Ext {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rk
          |  FROM scored)
          |SELECT q_id, neighbor, adist, rk FROM ranked WHERE rk <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_pq_refine" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |${pqEncCtes()},
+         |q0 AS (SELECT vec_id AS q_id, v FROM v WHERE vec_id < 10),
+         |${(0 until 4).map { j =>
+             val a = j * 16 + 1
+             s"""lut_$j AS (SELECT q.q_id, b.code,
+                |    list_sum([(q.v[$a + d - 1] - b.cen[d]) * (q.v[$a + d - 1] - b.cen[d]) FOR d IN range(1, len(b.cen) + 1)]) AS dd
+                |  FROM q0 q, cb_$j b)""".stripMargin
+           }.mkString(",\n")},
+         |scored AS (SELECT l0.q_id, e.vec_id,
+         |    round(((l0.dd + l1.dd) + l2.dd) + l3.dd, 4) AS adist
+         |  FROM enc e
+         |  JOIN lut_0 l0 ON l0.code = e.c0
+         |  JOIN lut_1 l1 ON l1.code = e.c1 AND l1.q_id = l0.q_id
+         |  JOIN lut_2 l2 ON l2.code = e.c2 AND l2.q_id = l0.q_id
+         |  JOIN lut_3 l3 ON l3.code = e.c3 AND l3.q_id = l0.q_id
+         |  WHERE e.vec_id <> l0.q_id),
+         |cand AS (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn FROM scored),
+         |ex AS (SELECT c.q_id, c.vec_id,
+         |    round(list_sum([(qv.v[d] - xv.v[d]) * (qv.v[d] - xv.v[d]) FOR d IN range(1, len(qv.v) + 1)]), 4) AS dist
+         |  FROM cand c JOIN v qv ON qv.vec_id = c.q_id JOIN v xv ON xv.vec_id = c.vec_id
+         |  WHERE c.rn <= 15),
+         |ranked AS (SELECT q_id, vec_id AS neighbor, dist,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS INT) AS rk FROM ex)
+         |SELECT q_id, neighbor, dist, rk FROM ranked WHERE rk <= 5
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_ivfpq" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

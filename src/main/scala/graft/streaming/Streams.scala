@@ -411,6 +411,85 @@ object Streams {
         })
   }
 
+  /** [[streamingNearDupsMinHash]] with EVENT-TIME expiry — the MinHash
+    * twin of [[streamingNearDupsEventTime]], for backfills replayed
+    * faster than real time. TTL is measured between document EVENT
+    * times (entry matching + `maxBucket` capacity), idle buckets die by
+    * `EventTimeTimeout` on the watermark; scoring, rounding, intra-batch
+    * ordering, re-delivery no-ops and the band-on-the-output multiset
+    * contract all match the processing-time form, so the same historical
+    * stream yields the same pairs at any replay speed. */
+  def streamingNearDupsMinHashEventTime(
+      docs: Dataset[(Long, String, java.sql.Timestamp)],
+      threshold: Double,
+      ttl: java.time.Duration,
+      k: Int = 32,
+      bands: Int = 8,
+      maxBucket: Int = 1024,
+      portable: Boolean = false,
+      watermarkDelay: String = "0 seconds"): Dataset[(Long, Long, Int, Int, Double)] = {
+    require(k > 0 && bands > 0 && k % bands == 0, "bands must divide k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val ttlMs = ttl.toMillis
+    require(ttlMs > 0, "event-time TTL must be positive")
+    // ts survives as a TIMESTAMP column into the stateful operator — see
+    // streamingNearDupsEventTime for why the watermark sits on the
+    // banded frame
+    val banded = docs.flatMap { case (id, text, ts) =>
+        if (text == null || ts == null) Iterator.empty
+        else {
+          val sigArr = graft.functions.MinHashSig.evalSig(
+            org.apache.spark.unsafe.types.UTF8String.fromString(text), k, portable)
+          if (sigArr == null) Iterator.empty // under 3 tokens: no signature
+          else {
+            val sig = sigArr.toLongArray()
+            (0 until bands).iterator.map { b =>
+              (b, sig.slice(b * r, (b + 1) * r).mkString("_"), id, sig.toSeq, ts)
+            }
+          }
+        }
+      }
+      .toDF("band", "bkey", "doc_id", "sig", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
+    banded.groupByKey(row => (row._1, row._2))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: (Int, String), rows: Iterator[(Int, String, Long, Seq[Long], java.sql.Timestamp)],
+            state: GroupState[Seq[(Long, Seq[Long], Long)]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Double)]
+            for ((b, _, id, sig, t) <- rows.toSeq
+                .map(row => (row._1, row._2, row._3, row._4, row._5.getTime))
+                .sortBy(row => (row._5, row._3))) {
+              seen = seen.filter(e => t - e._3 <= ttlMs)
+              if (!seen.exists(_._1 == id) && seen.size < maxBucket) {
+                for ((oid, osig, _) <- seen) {
+                  var m = 0
+                  var i = 0
+                  while (i < k) { if (osig(i) == sig(i)) m += 1; i += 1 }
+                  val est = java.math.BigDecimal.valueOf(m.toDouble / k)
+                    .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                  if (est >= threshold)
+                    out += ((math.min(oid, id), math.max(oid, id), b, m, est))
+                }
+                seen = seen :+ ((id, sig, t))
+              }
+            }
+            if (seen.isEmpty) state.remove()
+            else {
+              state.update(seen)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(seen.map(_._3).max + ttlMs, wm + 1))
+            }
+            out.iterator
+          }
+        })
+  }
+
   /** Streaming contamination check: corpus documents arriving as a
     * STREAM (a crawl feed) tested against a STATIC benchmark corpus (the
     * eval sets, fixed for the run) — the at-ingest decontamination gate,

@@ -242,6 +242,38 @@ class SimilaritySpec extends SparkSpec {
     graft.plans.Checkpoints.release(cents)
   }
 
+  test("exact re-rank recovers recall ADC loses; k-prefix comes from the candidate cut") {
+    // IVFADC-R's refine contract on this deterministic fixture: (a) the
+    // refined top-k recall against the exact top-k is >= plain ADC's
+    // (re-ordering candidates by TRUE distance can only fix inversions
+    // inside the cut), and (b) every refined neighbor is one of the
+    // query's rerank best ADC candidates by construction.
+    val cb = Similarity.trainPq(vecs, m = 4, ksub = 8, iters = 2)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val adc = topk(Similarity.knnPqAdc(vecs, cb, col("vec_id") < 10, k = 5))
+    val refined = topk(Similarity.knnPqAdcRefined(vecs, cb, col("vec_id") < 10, k = 5, rerank = 20))
+    val candidates = topk(Similarity.knnPqAdc(vecs, cb, col("vec_id") < 10, k = 20))
+    val vs = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def meanRecall(got: Map[Long, Set[Long]]): Double = {
+      val per = vs.filter(_._1 < 10).map { case (qid, qv) =>
+        val exact = vs.filter(_._1 != qid).map { case (id, xv) =>
+          (xv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+        }.sorted.take(5).map(_._2).toSet
+        (got.getOrElse(qid, Set.empty) intersect exact).size / 5.0
+      }
+      per.sum / per.length
+    }
+    val (rAdc, rRef) = (meanRecall(adc), meanRecall(refined))
+    assert(rRef >= rAdc - 1e-9,
+      f"re-ranking must not lose recall: refined $rRef%.3f vs ADC $rAdc%.3f")
+    refined.foreach { case (q, ns) =>
+      assert(ns.subsetOf(candidates(q)),
+        s"query $q: refined neighbors $ns escaped the rerank-candidate cut")
+    }
+  }
+
   test("residual IVFADC recall is >= the raw-vector variant at equal budget") {
     // canonical-IVFADC claim (Jégou et al. §IV): quantizing residuals
     // concentrates the codebooks' dynamic range, so at the SAME coarse

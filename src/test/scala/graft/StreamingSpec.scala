@@ -457,6 +457,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhash event-time TTL: backfill keeps batch parity, stale entries evict") {
+    // the MinHash twin of the backfill scenario: docs 30 event-minutes
+    // apart pair under a 1h event-time TTL despite a >1s wall pause; a
+    // third doc 2 event-hours later pairs with nothing.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.Streams.streamingNearDupsMinHashEventTime(ms.toDS(),
+        threshold = 0.5, ttl = java.time.Duration.ofHours(1), portable = true)
+      .toDF("doc_a", "doc_b", "band", "n_match", "est_jaccard")
+      .writeStream.format("memory").queryName("mh_event_ttl").outputMode("append").start()
+    try {
+      ms.addData((1L, text, ts(0)))
+      awaitOffset(q, 1)
+      Thread.sleep(1200)
+      ms.addData((2L, text, ts(30)))
+      awaitOffset(q, 2)
+      ms.addData((3L, text, ts(120)))
+      awaitOffset(q, 3)
+      val pairs = spark.table("mh_event_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)),
+        s"only the co-resident 1-2 pair may surface, got $pairs")
+      // parity on the co-resident prefix: identical docs agree on the
+      // full signature, so the streamed rows projected+deduped equal the
+      // batch pair set over docs 1-2
+      val streamed12 = spark.table("mh_event_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+      val batch = graft.operators.TextDedup.minhashPairs(
+          Seq(1L -> text, 2L -> text).toDF("doc_id", "text"), "doc_id", "text",
+          threshold = 0.5, portable = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      assert(batch.nonEmpty && streamed12.map(p => (p._1, p._2, p._3)) == batch,
+        s"co-resident prefix must match batch: $streamed12 vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming contamination matches the batch cross-overlap pairs across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
