@@ -74,6 +74,7 @@ object Bench {
     "q_knn_pq_refine",
     "q_knn_ivfpq",
     "q_knn_ivfpq_residual",
+    "q_knn_ivfpq_refine",
     "q_ivf_train",
     "q_text_quality",
     "q_lang_id",

@@ -505,6 +505,69 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"), col("rk"))
   }
 
+  /** The COMPLETE production ANN stack (Faiss's IVFPQR shape): coarse
+    * cells prune candidates ([[knnIvfPqResidual]]'s nprobe axis),
+    * residual-space PQ codes + per-(query, cell) LUTs estimate distances
+    * (the compression axis), and the `rerank` best estimates per query
+    * pay one full-precision distance to settle the final top-k
+    * ([[knnPqAdcRefined]]'s refine axis). All three error/cost knobs
+    * compose: per query the scan touches ~nprobe/cells of the corpus at
+    * m bytes per candidate, and exact arithmetic touches only
+    * rerank·|queries| rows.
+    *
+    * Scale shape: ONE corpus scan (assignment, residual subtraction and
+    * encoding are consecutive narrow projections; centroids broadcast);
+    * the original vector rides the scan next to its codes so the refine
+    * step needs no second lookup — a deployment whose scan reads only
+    * codes would join the rerank·|queries| candidate ids back to the
+    * vector store instead. Determinism end to end: centroid ties by cid,
+    * candidate cut by (rounded adist, vec_id), final rank by (rounded
+    * exact distance, vec_id) — oracle-replayed through every stage. */
+  def knnIvfPqResidualRefined(
+      vectors: DataFrame,
+      cents: DataFrame,
+      codebooks: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cbs = collectCodebooks(codebooks)
+    val m = cbs.length
+    val dsub = subWidth(vectors, m)
+    // residual for the codes, original alongside for the exact re-rank
+    val resWithOrig = assignToCentroids(vectors, cents)
+      .join(broadcast(cents), "cid")
+      .select(col("vec_id"),
+        graft.functions.VecSub.vec_sub(col("v"), col("cen")).as("v"),
+        col("v").as("orig"), col("cid"))
+    val encoded = encodeWith(resWithOrig, cbs)
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))
+    val probes = broadcast(vectors.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("cen")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .withColumn("v", graft.functions.VecSub.vec_sub(col("qv"), col("cen")))
+      .select(col("q_id"), col("qv"), adcLut(cbs, dsub).as("lut"), col("cid").as("qb")))
+    val adist = (0 until m).map(j =>
+        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val cand = encoded
+      .join(probes, col("cid") === col("qb") && col("vec_id") =!= col("q_id"))
+      .withColumn("adist", round(adist, 4))
+      .withColumn("__crn", row_number().over(wA))
+      .filter(col("__crn") <= rerank)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    cand
+      .withColumn("dist", round(
+        graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("orig")), 4))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("dist"), col("rk"))
+  }
+
   /** Recursive `least()` tournament: argmin structs meet in chunks of at
     * most [[ArgminTreeMaxK]] per expression, and chunk winners recurse
     * until one remains — no single `least()` ever exceeds the chunk

@@ -460,6 +460,21 @@ object Ext {
       ord(graft.operators.Similarity.knnIvfPqResidual(
         e, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2))
     }),
+    // the COMPLETE production stack (Faiss IVFPQR): coarse prune +
+    // residual-PQ estimate + exact re-rank of the 15 best estimates -
+    // all three error/cost knobs composed, oracle-replayed end to end.
+    "q_knn_ivfpq_refine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+        .localCheckpoint(true)   // see q_knn_ivf_trained
+      val res = graft.operators.Similarity.residuals(e, cents)
+        .localCheckpoint(true)   // see q_knn_ivfpq_residual
+      val cb = graft.operators.Similarity.trainPq(res, m = 4, ksub = 8, iters = 2)
+      graft.plans.Checkpoints.release(res)
+      ord(graft.operators.Similarity.knnIvfPqResidualRefined(
+        e, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2, rerank = 15))
+    }),
 
     // ---- text analysis ----------------------------------------------
 
@@ -775,6 +790,48 @@ object Ext {
        |  FROM codes_0 JOIN codes_1 USING (vec_id)
        |  JOIN codes_2 USING (vec_id) JOIN codes_3 USING (vec_id))""".stripMargin
 
+  /** The residual-IVFADC replay through the ADC estimate: coarse Lloyd
+    * chain, residual projection, 4 residual-space subspace trainings +
+    * encoding, nprobe=2 probing, per-(query, cell) LUTs from the query
+    * residual, and `scored(q_id, vec_id, adist)`. Shared verbatim by
+    * q_knn_ivfpq_residual (ranks the estimate) and q_knn_ivfpq_refine
+    * (cuts to 15 candidates and re-ranks by exact distance). */
+  private def residualScoredCtes: String =
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+       |a1 AS (${ivfAssignSql("v", "c0")}),
+       |c1 AS (${ivfUpdateSql("a1")}),
+       |a2 AS (${ivfAssignSql("v", "c1")}),
+       |c2 AS (${ivfUpdateSql("a2")}),
+       |fin AS (${ivfAssignSql("v", "c2")}),
+       |res AS (SELECT f.vec_id, [f.v[d] - c.cen[d] FOR d IN range(1, len(f.v) + 1)] AS v
+       |  FROM fin f JOIN c2 c USING (cid)),
+       |${pqEncCtes("res")},
+       |q0 AS (SELECT vec_id AS q_id, v FROM v WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q_id, cid AS qb FROM (
+       |    SELECT q.q_id, s.cid,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |        list_sum([(q.v[d] - s.cen[d]) * (q.v[d] - s.cen[d]) FOR d IN range(1, len(q.v) + 1)]), s.cid) AS rn
+       |    FROM q0 q, c2 s) WHERE rn <= 2),
+       |qres AS (SELECT p.q_id, p.qb, [q.v[d] - c.cen[d] FOR d IN range(1, len(q.v) + 1)] AS v
+       |  FROM probes p JOIN q0 q USING (q_id) JOIN c2 c ON c.cid = p.qb),
+       |${(0 until 4).map { j =>
+           val a = j * 16 + 1
+           s"""lut_$j AS (SELECT r.q_id, r.qb, b.code,
+              |    list_sum([(r.v[$a + d - 1] - b.cen[d]) * (r.v[$a + d - 1] - b.cen[d]) FOR d IN range(1, len(b.cen) + 1)]) AS dd
+              |  FROM qres r, cb_$j b)""".stripMargin
+         }.mkString(",\n")},
+       |scored AS (SELECT p.q_id, e.vec_id,
+       |    round(((l0.dd + l1.dd) + l2.dd) + l3.dd, 4) AS adist
+       |  FROM enc e
+       |  JOIN fin f USING (vec_id)
+       |  JOIN probes p ON f.cid = p.qb AND e.vec_id <> p.q_id
+       |  JOIN lut_0 l0 ON l0.q_id = p.q_id AND l0.qb = p.qb AND l0.code = e.c0
+       |  JOIN lut_1 l1 ON l1.q_id = p.q_id AND l1.qb = p.qb AND l1.code = e.c1
+       |  JOIN lut_2 l2 ON l2.q_id = p.q_id AND l2.qb = p.qb AND l2.code = e.c2
+       |  JOIN lut_3 l3 ON l3.q_id = p.q_id AND l3.qb = p.qb AND l3.code = e.c3)""".stripMargin
+
   /** DuckDB HUGEINT constants for unsigned-64 wrap arithmetic. */
   private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
   private val M63 = "CAST('9223372036854775808' AS HUGEINT)"
@@ -1066,44 +1123,23 @@ object Ext {
          |SELECT q_id, neighbor, adist, rk FROM ranked WHERE rk <= 5
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_ivfpq_residual" ->
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
-         |a1 AS (${ivfAssignSql("v", "c0")}),
-         |c1 AS (${ivfUpdateSql("a1")}),
-         |a2 AS (${ivfAssignSql("v", "c1")}),
-         |c2 AS (${ivfUpdateSql("a2")}),
-         |fin AS (${ivfAssignSql("v", "c2")}),
-         |res AS (SELECT f.vec_id, [f.v[d] - c.cen[d] FOR d IN range(1, len(f.v) + 1)] AS v
-         |  FROM fin f JOIN c2 c USING (cid)),
-         |${pqEncCtes("res")},
-         |q0 AS (SELECT vec_id AS q_id, v FROM v WHERE vec_id < 10),
-         |probes AS (
-         |  SELECT q_id, cid AS qb FROM (
-         |    SELECT q.q_id, s.cid,
-         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |        list_sum([(q.v[d] - s.cen[d]) * (q.v[d] - s.cen[d]) FOR d IN range(1, len(q.v) + 1)]), s.cid) AS rn
-         |    FROM q0 q, c2 s) WHERE rn <= 2),
-         |qres AS (SELECT p.q_id, p.qb, [q.v[d] - c.cen[d] FOR d IN range(1, len(q.v) + 1)] AS v
-         |  FROM probes p JOIN q0 q USING (q_id) JOIN c2 c ON c.cid = p.qb),
-         |${(0 until 4).map { j =>
-             val a = j * 16 + 1
-             s"""lut_$j AS (SELECT r.q_id, r.qb, b.code,
-                |    list_sum([(r.v[$a + d - 1] - b.cen[d]) * (r.v[$a + d - 1] - b.cen[d]) FOR d IN range(1, len(b.cen) + 1)]) AS dd
-                |  FROM qres r, cb_$j b)""".stripMargin
-           }.mkString(",\n")},
-         |scored AS (SELECT p.q_id, e.vec_id,
-         |    round(((l0.dd + l1.dd) + l2.dd) + l3.dd, 4) AS adist
-         |  FROM enc e
-         |  JOIN fin f USING (vec_id)
-         |  JOIN probes p ON f.cid = p.qb AND e.vec_id <> p.q_id
-         |  JOIN lut_0 l0 ON l0.q_id = p.q_id AND l0.qb = p.qb AND l0.code = e.c0
-         |  JOIN lut_1 l1 ON l1.q_id = p.q_id AND l1.qb = p.qb AND l1.code = e.c1
-         |  JOIN lut_2 l2 ON l2.q_id = p.q_id AND l2.qb = p.qb AND l2.code = e.c2
-         |  JOIN lut_3 l3 ON l3.q_id = p.q_id AND l3.qb = p.qb AND l3.code = e.c3),
+      s"""WITH $residualScoredCtes,
          |ranked AS (SELECT q_id, vec_id AS neighbor, adist,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS INT) AS rk
          |  FROM scored)
          |SELECT q_id, neighbor, adist, rk FROM ranked WHERE rk <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_ivfpq_refine" ->
+      s"""WITH $residualScoredCtes,
+         |cand AS (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn FROM scored),
+         |ex AS (SELECT c.q_id, c.vec_id,
+         |    round(list_sum([(qv.v[d] - xv.v[d]) * (qv.v[d] - xv.v[d]) FOR d IN range(1, len(qv.v) + 1)]), 4) AS dist
+         |  FROM cand c JOIN v qv ON qv.vec_id = c.q_id JOIN v xv ON xv.vec_id = c.vec_id
+         |  WHERE c.rn <= 15),
+         |ranked AS (SELECT q_id, vec_id AS neighbor, dist,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS INT) AS rk FROM ex)
+         |SELECT q_id, neighbor, dist, rk FROM ranked WHERE rk <= 5
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_vocab" ->
       """SELECT w, tf, df FROM (

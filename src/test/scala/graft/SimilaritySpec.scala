@@ -306,4 +306,38 @@ class SimilaritySpec extends SparkSpec {
       f"residual encoding must not lose recall: residual $rRes%.3f vs raw $rRaw%.3f")
     graft.plans.Checkpoints.release(cents)
   }
+
+  test("full IVFPQR stack: re-rank stays inside the residual-ADC cut, recall not below it") {
+    // the three-knob composition: its candidates are exactly the
+    // residual variant's top-rerank, so (a) the refined top-k is a
+    // subset of knnIvfPqResidual(k = rerank), and (b) exact re-ordering
+    // cannot drop recall below the residual estimate's top-k.
+    val cents = Similarity.trainIvf(vecs, k = 8, iters = 2).localCheckpoint(true)
+    val resFrame = Similarity.residuals(vecs, cents).localCheckpoint(true)
+    val cb = Similarity.trainPq(resFrame, m = 4, ksub = 8, iters = 2)
+    graft.plans.Checkpoints.release(resFrame)
+    def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val estimate = topk(Similarity.knnIvfPqResidual(vecs, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2))
+    val cut = topk(Similarity.knnIvfPqResidual(vecs, cents, cb, col("vec_id") < 10, k = 20, nprobe = 2))
+    val full = topk(Similarity.knnIvfPqResidualRefined(vecs, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2, rerank = 20))
+    full.foreach { case (q, ns) =>
+      assert(ns.subsetOf(cut(q)), s"query $q: refined neighbors escaped the ADC cut")
+    }
+    val vs = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def meanRecall(got: Map[Long, Set[Long]]): Double = {
+      val per = vs.filter(_._1 < 10).map { case (qid, qv) =>
+        val exact = vs.filter(_._1 != qid).map { case (id, xv) =>
+          (xv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+        }.sorted.take(5).map(_._2).toSet
+        (got.getOrElse(qid, Set.empty) intersect exact).size / 5.0
+      }
+      per.sum / per.length
+    }
+    val (rEst, rFull) = (meanRecall(estimate), meanRecall(full))
+    assert(rFull >= rEst - 1e-9,
+      f"exact re-rank must not lose recall: full $rFull%.3f vs estimate $rEst%.3f")
+    graft.plans.Checkpoints.release(cents)
+  }
 }
