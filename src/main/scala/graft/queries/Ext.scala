@@ -697,6 +697,33 @@ object Ext {
     "q_mm_decode" -> ((s, dir) => {
       ord(graft.operators.Multimodal.decode(mmPayloads(s, dir)))
     }),
+    // the REAL codec through the driver gate: synthesize a valid P6
+    // payload per document (dims from doc_id, plane bytes cycling the
+    // text's md5 digest), decode it with PpmCodec — actual header
+    // parsing and plane indexing, not a stub — and let the oracle
+    // value-check dimensions, byte count and the (0,0) pixel's R,G,B
+    // (the digest's first three bytes). A codec parse bug now fails
+    // correctness, not just a ScalaTest.
+    "q_mm_decode_real" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      ord(t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val w = (id % 31 + 1).toInt
+          val h = (id % 17 + 1).toInt
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(Option(text).getOrElse("").getBytes("UTF-8"))
+          val payload = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+            Array.tabulate(w * h * 3)(i => md(i % 16))
+          val m = graft.operators.PpmCodec.decoder(payload)
+          (id, m.nBytes, m.width, m.height,
+            graft.operators.PpmCodec.pixel(payload, 0, 0, 0),
+            graft.operators.PpmCodec.pixel(payload, 0, 0, 1),
+            graft.operators.PpmCodec.pixel(payload, 0, 0, 2))
+        })
+        .toDF("doc_id", "n_bytes", "width", "height", "r0", "g0", "b0"))
+    }),
     // multimodal resize: dimension metadata transform over the decoded
     // payloads — fit into a 224x224 box with aspect preserved (integer
     // arithmetic, so the oracle replicates it); the real resampler plugs
@@ -1436,6 +1463,19 @@ object Ext {
         |  SELECT source, string_agg(token, ',' ORDER BY token) AS ct FROM common GROUP BY source) c
         |ON dc.source = c.source
         |GROUP BY dc.source ORDER BY ALL NULLS FIRST""".stripMargin,
+    // replicates the payload CONSTRUCTION arithmetic, while Spark's side
+    // actually parses the bytes it built — a codec bug breaks the match
+    "q_mm_decode_real" ->
+      """SELECT doc_id,
+        |  CAST(length('P6' || chr(10) || CAST(doc_id % 31 + 1 AS VARCHAR) || ' ' ||
+        |      CAST(doc_id % 17 + 1 AS VARCHAR) || chr(10) || '255' || chr(10))
+        |    + 3 * (doc_id % 31 + 1) * (doc_id % 17 + 1) AS INT) AS n_bytes,
+        |  CAST(doc_id % 31 + 1 AS INT) AS width,
+        |  CAST(doc_id % 17 + 1 AS INT) AS height,
+        |  CAST('0x' || substr(md5(coalesce(text, '')), 1, 2) AS INT) AS r0,
+        |  CAST('0x' || substr(md5(coalesce(text, '')), 3, 2) AS INT) AS g0,
+        |  CAST('0x' || substr(md5(coalesce(text, '')), 5, 2) AS INT) AS b0
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_decode" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
