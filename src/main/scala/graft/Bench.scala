@@ -66,6 +66,7 @@ object Bench {
     "q_contamination",
     "q_prep_pipeline",
     "q_dedup_embedding_lsh",
+    "q_dedup_semantic",
     "q_knn_bruteforce",
     "q_knn_ivf_probed",
     "q_knn_ivf_trained",

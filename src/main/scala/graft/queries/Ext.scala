@@ -251,6 +251,23 @@ object Ext {
         maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
 
+    // SEMANTIC dedup end to end: the cross-family composition a real
+    // pipeline runs on embeddings - LSH-bucketed cosine pairs (one
+    // corpus scan) -> connected components (auto-selected variant) ->
+    // keep-one-per-group summary (representative, cluster size). The
+    // oracle chains the LSH pair SQL into a recursive CTE, so the whole
+    // chain is value-checked, not just its stages.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val pairs = graft.operators.Similarity.cosinePairs(
+        e, threshold = 0.3, bucket = Some(lshBucket),
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0)
+      val clusters = graft.operators.TextDedup.duplicateClustersAuto(
+        pairs, "vec_a", "vec_b")
+      ord(clusters.groupBy(col("cluster_rep")).agg(count(lit(1)).as("n_members")))
+    }),
+
     // train/eval CONTAMINATION check: shingle overlap between the corpus
     // and a held-out "benchmark" slice (doc_id % 97 == 0 stands in for an
     // eval set) — the decontamination sweep every training corpus runs.
@@ -1392,6 +1409,25 @@ object Ext {
          |FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
          |    (sqrt(x.n2) * sqrt(y.n2)), 4) >= 0.3
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |  list_sum([CASE WHEN list_sum([($lshDuckLit)[j + 1][d] * v[d] FOR d IN range(1, 65)]) >= 0
+         |    THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(8)]) AS bucket FROM v),
+         |n AS (SELECT vec_id, v, bucket, list_sum(list_transform(v, x -> x * x)) AS n2 FROM b),
+         |p AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+         |  FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
+         |    (sqrt(x.n2) * sqrt(y.n2)), 4) >= 0.3),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(src, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+         |labels AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src)
+         |SELECT cluster_rep, COUNT(*) AS n_members FROM labels GROUP BY 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
