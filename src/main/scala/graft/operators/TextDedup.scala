@@ -171,18 +171,43 @@ object TextDedup {
     * bipartite inverted-index join: candidates only from shared shingles
     * (never corpus × benchmark), one `shingle_posts` generator pass per
     * document, one equi-join on the 64-bit shingle key. The benchmark side
-    * is typically tiny (an eval set) — Spark broadcasts it when it fits. */
+    * is typically tiny (an eval set) — Spark broadcasts it when it fits.
+    *
+    * `maxDf > 0` drops shingles appearing in more than that many CORPUS
+    * documents before the join — the family's degenerate-key guard
+    * ([[jaccardPairs]]' maxDf): join output is Σ_s corpus_df(s)·bench_df(s),
+    * so one boilerplate shingle (a license header, navigation chrome) in
+    * millions of documents multiplies against every benchmark doc
+    * containing it — df² blowup no partition strategy absorbs. The cap
+    * costs one extra postings aggregate (collection memory bounded at the
+    * cap) and makes `n_shared` a LOWER bound: pairs whose only shared
+    * shingles are ubiquitous fall below `minOverlap` and are consciously
+    * forgone, exactly the jaccard contract. With maxDf = 0 the plan is
+    * unchanged (no corpus-side shuffle at all). Independent of the cap, a
+    * heavily EXACT-DUPLICATED corpus multiplies output legitimately
+    * (every copy of a contaminated doc is contaminated) — run the sweep
+    * on the canonicalized corpus (as the q_prep_pipeline chain does)
+    * when copies should count once. */
   def crossOverlapPairs(
       corpus: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
       minOverlap: Int,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      maxDf: Int = 0): DataFrame = {
     def postings(df: DataFrame, out: String) = df
       .select(col(idCol).as(out), shingle_posts(col(textCol), portable))
       .select(col(out), col("s"))
-    postings(corpus, "doc_id").join(postings(benchmark, "bench_id"), "s")
+    val cp = postings(corpus, "doc_id")
+    val capped =
+      if (maxDf <= 0) cp
+      else cp.groupBy(col("s"))
+        .agg(graft.functions.CappedCollectList
+          .capped_collect_list(col("doc_id"), maxDf).as("ds"))
+        .filter(col("ds").isNotNull) // null = over the cap: drop the shingle whole
+        .select(col("s"), explode(col("ds")).as("doc_id"))
+    capped.join(postings(benchmark, "bench_id"), "s")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minOverlap)

@@ -95,6 +95,28 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Seq((1L, 100L, 1L)), s"got $pairs")
   }
 
+  test("crossOverlapPairs maxDf drops ubiquitous-shingle evidence, never invents pairs") {
+    // "common common common" appears in every corpus doc (df 3 > cap 2):
+    // its evidence is dropped, so doc 3 (ubiquitous shingle only) falls
+    // below minOverlap while docs 1-2 keep their distinctive shingles;
+    // with no cap doc 3 pairs too. n_shared is a lower bound under the cap.
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "common common common alpha beta gamma"),
+      (2L, "common common common delta epsilon zeta"),
+      (3L, "common common common unrelated tail words"))).toDF("doc_id", "text")
+    val bench = spark.createDataFrame(Seq(
+      (100L, "common common common alpha beta gamma delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = TextDedup.crossOverlapPairs(
+        corpus, bench, "doc_id", "text", minOverlap = 1, maxDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(0)
+    val capped = run(2)
+    assert(uncapped == Set((1L, 100L), (2L, 100L), (3L, 100L)), s"got $uncapped")
+    assert(capped == Set((1L, 100L), (2L, 100L)),
+      s"cap must drop only the ubiquitous-evidence pair: $capped")
+  }
+
   test("maxBucket drops degenerate LSH buckets whole, with bounded collection") {
     // a boilerplate-heavy corpus: 3000 distinct-id copies of one short text
     // put 3000 docs into EVERY (band, bkey) bucket — uncapped that is
