@@ -86,13 +86,10 @@ object Ext {
   /** Deterministic random-hyperplane LSH: an 8x64 sign matrix derived from
     * md5 bits at build time and embedded as a LITERAL in both the Spark
     * expression and the DuckDB oracle — same buckets on both engines by
-    * construction (no runtime hashing of dims). */
+    * construction (no runtime hashing of dims). Shared with the streaming
+    * embedding near-dup operator via [[graft.functions.LshPlanes]]. */
   private[queries] val LshPlanes: IndexedSeq[IndexedSeq[Int]] =
-    IndexedSeq.tabulate(8, 64) { (j, d) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"graft-lsh:$j:$d".getBytes("UTF-8"))
-      if ((h(0) & 1) == 1) 1 else -1
-    }
+    graft.functions.LshPlanes.planes
   private def lshDuckLit: String =
     LshPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 

@@ -490,6 +490,77 @@ object Streams {
         })
   }
 
+  /** Streaming EMBEDDING near-duplicate candidates — at-ingest SEMANTIC
+    * dedup, the keyed-state twin of the batch
+    * `Similarity.cosinePairs(bucket = lsh sign bucket)` path
+    * (`q_dedup_embedding_lsh`/`q_dedup_semantic`'s candidate stage).
+    * Each arriving (vec_id, embedding) computes its 8-bit
+    * random-hyperplane bucket ONCE ([[graft.functions.LshPlanes]] — the
+    * build-time sign matrix the batch column folds, same summation
+    * order, so identical buckets) and lands in that bucket's state; a
+    * new arrival emits `(vec_a, vec_b, cos)` against every stored
+    * vector with cosine ≥ `threshold`, scored exactly like the batch
+    * operator (index-order dots, 4-digit HALF_UP rounding).
+    *
+    * Unlike the banded text forms, a vector has exactly ONE bucket, so
+    * each pair can surface at most once — the output is a SET for any
+    * batch split (no band-multiset contract to project away), equal to
+    * the batch pair set over admitted docs. Recall contract matches the
+    * batch bucket path: pairs straddling a hyperplane land in different
+    * buckets and are forgone — identically in both engines. `maxBucket`
+    * first-arrival admission and `idleTtl` (entry expiry + idle-bucket
+    * processing-time timeout, with the same processAllAvailable caveat
+    * as [[streamingNearDups]]) bound state: |docs| vectors of d doubles,
+    * hash-partitioned by bucket. */
+  def streamingNearDupsEmbedding(
+      docs: Dataset[(Long, Seq[Double])],
+      threshold: Double,
+      maxBucket: Int = 1024,
+      idleTtl: Option[java.time.Duration] = None): Dataset[(Long, Long, Double)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlMs = idleTtl.map(_.toMillis).getOrElse(0L)
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val bucketed = docs.map { case (id, v) =>
+      var n2 = 0.0
+      var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      (graft.functions.LshPlanes.bucketOf(v), id, v, n2)
+    }
+    bucketed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (key: Long, rows: Iterator[(Long, Long, Seq[Double], Double)],
+            state: GroupState[Seq[(Long, Seq[Double], Double, Long)]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val now = state.getCurrentProcessingTimeMs()
+            var seen = state.getOption.getOrElse(Seq.empty)
+              .filter(e => ttlMs <= 0 || now - e._4 <= ttlMs)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            for ((_, id, v, n2) <- rows.toSeq.sortBy(_._2)
+                 if !seen.exists(_._1 == id) && seen.size < maxBucket) {
+              for ((oid, ov, on2, _) <- seen) {
+                val n = math.min(v.length, ov.length)
+                var dot = 0.0
+                var i = 0
+                while (i < n) { dot += v(i) * ov(i); i += 1 }
+                val cos = round4(dot / (math.sqrt(n2) * math.sqrt(on2)))
+                if (cos >= threshold)
+                  out += ((math.min(oid, id), math.max(oid, id), cos))
+              }
+              seen = seen :+ ((id, v, n2, now))
+            }
+            if (seen.isEmpty) state.remove() else state.update(seen)
+            if (ttlMs > 0 && seen.nonEmpty) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Streaming contamination check: corpus documents arriving as a
     * STREAM (a crawl feed) tested against a STATIC benchmark corpus (the
     * eval sets, fixed for the run) — the at-ingest decontamination gate,

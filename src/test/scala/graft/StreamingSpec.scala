@@ -495,6 +495,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dups match batch LSH cosinePairs across splits") {
+    // at-ingest semantic dedup: the streamed pair set over the real
+    // embeddings table must equal the batch bucket path's
+    // (q_dedup_embedding_lsh's candidate stage) for any batch split —
+    // same build-time sign planes, same index-order dots, same rounding.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    import org.apache.spark.sql.functions.{array, col, lit, when}
+    val lshBucket = (0 until 8).map { j =>
+      val plane = array(graft.functions.LshPlanes.planes(j).map(x => lit(x.toDouble)): _*)
+      when(graft.functions.VecDot.vec_dot(col("v"), plane) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val batch = graft.operators.Similarity.cosinePairs(
+        vecs, threshold = 0.3, bucket = Some(lshBucket))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must pair or parity is vacuous")
+    val rows = vecs.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    for (splitAt <- Seq(rows.length / 3, rows.length / 2)) {
+      val ms = MemoryStream[(Long, Seq[Double])]
+      val name = s"emb_neardup_$splitAt"
+      val q = graft.streaming.Streams.streamingNearDupsEmbedding(ms.toDS(), threshold = 0.3)
+        .toDF("vec_a", "vec_b", "cos")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData(rows.take(splitAt): _*)
+        q.processAllAvailable()
+        ms.addData(rows.drop(splitAt): _*)
+        q.processAllAvailable()
+        val streamed = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(streamed.distinct.length == streamed.length,
+          s"split@$splitAt: one bucket per vector => each pair at most once")
+        assert(streamed.toSet == batch,
+          s"split@$splitAt: streamed ${streamed.toSet.size} pairs must equal batch ${batch.size}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming contamination matches the batch cross-overlap pairs across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
