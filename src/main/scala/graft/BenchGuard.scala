@@ -20,10 +20,13 @@ package graft
   *      Host bursts run minutes, far longer than one query, so a burst
   *      covering the runs is still visible to a probe placed right after
   *      them;
-  *   4. `implausible`: the reported value exceeds 3x the best time
-  *      recorded for this query anywhere in the session (any run,
-  *      including revalidation passes) — a bookkeeping-independent
-  *      plausibility floor.
+  *   4. `implausible`: the reported value exceeds 3x the best run in
+  *      `runs`. NOTE this is a BOOKKEEPING TRIPWIRE, not an independent
+  *      burst defense: Bench always reports the min of the runs it
+  *      passes in, so with current wiring this criterion cannot fire —
+  *      it exists so that a future change to the reported statistic
+  *      (a median, a trimmed mean, a merge bug) cannot silently report
+  *      a value the query's own history contradicts.
   */
 object BenchGuard {
   val instabilityRatio = 1.5

@@ -332,11 +332,8 @@ object Similarity {
     val lut = adcLut(cbs, dsub)
     val q = broadcast(vectors.filter(queryPred)
       .select(col("vec_id").as("q_id"), lut.as("lut")))
-    val adist = (0 until m).map(j =>
-        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
     val scored = encoded.join(q, col("vec_id") =!= col("q_id"))
-      .withColumn("adist", round(adist, 4))
+      .withColumn("adist", round(adistOf(m), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"), col("rk"))
@@ -374,12 +371,9 @@ object Similarity {
     val lut = adcLut(cbs, dsub)
     val q = broadcast(vectors.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), lut.as("lut")))
-    val adist = (0 until m).map(j =>
-        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
     val wA = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     val cand = encoded.join(q, col("vec_id") =!= col("q_id"))
-      .withColumn("adist", round(adist, 4))
+      .withColumn("adist", round(adistOf(m), 4))
       .withColumn("__rn", row_number().over(wA))
       .filter(col("__rn") <= rerank)
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
@@ -423,12 +417,9 @@ object Similarity {
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("lut"), col("cid").as("qb")))
-    val adist = (0 until m).map(j =>
-        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
     val scored = encoded
       .join(probes, col("cid") === col("qb") && col("vec_id") =!= col("q_id"))
-      .withColumn("adist", round(adist, 4))
+      .withColumn("adist", round(adistOf(m), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"), col("rk"))
@@ -448,11 +439,54 @@ object Similarity {
     * callers fanning it into several consumers (seed collect + Lloyd
     * iterations) should `localCheckpoint(true)` it once. */
   def residuals(vectors: DataFrame, cents: DataFrame): DataFrame =
-    assignToCentroids(vectors, cents)
-      .join(broadcast(cents), "cid")
-      .select(col("vec_id"),
-        graft.functions.VecSub.vec_sub(col("v"), col("cen")).as("v"),
-        col("cid"))
+    residualFrame(vectors, cents, keepOrig = false)
+
+  /** The residual projection, optionally keeping the original vector as
+    * `orig` beside the residual (the refined search re-ranks against it
+    * without a second lookup). */
+  private def residualFrame(vectors: DataFrame, cents: DataFrame, keepOrig: Boolean): DataFrame = {
+    val base = assignToCentroids(vectors, cents).join(broadcast(cents), "cid")
+    val cols = Seq(col("vec_id"),
+      graft.functions.VecSub.vec_sub(col("v"), col("cen")).as("v")) ++
+      (if (keepOrig) Seq(col("v").as("orig")) else Nil) :+ col("cid")
+    base.select(cols: _*)
+  }
+
+  /** The broadcast probe frame shared by the residual searches: per
+    * (query, probed cell) one row carrying the per-cell LUT built from
+    * the QUERY RESIDUAL against that cell (and optionally the raw query
+    * vector for exact re-ranking). One definition so the two search
+    * paths cannot drift from each other or the shared oracle CTEs. */
+  private def residualProbeFrame(
+      vectors: DataFrame,
+      cents: DataFrame,
+      queryPred: Column,
+      nprobe: Int,
+      cbs: IndexedSeq[IndexedSeq[(Int, Seq[Double])]],
+      dsub: Int,
+      withQv: Boolean): DataFrame = {
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))
+    val base = vectors.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("cen")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      // the query's residual AGAINST THIS CELL becomes `v`, so adcLut
+      // (which reads `v`) builds the per-(query, cell) table
+      .withColumn("v", graft.functions.VecSub.vec_sub(col("qv"), col("cen")))
+    val cols = Seq(col("q_id")) ++ (if (withQv) Seq(col("qv")) else Nil) ++
+      Seq(adcLut(cbs, dsub).as("lut"), col("cid").as("qb"))
+    broadcast(base.select(cols: _*))
+  }
+
+  /** The fixed-subspace-order ADC estimate over a probe row's `lut` and
+    * a candidate's `codes` — left-associated j = 0..m−1, the exact
+    * double every oracle reproduces. */
+  private def adistOf(m: Int): Column =
+    (0 until m).map(j =>
+        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
 
   /** The canonical IVFADC search: coarse cells prune candidates exactly
     * like [[knnIvfPq]], but quantization works in RESIDUAL space —
@@ -483,23 +517,10 @@ object Similarity {
     val m = cbs.length
     val dsub = subWidth(vectors, m)
     val encoded = encodeWith(residuals(vectors, cents), cbs)
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))
-    val probes = broadcast(vectors.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist", graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("cen")))
-      .withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nprobe)
-      // the query's residual AGAINST THIS CELL becomes `v`, so adcLut
-      // (which reads `v`) builds the per-(query, cell) table
-      .withColumn("v", graft.functions.VecSub.vec_sub(col("qv"), col("cen")))
-      .select(col("q_id"), adcLut(cbs, dsub).as("lut"), col("cid").as("qb")))
-    val adist = (0 until m).map(j =>
-        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
+    val probes = residualProbeFrame(vectors, cents, queryPred, nprobe, cbs, dsub, withQv = false)
     val scored = encoded
       .join(probes, col("cid") === col("qb") && col("vec_id") =!= col("q_id"))
-      .withColumn("adist", round(adist, 4))
+      .withColumn("adist", round(adistOf(m), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("adist"), col("rk"))
@@ -536,28 +557,12 @@ object Similarity {
     val m = cbs.length
     val dsub = subWidth(vectors, m)
     // residual for the codes, original alongside for the exact re-rank
-    val resWithOrig = assignToCentroids(vectors, cents)
-      .join(broadcast(cents), "cid")
-      .select(col("vec_id"),
-        graft.functions.VecSub.vec_sub(col("v"), col("cen")).as("v"),
-        col("v").as("orig"), col("cid"))
-    val encoded = encodeWith(resWithOrig, cbs)
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))
-    val probes = broadcast(vectors.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cdist", graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("cen")))
-      .withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nprobe)
-      .withColumn("v", graft.functions.VecSub.vec_sub(col("qv"), col("cen")))
-      .select(col("q_id"), col("qv"), adcLut(cbs, dsub).as("lut"), col("cid").as("qb")))
-    val adist = (0 until m).map(j =>
-        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
+    val encoded = encodeWith(residualFrame(vectors, cents, keepOrig = true), cbs)
+    val probes = residualProbeFrame(vectors, cents, queryPred, nprobe, cbs, dsub, withQv = true)
     val wA = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     val cand = encoded
       .join(probes, col("cid") === col("qb") && col("vec_id") =!= col("q_id"))
-      .withColumn("adist", round(adist, 4))
+      .withColumn("adist", round(adistOf(m), 4))
       .withColumn("__crn", row_number().over(wA))
       .filter(col("__crn") <= rerank)
     val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))

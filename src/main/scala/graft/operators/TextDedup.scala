@@ -279,6 +279,26 @@ object TextDedup {
       aCol: String,
       bCol: String,
       maxRounds: Int): (DataFrame, Int) = {
+    val (res, rounds) = propagateCore(pairs, aCol, bCol, maxRounds, strict = true)
+    (res.get, rounds)
+  }
+
+  /** Propagation bounded by `budget` rounds: `Some(labels)` on
+    * convergence, `None` (with every internal frame released) when the
+    * budget runs out — [[autoClusters]]' attempt phase. */
+  private[graft] def propagateWithin(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      budget: Int): Option[DataFrame] =
+    propagateCore(pairs, aCol, bCol, budget, strict = false)._1
+
+  private def propagateCore(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int,
+      strict: Boolean): (Option[DataFrame], Int) = {
     // materialize the edge list ONCE: every propagation round joins it,
     // and candidate pairs are usually the output of a whole dedup
     // pipeline — leaving them lazy re-executes that pipeline per round
@@ -292,7 +312,14 @@ object TextDedup {
     var round = 0
     var converged = false
     while (!converged) {
-      require(round < maxRounds, s"label propagation did not converge in $maxRounds rounds")
+      if (round >= maxRounds) {
+        require(!strict, s"label propagation did not converge in $maxRounds rounds")
+        // budget exhausted (auto's attempt phase): release everything and
+        // let the caller fall back to star
+        graft.plans.Checkpoints.release(labels)
+        graft.plans.Checkpoints.release(edges)
+        return (None, round)
+      }
       val nbr = edges.join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nmin"))
       val updated = labels.join(nbr, Seq("id"), "left")
@@ -308,7 +335,7 @@ object TextDedup {
       round += 1
     }
     graft.plans.Checkpoints.release(edges)
-    (labels.select(col("id").as("member"), col("lbl").as("cluster_rep")), round)
+    (Some(labels.select(col("id").as("member"), col("lbl").as("cluster_rep"))), round)
   }
 
   /** [[duplicateClusters]] by alternating large-star/small-star rounds
@@ -428,65 +455,57 @@ object TextDedup {
   }
 
   /** [[duplicateClusters]] / [[duplicateClustersStar]] with the variant
-    * chosen automatically from a one-pass degree summary of the pair
-    * graph. Propagation costs ~1 job per round for ~diameter rounds;
-    * star costs ~2 jobs per round for ~log n rounds — so propagation
-    * wins on the star-like clusters dedup evidence usually forms
-    * (diameter a handful) and loses badly on chain-shaped transitive
-    * evidence (A~B~C~… without A~C). The chooser computes (vertices,
-    * max degree) in one aggregation over the edge list — cheap: the
-    * degree frame is one row per vertex — and picks star exactly when
-    * the MOORE BOUND proves every layout of that many vertices at that
-    * max degree has a component whose diameter outruns star's
-    * worst-case bill ([[chooseStar]]). The bound errs toward
-    * propagation: a hub-plus-chain graph can hide a long chain behind a
-    * high max degree, costing extra propagation rounds, never a wrong
-    * answer — both variants reach the identical unique fixpoint, and
-    * the returned (checkpointed) frame is release-contracted the same
-    * way. */
+    * chosen automatically, by ATTEMPT rather than by a graph statistic.
+    * Propagation costs ~1 job per round for ~diameter rounds; star costs
+    * ~2 jobs per round for ~log n rounds — so propagation wins on the
+    * star-like clusters dedup evidence usually forms (diameter a
+    * handful, including the commonest shape of MANY tiny disconnected
+    * components) and loses badly on chain-shaped transitive evidence
+    * (A~B~C~… without A~C). No cheap one-pass statistic separates the
+    * two: any global degree/vertex bound (Moore-style) is only valid for
+    * a CONNECTED graph, and a million disjoint duplicate pairs look
+    * exactly like one enormous path to it. So auto RUNS propagation with
+    * a round budget of ~2·log₂(2·|edges|)+2 — star's own worst-case
+    * round bill — and falls back to star from the original edges if the
+    * budget is exhausted. Star-like graphs converge within the budget
+    * and pay nothing extra; chain-heavy graphs waste at most the budget
+    * (a logarithmic number of cheap rounds, each one job) before the
+    * O(log n) variant takes over — never the O(diameter) blowup, and
+    * never a wrong answer: both variants reach the identical unique
+    * fixpoint, and the returned (checkpointed) frame is
+    * release-contracted the same way. */
   def duplicateClustersAuto(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxRounds: Int = 50): DataFrame = {
-    // normalized edge list, materialized ONCE: the degree probe and the
-    // chosen variant both consume it (the variant re-derives its own
-    // working frame from persisted blocks, not from the pair pipeline)
+      maxRounds: Int = 50): DataFrame = autoClusters(pairs, aCol, bCol, maxRounds)._1
+
+  /** [[duplicateClustersAuto]] plus which path produced the result
+    * ("propagation" | "star") — spec instrumentation. */
+  private[graft] def autoClusters(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int): (DataFrame, String) = {
+    // normalized edge list, materialized ONCE: the attempt and the
+    // fallback both consume it (each re-derives its own working frame
+    // from persisted blocks, not from the pair pipeline)
     val edges = pairs
       .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    val stats = edges.select(col("u").as("x")).union(edges.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d"))
-      .agg(coalesce(max(col("d")), lit(0L)).as("maxDeg"),
-        count(lit(1)).as("nV")).head()
-    val out =
-      if (chooseStar(stats.getLong(1), stats.getLong(0)))
-        duplicateClustersStar(edges, "u", "v", maxRounds)
-      else duplicateClusters(edges, "u", "v", maxRounds)
+    val nEdges = edges.count()
+    // a component on E edges has at most 2E vertices, so star needs at
+    // most ~log2(2E) rounds; give propagation twice that (its rounds
+    // cost half as much) plus slack
+    val budget = math.min(maxRounds,
+      2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(2 * nEdges, 2L))) + 2)
+    val result = propagateWithin(edges, "u", "v", budget) match {
+      case Some(labels) => (labels, "propagation")
+      case None => (duplicateClustersStar(edges, "u", "v", maxRounds), "star")
+    }
     graft.plans.Checkpoints.release(edges)
-    out
-  }
-
-  /** True when star clustering is provably the better bet: the Moore
-    * bound says a graph on `nVertices` with max degree `maxDegree` holds
-    * at most `1 + Δ((Δ−1)^r − 1)/(Δ−2)` vertices within radius `r` of
-    * any node (`2r + 1` when Δ ≤ 2), so covering all of them forces
-    * radius ≥ log_{Δ−1}(n(Δ−2)/Δ + 1) — a DIAMETER lower bound no layout
-    * can beat. When even that floor exceeds star's worst-case bill
-    * (~2 jobs/round × log₂ n rounds, vs propagation's 1 job/diameter
-    * round), chains dominate and star wins. A low floor proves nothing
-    * (hubs can hide chains), so the chooser then defaults to
-    * propagation — the cheap case for the star-like graphs dedup
-    * usually produces. */
-  private[graft] def chooseStar(nVertices: Long, maxDegree: Long): Boolean = {
-    if (nVertices < 3 || maxDegree < 1) return false
-    val n = nVertices.toDouble
-    val diameterFloor =
-      if (maxDegree <= 2) (n - 1) / 2.0 // paths/cycles: Moore = 2r + 1
-      else math.log((n - 1) * (maxDegree - 2) / maxDegree + 1) /
-        math.log((maxDegree - 1).toDouble)
-    diameterFloor > 2.0 * math.log(n) / math.log(2.0) + 2.0
+    result
   }
 
   /** SimHash candidate pairs over canonicalized docs:

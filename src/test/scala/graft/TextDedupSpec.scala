@@ -211,25 +211,36 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
-  test("chooseStar: Moore floor picks star on chains, propagation on hubs") {
-    // chain of 1000 (max degree 2): the diameter floor is ~500, far past
-    // star's ~2*log2(n) bill — star. A hub graph (one center, degree
-    // n-1) has floor ~1 — propagation. Dense-but-bounded degree at
-    // moderate n also stays propagation (the floor proves nothing).
-    assert(TextDedup.chooseStar(nVertices = 1000, maxDegree = 2), "long chain must pick star")
-    assert(TextDedup.chooseStar(nVertices = 100, maxDegree = 2), "mid chain must pick star")
-    assert(!TextDedup.chooseStar(nVertices = 100, maxDegree = 99), "hub must pick propagation")
-    assert(!TextDedup.chooseStar(nVertices = 10000, maxDegree = 20),
-      "bounded-degree dense graph has a low floor: propagation")
-    assert(!TextDedup.chooseStar(nVertices = 2, maxDegree = 1), "trivial graphs: propagation")
+  test("auto path choice: chains exhaust the budget and fall back to star; star-like and DISCONNECTED graphs stay on propagation") {
+    import spark.implicits._
+    // a long chain needs ~diameter propagation rounds, far past the
+    // ~2 log2(2E) budget — star fallback. A hub converges in a couple of
+    // rounds — propagation. Many tiny DISJOINT components are the
+    // commonest dedup shape and the one any global degree/vertex
+    // statistic misclassifies (they look like one enormous path to a
+    // Moore-style bound): each converges in ~1 round, so the attempt
+    // must stay on propagation.
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val hub = (1L to 20L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val disjointPairs = (0L until 100L).map(i => (2 * i, 2 * i + 1)).toDF("doc_a", "doc_b")
+    def pathOf(df: org.apache.spark.sql.DataFrame): String = {
+      val (out, path) = TextDedup.autoClusters(df, "doc_a", "doc_b", 100)
+      out.count() // consume before release
+      graft.plans.Checkpoints.release(out)
+      path
+    }
+    assert(pathOf(chain) == "star", "a long chain must exhaust the budget and use star")
+    assert(pathOf(hub) == "propagation", "a hub converges within the budget")
+    assert(pathOf(disjointPairs) == "propagation",
+      "disjoint tiny components must NOT be mistaken for a chain")
   }
 
   test("duplicateClustersAuto matches both variants' fixpoint on either shape") {
     import spark.implicits._
-    // chain (auto picks star) and hub-and-spokes plus random mixed
-    // graphs (auto picks propagation): the output must equal
-    // duplicateClusters' in every case — the chooser may only affect
-    // cost, never the labels.
+    // chain (auto falls back to star) and hub-and-spokes plus random
+    // mixed graphs (auto stays on propagation): the output must equal
+    // duplicateClusters' in every case — the attempt/fallback may only
+    // affect cost, never the labels.
     val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val hub = (1L to 20L).map(i => (0L, i)).toDF("doc_a", "doc_b")
     val rnd = new scala.util.Random(5)
