@@ -248,6 +248,32 @@ object Ext {
         maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
 
+    // JSONL round trip through the interchange source/sink: stage the
+    // documents table as sharded JSONL once (fingerprint-cached like
+    // q_pipeline_e2e's record staging), read it back SCHEMA-FIRST, and
+    // project per-doc facts the oracle recomputes from the original
+    // table — any escaping/unicode/type loss in the round trip diverges
+    // from the oracle. JSONL is the LLM training-data interchange
+    // format; the engine-native store stays Parquet.
+    "q_jsonl_ingest" -> ((s, dir) => {
+      val fp = t(s, dir, "documents").agg(count(lit(1)),
+        coalesce(sum(col("doc_id")), lit(0L)),
+        coalesce(sum(length(col("text"))), lit(0L))).head()
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|${fp.getLong(0)}|${fp.getLong(1)}|${fp.getLong(2)}"
+          .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + md.take(12)).getAbsolutePath
+      if (!new java.io.File(base, "_SUCCESS").isFile)
+        graft.sources.Sources.writeJsonl(
+          t(s, dir, "documents").select("doc_id", "text", "lang"), base)
+      val docs = graft.sources.Sources.readJsonl(s, base,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING"))
+      ord(docs.select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).as("n_chars"), col("lang")))
+    }),
+
     // SEMANTIC dedup end to end: the cross-family composition a real
     // pipeline runs on embeddings - LSH-bucketed cosine pairs (one
     // corpus scan) -> connected components (auto-selected variant) ->
@@ -1410,6 +1436,11 @@ object Ext {
          |WHERE round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
          |    (sqrt(x.n2) * sqrt(y.n2)), 4) >= 0.3
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // recomputed from the ORIGINAL table: a lossy JSONL round trip on
+    // the Spark side (escaping, unicode, types) diverges from this
+    "q_jsonl_ingest" ->
+      """SELECT doc_id, CAST(length(coalesce(text, '')) AS INT) AS n_chars, lang
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |b AS (SELECT vec_id, v,

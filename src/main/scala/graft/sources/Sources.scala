@@ -55,6 +55,29 @@ object Sources {
       .as[Record]
   }
 
+  /** Sharded-JSONL egress — the de-facto LLM training-data interchange
+    * format (one JSON object per line, N part files = the standard
+    * sharded layout every downstream trainer consumes). Spark's JSON
+    * sink handles escaping/unicode; each partition becomes one shard, so
+    * shard count and size follow the frame's partitioning — repartition
+    * before writing to choose shard granularity. Column types survive
+    * via the schema the reader is given back ([[readJsonl]]); this is an
+    * INTERCHANGE sink, not the engine-native store (Parquet keeps
+    * columnar pruning; JSONL exists because the rest of the ecosystem
+    * speaks it). */
+  def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Sharded-JSONL ingest with an explicit schema — schema inference
+    * would scan the corpus twice and silently widen types, so the
+    * contract is schema-first (the norm for training-data manifests).
+    * Splittable: uncompressed JSONL reads in parallel at any shard
+    * size. Corrupt lines fail loudly (FAILFAST) rather than becoming
+    * silent nulls — at 100 TB a single malformed shard discovered at
+    * training time costs far more than a failed ingest job. */
+  def readJsonl(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
   /** D7: engine-native sink. `idPrefixPartitions` buckets by the first hex
     * char of the identifier — 16 balanced partitions per write, stable under
     * corpus growth (content hashes are uniform). */

@@ -118,4 +118,32 @@ class SourcesSpec extends SparkSpec {
     assert(back.toSeq == recs.map(_.identifier).sorted,
       "recoverSwap must restore the full store before compaction touches it")
   }
+
+  test("JSONL interchange round trip preserves nasty strings exactly; corrupt shards fail fast") {
+    import spark.implicits._
+    // the properties that make JSONL line-safe: embedded newlines,
+    // quotes, backslashes, control chars and non-BMP unicode must all
+    // survive write -> read byte-for-byte; a null field round-trips null
+    val nasty = Seq(
+      (1L, "plain ascii"),
+      (2L, "quotes \" and \\ backslashes \\\" mixed"),
+      (3L, "embedded\nnewline\tand\ttabs\r\n"),
+      (4L, "unicode: 嗨 🤖 café "),
+      (5L, null.asInstanceOf[String]))
+    val dir = Files.createTempDirectory("graft_jsonl_spec").toString
+    Sources.writeJsonl(nasty.toDF("doc_id", "text"), dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING")
+    val back = Sources.readJsonl(spark, dir, schema)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(back == nasty.toMap, s"round trip diverged: $back")
+    // FAILFAST: a malformed line is a loud error, not a silent null row
+    Files.writeString(Paths.get(dir, "part-corrupt.json"), "{not json at all\n")
+    val e = intercept[org.apache.spark.SparkException] {
+      Sources.readJsonl(spark, dir, schema).collect()
+    }
+    assert(e.getMessage.contains("MALFORMED_RECORD") ||
+      Option(e.getCause).exists(_.getMessage.contains("MALFORMED_RECORD")) ||
+      e.getMessage.toLowerCase.contains("malformed"),
+      s"expected a fail-fast malformed-record error, got: ${e.getMessage.take(200)}")
+  }
 }
