@@ -64,7 +64,10 @@ object Sources {
     * via the schema the reader is given back ([[readJsonl]]); this is an
     * INTERCHANGE sink, not the engine-native store (Parquet keeps
     * columnar pruning; JSONL exists because the rest of the ecosystem
-    * speaks it). */
+    * speaks it). Scale note: leave shards UNCOMPRESSED or use many
+    * moderate shards if compressing — gzip JSONL is unsplittable, so a
+    * handful of huge .gz shards serializes any later read to one task
+    * per shard. */
   def writeJsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
