@@ -52,6 +52,24 @@ class RecordPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("JSONL interchange round-trip is the identity on arbitrary unicode strings") {
+    // one Spark job over a generated corpus beats one job per ScalaCheck
+    // case: sample a batch of arbitrary strings (full unicode, including
+    // surrogate-pair and control-char cases the nasty-string spec pins
+    // by hand), round-trip them through writeJsonl/readJsonl, compare
+    import spark.implicits._
+    val batch = Gen.listOfN(200, org.scalacheck.Arbitrary.arbitrary[String])
+      .sample.get.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-prop").toString + "/t"
+    graft.sources.Sources.writeJsonl(batch.toDF("doc_id", "text"), dir)
+    val back = graft.sources.Sources.readJsonl(spark, dir,
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val expected = batch.toMap
+    assert(back == expected,
+      s"JSONL round trip diverged on ${expected.count(kv => back.get(kv._1) != Some(kv._2))} of ${expected.size} strings")
+  }
+
   test("thrift codec round-trip is the identity on random records") {
     check(Prop.forAll(genRecord) { r =>
       ThriftCompat.readRecord(ThriftCompat.writeRecord(r)) == r
