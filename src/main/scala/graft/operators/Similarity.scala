@@ -63,7 +63,15 @@ object Similarity {
     * needed, nothing persisted to release. Callers fanning the returned
     * k-row frame into MULTIPLE consumers (assignment + probing, say)
     * should `localCheckpoint(true)` it once — every lazy reference
-    * otherwise replays the final iteration's aggregate. */
+    * otherwise replays the final iteration's aggregate.
+    *
+    * At corpus scale, pass a SAMPLE as `vectors` (`.sample(...)` or an
+    * id-range predicate): quantizer quality saturates at a few hundred
+    * points per centroid, and training cost is per-iteration corpus
+    * scans — the 20× scale probe measured training dominating every
+    * PQ-family query while encode/scoring stayed near-linear. Sampling
+    * the training set and encoding the full corpus is the standard
+    * split (same applies to [[trainPq]]). */
   def trainIvf(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     var cents = vectors.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cen"))
