@@ -70,6 +70,7 @@ object Bench {
     "q_knn_bruteforce",
     "q_knn_ivf_probed",
     "q_knn_ivf_trained",
+    "q_knn_ivf_sampled",
     "q_pq_encode",
     "q_knn_pq_adc",
     "q_knn_pq_refine",

@@ -432,6 +432,22 @@ object Ext {
         assigned, cents, col("vec_id") < 10, k = 5, nprobe = 2))
     }),
 
+    // the SAMPLE-TRAIN / FULL-ENCODE split that makes quantizer training
+    // affordable at 100 TB (training cost is per-iteration corpus scans;
+    // quality saturates at a few hundred points per centroid): Lloyd
+    // runs on a deterministic 25% sample, the FULL corpus is assigned
+    // and searched. The oracle replays the sampled training exactly.
+    "q_knn_ivf_sampled" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(
+          e.filter(pmod(col("vec_id"), lit(4)) === 0), k = 8, iters = 2)
+        .localCheckpoint(true)   // see q_knn_ivf_trained
+      val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
+      ord(graft.operators.Similarity.knnIvfProbed(
+        assigned, cents, col("vec_id") < 10, k = 5, nprobe = 2))
+    }),
+
     // PRODUCT QUANTIZATION (IVF-PQ's compression half): m=4 subspace
     // codebooks of ksub=8 centroids each, trained by the same
     // deterministic Lloyd as q_ivf_train on the vector slices; the
@@ -1083,6 +1099,31 @@ object Ext {
          |a1 AS (${ivfAssignSql("v", "c0")}),
          |c1 AS (${ivfUpdateSql("a1")}),
          |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |n AS (SELECT vec_id, v, cid, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM fin),
+         |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q_id, qv, qn, cid AS qb FROM (
+         |    SELECT q.q_id, q.qv, q.qn, s.cid,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_sum([(q.qv[d] - s.cen[d]) * (q.qv[d] - s.cen[d]) FOR d IN range(1, len(q.qv) + 1)]), s.cid) AS rn
+         |    FROM q0 q, c2 s) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+         |  FROM n JOIN probes ON cid = qb AND vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id AS neighbor, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk FROM scored)
+         |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_ivf_sampled" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |vt AS (SELECT vec_id, v FROM v WHERE vec_id % 4 = 0),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM vt ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("vt", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("vt", "c1")}),
          |c2 AS (${ivfUpdateSql("a2")}),
          |fin AS (${ivfAssignSql("v", "c2")}),
          |n AS (SELECT vec_id, v, cid, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM fin),
