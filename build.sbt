@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt "runMain graft.Bench"` stdout as
+// JSON. sbt's logger defeats that twice: it prefixes every forked-output
+// line with "[info] " and appends a "[success] Total time: ..." epilogue
+// after the summary line (BENCH_r07: the compact line was present but
+// unparseable for exactly these two reasons). Pass forked output through
+// verbatim and suppress the epilogue so the bench's own println is last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
