@@ -315,7 +315,15 @@ object Bench {
     // Line 2 — LAST line of stdout, compact (<1.5KB for ~40 queries): the
     // machine-readable summary. The driver keeps only a 2KB tail of
     // stdout, so this line must stay last and stay small.
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (n, t) if t < 0 => n }
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":${strArr(failed)},"sf":"$sfDir"}""")
     spark.stop()
+    // A failed headline query must not exit green: both JSON lines are
+    // already on stdout (the artifact survives), but the process rc now
+    // tells the driver — and any human — that the run was not clean.
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -2,19 +2,31 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Shared helpers for the query catalogs. */
 object Tables {
-  /** Load a driver test table. `events.ts` is physically TIMESTAMP(NANOS),
-    * which the vectorized parquet reader rejects — read it as raw nanos and
-    * truncate to microseconds (identical to how DuckDB's reader surfaces the
-    * same column, so oracle comparisons stay exact). */
+  /** Load a driver test table. The physical layout of `events.ts` has varied
+    * across testdata generations (TIMESTAMP(NANOS); TIMESTAMP_MICROS with
+    * isAdjustedToUTC=false, i.e. NTZ) — normalize whatever we find to a
+    * session-TZ TimestampType so every downstream query sees one type. The
+    * session TZ is UTC in all entry points, so the NTZ→LTZ cast is
+    * value-identical to how DuckDB's reader surfaces the same column and
+    * oracle comparisons stay exact. */
   def t(s: SparkSession, dir: String, n: String): DataFrame = {
     if (n == "events") {
+      // harmless for non-nanos files; required to read a nanos-physical ts
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeEventsTs(s.read.parquet(s"$dir/events.parquet"))
     } else s.read.parquet(s"$dir/$n.parquet")
+  }
+
+  /** Normalize whatever physical `ts` the events parquet carries to a
+    * session-TZ TimestampType (also used by the streaming parity spec). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => raw
   }
 
   /** Bench mode (`-Dgraft.bench.noSort=true`): measurement-oriented query

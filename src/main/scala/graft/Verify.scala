@@ -18,13 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
       // release any frame the query checkpointed (e.g. a clustering
       // result) — 115 queries share this JVM, leaked blocks compound
@@ -45,6 +47,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure marker (advisor round 9): a throwing query used to vanish
+    // from the artifact entirely, so CORRECTNESS could shrink silently and
+    // still read all-green. Record every failure by name in the output
+    // directory itself so the gap is visible to any consumer. rc stays 0:
+    // the driver must still run the DuckDB compare on the queries that DID
+    // produce output — one regression should cost one row, not the round.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

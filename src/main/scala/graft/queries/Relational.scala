@@ -497,6 +497,17 @@ object Relational {
         .groupBy("user_id", "event_type")
         .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n")))
     }),
+    // pins the events-time contract: `ts` is timezone-NAIVE in the parquet
+    // (isAdjustedToUTC=false) and every engine compares under a UTC
+    // session, so date_trunc / epoch / hour agree bit-for-bit across
+    // Spark's normalized TimestampType and DuckDB's naive TIMESTAMP read
+    "q_ts_convention" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .select(col("event_id"),
+          date_trunc("day", col("ts")).as("day"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          hour(col("ts")).as("hh")))
+    }),
 
     // extended map functions: transform_values / map_filter / map_concat
     "q_map_funcs" -> ((s, dir) => {
@@ -957,6 +968,10 @@ object Relational {
     "q_stream_dedup" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n
         |FROM events GROUP BY user_id, event_type ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_ts_convention" ->
+      """SELECT event_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, CAST(hour(ts) AS INTEGER) AS hh
+        |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_common_tokens" ->
       """WITH dc AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY source),
         |tok AS (

@@ -108,8 +108,8 @@ class StreamingSpec extends SparkSpec {
 
   test("file stream over the driver events table: tumbling counts match the batch form") {
     import org.apache.spark.sql.functions._
-    // the events parquet carries TIMESTAMP(NANOS); stream it as raw longs
-    // and truncate to micros, exactly like the batch loader Tables.t
+    // normalize whatever physical ts the events parquet carries, exactly
+    // like the batch loader Tables.t does
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming parquet source wants a directory — stage the file
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
@@ -117,8 +117,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(dir.toString).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = Streams.tumblingCounts(stream)
       .writeStream.format("memory").queryName("filestream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
