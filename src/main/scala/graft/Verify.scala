@@ -58,6 +58,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    val attempted = SparkEntry.queries.count { case (n, _) => only.isEmpty || only(n) }
+    println(s"[verify] succeeded ${attempted - errors.size}/$attempted")
     spark.stop()
   }
 }
