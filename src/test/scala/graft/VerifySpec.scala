@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+
+/** Contract of the driver-facing correctness dump (`Verify.run`):
+  *
+  *   - a succeeding query leaves a parquet directory named after it;
+  *   - a THROWING query must be recorded by name in
+  *     `verify_errors.json` — never silently dropped (advisor round 9:
+  *     the correctness artifact shrank 130→118 with zero red flags);
+  *   - `oracle_sql.json` carries every declared oracle, JSON-escaped.
+  */
+class VerifySpec extends SparkSpec {
+
+  test("succeeding queries produce parquet and an empty error marker") {
+    val out = Files.createTempDirectory("graft-verify-ok").toString
+    val errors = Verify.run(spark, "/root/testdata/sf0.001", out,
+      Set("q1_agg", "q_ts_convention"))
+    assert(errors.isEmpty, s"expected no failures, got $errors")
+    assert(new java.io.File(s"$out/q1_agg").isDirectory)
+    assert(new java.io.File(s"$out/q_ts_convention").isDirectory)
+    assert(Files.readString(java.nio.file.Paths.get(s"$out/verify_errors.json")) == "{}")
+    assert(spark.read.parquet(s"$out/q1_agg").count() > 0)
+  }
+
+  test("a throwing query is recorded by name in verify_errors.json") {
+    val out = Files.createTempDirectory("graft-verify-err").toString
+    // a nonexistent sfDir makes the scan throw for every selected query
+    val errors = Verify.run(spark, "/no/such/testdata", out, Set("q1_agg"))
+    assert(errors.contains("q1_agg"), s"failure must be recorded, got $errors")
+    val marker = Files.readString(java.nio.file.Paths.get(s"$out/verify_errors.json"))
+    assert(marker.contains("\"q1_agg\""),
+      s"marker file must name the failed query, got: $marker")
+    // the oracle dump still happens — the driver compares what DID succeed
+    assert(new java.io.File(s"$out/oracle_sql.json").isFile)
+  }
+}
