@@ -49,7 +49,10 @@ object Bench {
     "q_window_rank_global",
     "q_topk_pergroup",
     "q_window_tumbling",
+    "q_window_sliding",
     "q_session_window",
+    "q_stream_dedup",
+    "q_window_lag_lead",
     "q_explode_tokens",
     "q_annotate_tokens",
     "q_annotate_pos",
