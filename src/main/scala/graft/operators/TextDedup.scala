@@ -44,6 +44,58 @@ import graft.functions.CappedCollectList.capped_collect_list
   */
 object TextDedup {
 
+  /** Incremental (archive-vs-batch) dedup: the rows of `batch` whose
+    * `keyCol` does NOT occur in `archive` — the daily-ingest shape, where
+    * a new crawl is admitted against a standing corpus without ever
+    * re-shuffling the corpus itself.
+    *
+    * Scale shape (100 TB archive, comparatively small batch): a plain
+    * `left_anti` join would shuffle BOTH sides on the key. Instead the
+    * archive is folded once into a Bloom filter via Spark's own
+    * runtime-filter machinery (`BloomFilterAggregate` over `xxhash64(key)`
+    * — partial aggregation merges per-partition filters, so the build is
+    * one corpus scan with no shuffle and the driver receives a single
+    * `numBits/8`-byte blob, the only collect here and bounded by
+    * construction). Batch rows whose key the filter rules out are
+    * definitely new and bypass the join entirely; only the `mightContain`
+    * survivors — true duplicates plus an `fpp` fraction of false
+    * positives — reach the exact anti-join that removes the false
+    * positives. Results are therefore EXACT (oracle: `NOT IN` over the
+    * archive keys); the filter only shrinks the join's left side, and the
+    * anti-join's archive side can additionally be partition-pruned to the
+    * candidate keys' buckets when the archive is stored bucketed.
+    *
+    * `expectedItems`/`fpp` size the filter (1M keys at 1% ≈ 1.2 MB; a
+    * 10^9-key archive at 1% ≈ 1.2 GB — at that scale raise `fpp` or
+    * partition the archive and build per-partition filters). */
+  def incrementalNew(
+      archive: DataFrame,
+      batch: DataFrame,
+      keyCol: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val hashed = expression(xxhash64(col(keyCol)))
+    val buildAgg = new BloomFilterAggregate(new XxHash64(Seq(hashed)),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val blob = archive.select(column(buildAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (blob == null) batch // empty archive: everything is new
+    else {
+      val might = column(BloomFilterMightContain(
+        Literal(blob, BinaryType), new XxHash64(Seq(hashed))))
+      batch.filter(!might).unionByName(
+        batch.filter(might)
+          .join(archive.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti"))
+    }
+  }
+
   /** Exact duplicate groups: one row per distinct content hash. */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))

@@ -136,6 +136,101 @@ object Ext {
     "q_dedup_exact" -> ((s, dir) => {
       ord(graft.operators.TextDedup.exactGroups(t(s, dir, "documents"), "doc_id", "text"))
     }),
+    // incremental (archive-vs-batch) admission — the daily-ingest shape:
+    // batch docs whose canonical token-SET signature is unseen in the
+    // standing archive. Raw md5(text) is collision-free on this corpus
+    // (near-dups only), so the signature is the sorted distinct token
+    // set, which does collide for rewrites over the same vocabulary (28
+    // of 250 batch docs dedupe away at sf0.01). The operator is a
+    // Bloom-prefiltered exact anti-join (TextDedup.incrementalNew):
+    // Spark's BloomFilterAggregate folds the archive in one scan with
+    // partial aggregation, batch rows the filter rules out skip the join
+    // entirely, and only mightContain survivors reach the exact
+    // anti-join — so the 100-TB archive is never shuffled, yet results
+    // are exact (the oracle is a plain NOT IN).
+    "q_dedup_incremental" -> ((s, dir) => {
+      def keyed(df: DataFrame) = df.select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(
+          filter(split(col("text"), "\\s+"), w => w =!= lit("")))))).as("h"))
+      val docs = t(s, dir, "documents")
+      ord(graft.operators.TextDedup.incrementalNew(
+          keyed(docs.filter(col("doc_id") % 2 === 0)),
+          keyed(docs.filter(col("doc_id") % 2 === 1)),
+          "h", expectedItems = 100000L)
+        .select(col("doc_id"), col("h")))
+    }),
+    // boilerplate span detection (C4-style "repeated span" rule): per
+    // doc, how many of its 5-gram instances occur elsewhere in the
+    // corpus. Grams key on the 60-bit md5 prefix (16-byte shuffle keys
+    // instead of 5-word strings; the same hash in the oracle makes any
+    // collision bit-identical across engines). Plan: one posting
+    // generation, a map-side-combined groupBy for corpus tf, an equi-join
+    // back, and a per-doc aggregate — the standard inverted-index shape
+    // that scales linearly in corpus size.
+    "q_boilerplate" -> ((s, dir) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = t(s, dir, "documents")
+        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
+        .filter(col("w") =!= "")
+      val grams = toks
+        .withColumn("w2", lead(col("w"), 1).over(byPos))
+        .withColumn("w3", lead(col("w"), 2).over(byPos))
+        .withColumn("w4", lead(col("w"), 3).over(byPos))
+        .withColumn("w5", lead(col("w"), 4).over(byPos))
+        .filter(col("w5").isNotNull)
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(" ", col("w"), col("w2"), col("w3"),
+            col("w4"), col("w5"))), 1, 15), 16, 10).cast("bigint").as("s"))
+      val tf = grams.groupBy("s").agg(count(lit(1)).as("tf"))
+      ord(grams.join(tf, Seq("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          round(col("n_boiler").cast("double") / col("n_ngrams"), 6)))
+    }),
+    // bigram-LM corpus scoring (KenLM-proxy quality signal): a doc whose
+    // bigrams are corpus-frequent reads like the corpus; one whose
+    // bigrams are rare is an outlier. Integer corpus-tf sums (exact
+    // across engines), mean rounded last. Same inverted-index shape as
+    // q_boilerplate on 2-gram postings.
+    "q_lm_score" -> ((s, dir) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = t(s, dir, "documents")
+        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
+        .filter(col("w") =!= "")
+      val bi = toks.withColumn("w2", lead(col("w"), 1).over(byPos))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(" ", col("w"), col("w2"))), 1, 15), 16, 10)
+            .cast("bigint").as("s"))
+      val tf = bi.groupBy("s").agg(count(lit(1)).as("tf"))
+      ord(bi.join(tf, Seq("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("tf")).as("sum_tf"))
+        .withColumn("mean_tf",
+          round(col("sum_tf").cast("double") / col("n_bigrams"), 6)))
+    }),
+    // pattern scrub: PII-shaped redaction (email + phone regexes — zero
+    // hits on this synthetic corpus, which proves the seam without
+    // manufacturing fake PII) followed by token-level stopword removal
+    // and single-space renormalization. One codegen'd scan, no shuffle
+    // before the presentation sort.
+    "q_scrub" -> ((s, dir) => {
+      val pii = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" +
+        "|\\b\\d{3}[-.]?\\d{3}[-.]?\\d{4}\\b"
+      val docs = t(s, dir, "documents")
+        .withColumn("no_pii", regexp_replace(col("text"), pii, "<PII>"))
+      val orig = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+      val kept = filter(split(col("no_pii"), "\\s+"),
+        w => w =!= lit("") && w =!= lit("a") && w =!= lit("the"))
+      ord(docs.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pii), lit(0))).as("n_pii"),
+        (size(orig) - size(kept)).as("n_removed"),
+        array_join(kept, " ").as("scrubbed")))
+    }),
     // exact n-gram Jaccard via shingle inverted-index join.
     // Canonicalize FIRST: identical texts collapse to one representative
     // (min doc_id) before any pairwise work — with d exact copies per doc
@@ -1369,6 +1464,59 @@ object Ext {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
         |FROM documents GROUP BY md5(text) ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(list_aggr(list_sort(list_distinct(list_filter(
+        |    string_split_regex(text, '\s+'), x -> x != ''))), 'string_agg', ' ')) AS h
+        |  FROM documents)
+        |SELECT doc_id, h FROM k WHERE doc_id % 2 = 1
+        |AND h NOT IN (SELECT h FROM k WHERE doc_id % 2 = 0)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_boilerplate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15) AS BIGINT) AS s
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS u(i)),
+        |c AS (SELECT s, COUNT(*) AS tf FROM g GROUP BY s)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  round(CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_ratio
+        |FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_lm_score" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15) AS BIGINT) AS s
+        |  FROM ws, unnest(range(1, len(w))) AS u(i)),
+        |c AS (SELECT s, COUNT(*) AS tf FROM g GROUP BY s)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(tf) AS BIGINT) AS sum_tf,
+        |  round(CAST(SUM(tf) AS DOUBLE) / COUNT(*), 6) AS mean_tf
+        |FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{3}[-.]?\d{3}[-.]?\d{4}\b',
+        |      '<PII>', 'g') AS no_pii
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{3}[-.]?\d{3}[-.]?\d{4}\b')) AS n_pii,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS orig,
+        |    list_filter(string_split_regex(no_pii, '\s+'),
+        |      x -> x != '' AND x != 'a' AND x != 'the') AS kept
+        |  FROM s)
+        |SELECT doc_id, CAST(n_pii AS INT) AS n_pii,
+        |  CAST(len(orig) - len(kept) AS INT) AS n_removed,
+        |  array_to_string(kept, ' ') AS scrubbed
+        |FROM t ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """WITH canon AS (
         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),

@@ -297,6 +297,35 @@ class TextDedupSpec extends SparkSpec {
       TextDedup.minhashPairs(canon, "doc_id", "text", 0.2, k = 32, bands = 7))
   }
 
+  test("incrementalNew: bloom-prefiltered result equals the plain anti-join") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val archive = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val viaBloom = TextDedup.incrementalNew(archive, batch, "h")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = batch.join(archive.select("h"), Seq("h"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact,
+      s"bloom path diverged: extra=${viaBloom -- exact} missing=${exact -- viaBloom}")
+  }
+
+  test("incrementalNew: empty archive admits the whole batch") {
+    val batch = spark.createDataFrame(Seq((1L, "aa"), (2L, "bb"))).toDF("doc_id", "h")
+    val out = TextDedup.incrementalNew(batch.filter(lit(false)), batch, "h")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("incrementalNew: a known duplicate key is removed, fresh keys kept") {
+    val archive = spark.createDataFrame(Seq((10L, "k1"), (11L, "k2"))).toDF("doc_id", "h")
+    val batch = spark.createDataFrame(Seq((20L, "k2"), (21L, "k3"))).toDF("doc_id", "h")
+    val out = TextDedup.incrementalNew(archive, batch, "h")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(21L))
+  }
+
   test("simhash band rule follows maxHamming (pigeonhole)") {
     // maxHamming 1 -> 2 bands of 30 bits: identical docs still pair up
     val pairs = TextDedup.simhashPairs(
