@@ -586,4 +586,44 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Segment-level (line/paragraph) exact dedup across the CORPUS — the
+    * CCNet shape: every document is split into segments by the caller
+    * (`segsCol`: `ARRAY<STRING>`, e.g. lines, paragraphs, or fixed token
+    * windows when the corpus has no line structure), and only the GLOBAL
+    * first occurrence of each distinct segment survives; documents are
+    * rebuilt from their kept segments in original order. This removes
+    * cross-document boilerplate (headers, navigation, license blocks)
+    * that document-level dedup cannot see.
+    *
+    * "First occurrence" is the minimal (`idCol`, position) pair per
+    * segment hash — a total deterministic order, so the result is
+    * reproducible regardless of partitioning.
+    *
+    * Scale shape (100 TB): one posexplode (no shuffle), one groupBy on the
+    * 16-byte segment hash (the only corpus-wide shuffle — keys are hashes,
+    * never segment text), an equi-join back on the same hash (AQE can
+    * reuse the exchange), and a per-document rebuild grouped on `idCol`.
+    * The rebuild's `collect_list` buffer is bounded by the caller's
+    * segmentation (one document's own segments), not by corpus size.
+    * Returns (`idCol`, n_segs, n_kept, text_deduped). */
+  def dedupSegments(docs: DataFrame, idCol: String, segsCol: String,
+      sep: String = " "): DataFrame = {
+    val segs = docs
+      .select(col(idCol), posexplode(col(segsCol)).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val first = segs.groupBy("h")
+      .agg(min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("f"))
+      .select(col("h"), col("f.fid").as("__fid"), col("f.fpos").as("__fpos"))
+    segs.join(first, Seq("h"))
+      .withColumn("keep",
+        col(idCol) === col("__fid") && col("pos") === col("__fpos"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, seg) END)), p -> p.seg)"),
+          sep).as("text_deduped"))
+  }
 }

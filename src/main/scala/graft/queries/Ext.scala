@@ -159,6 +159,26 @@ object Ext {
           "h", expectedItems = 100000L)
         .select(col("doc_id"), col("h")))
     }),
+    // CCNet-style SEGMENT-level dedup: only the global first occurrence
+    // of each distinct segment survives, documents are rebuilt from
+    // their kept segments — removes cross-document boilerplate
+    // (headers, navigation, license blocks) that document-level dedup
+    // cannot see. TextDedup.dedupSegments takes any ARRAY<STRING>
+    // segmentation; this corpus has no line structure, so the catalog
+    // segments on fixed 10-token windows (the spec drives the same
+    // operator with real newline-split lines). Plan: one groupBy on
+    // the 16-byte segment hash + a join back on it — the only
+    // corpus-wide shuffles, both keyed on hashes, never segment text.
+    "q_dedup_lines" -> ((s, dir) => {
+      val toks = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+      val docs = t(s, dir, "documents")
+        .withColumn("__toks", toks)
+        .filter(size(col("__toks")) > 0)
+        .withColumn("segs", expr(
+          "transform(sequence(0, cast(ceil(size(__toks) / 10.0) AS INT) - 1), " +
+            "i -> array_join(slice(__toks, i * 10 + 1, 10), ' '))"))
+      ord(graft.operators.TextDedup.dedupSegments(docs, "doc_id", "segs"))
+    }),
     // boilerplate span detection (C4-style "repeated span" rule): per
     // doc, how many of its 5-gram instances occur elsewhere in the
     // corpus. Grams key on the 60-bit md5 prefix (16-byte shuffle keys
@@ -410,6 +430,23 @@ object Ext {
         d.filter(!isBench), bench, "doc_id", "text",
         minOverlap = 2, portable = !graft.Tables.benchMode,
         maxDf = if (graft.Tables.benchMode) 256 else 0))
+    }),
+    // end-to-end DECONTAMINATION: the filter the contamination sweep
+    // feeds — train-side docs overlapping any benchmark doc by >= 2
+    // shingles are dropped; survivors keep their metadata. The pair
+    // sweep is the same inverted-index equi-join as q_contamination
+    // (bench side broadcasts); the removal is a left_anti on doc_id.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      val contaminated = graft.operators.TextDedup.crossOverlapPairs(
+          d.filter(!isBench), d.filter(isBench), "doc_id", "text",
+          minOverlap = 2, portable = !graft.Tables.benchMode,
+          maxDf = if (graft.Tables.benchMode) 256 else 0)
+        .select(col("doc_id")).distinct()
+      ord(d.filter(!isBench)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source")))
     }),
     // corpus audit: document-length histogram in 100-char buckets — the
     // distribution check run before/after every filtering stage
@@ -715,6 +752,20 @@ object Ext {
     // a 28-bit md5 integer of doc_id against a per-source integer
     // threshold, never a float compare, so both engines pick identical
     // docs. One scan, explode materializes the mixture, counts verify it.
+    // deterministic train/valid/test split: the reproducible-assignment
+    // primitive every corpus release needs — a 28-bit md5 draw on the
+    // doc id (content-independent: re-runs, re-partitions, and text
+    // edits can never move a document between splits), 80/10/10,
+    // audited per (split, source). One codegen'd scan + one groupBy.
+    "q_split_train_test" -> ((s, dir) => {
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 100
+      val split = when(draw < 80, "train").when(draw < 90, "valid")
+        .otherwise("test")
+      ord(t(s, dir, "documents")
+        .groupBy(split.as("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")))
+    }),
     "q_mix_sources" -> ((s, dir) => {
       val base28 = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
         .cast("bigint")
@@ -1472,6 +1523,37 @@ object Ext {
         |SELECT doc_id, h FROM k WHERE doc_id % 2 = 1
         |AND h NOT IN (SELECT h FROM k WHERE doc_id % 2 = 0)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_lines" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0),
+        |segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+        |  SELECT doc_id, unnest([{'pos': i, 'seg': array_to_string(w[i*10+1:i*10+10], ' ')}
+        |    for i in range(0, CAST(ceil(len(w) / 10.0) AS INT))]) AS u FROM w)),
+        |r AS (SELECT doc_id, pos, seg,
+        |  row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn FROM segs)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(list(seg ORDER BY pos) FILTER (WHERE rn = 1), ' '), '') AS text_deduped
+        |FROM r GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM w)),
+        |bad AS (SELECT c.doc_id FROM sh c JOIN sh b ON c.s = b.s
+        |  WHERE c.doc_id % 97 != 0 AND b.doc_id % 97 = 0
+        |  GROUP BY c.doc_id, b.doc_id HAVING COUNT(*) >= 2)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_split_train_test" ->
+      """WITH d AS (SELECT source, n_chars,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS draw
+        |  FROM documents)
+        |SELECT CASE WHEN draw < 80 THEN 'train' WHEN draw < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_boilerplate" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w

@@ -326,6 +326,32 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set(21L))
   }
 
+  test("dedupSegments: global first occurrence wins, docs rebuild in order") {
+    // d1 owns both lines; d2 repeats d1's header line but keeps its own
+    // body; d3 is nothing but already-seen lines and rebuilds to "".
+    val docs = spark.createDataFrame(Seq(
+      (1L, "SITE HEADER\nunique first body"),
+      (2L, "SITE HEADER\nsecond doc body"),
+      (3L, "SITE HEADER\nunique first body")))
+      .toDF("doc_id", "text")
+      .withColumn("segs", split(col("text"), "\n"))
+    val out = TextDedup.dedupSegments(docs, "doc_id", "segs", sep = "\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "SITE HEADER\nunique first body")))
+    assert(out(2L) == ((2L, 1L, "second doc body")))
+    assert(out(3L) == ((2L, 0L, "")), s"fully-boilerplate doc: ${out(3L)}")
+  }
+
+  test("dedupSegments: within one document a repeated line keeps its first slot") {
+    val docs = spark.createDataFrame(Seq((7L, "a\nb\na\nc")))
+      .toDF("doc_id", "text")
+      .withColumn("segs", split(col("text"), "\n"))
+    val out = TextDedup.dedupSegments(docs, "doc_id", "segs", sep = "\n")
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getString(3)) == ((4L, 3L, "a\nb\nc")))
+  }
+
   test("simhash band rule follows maxHamming (pigeonhole)") {
     // maxHamming 1 -> 2 bands of 30 bits: identical docs still pair up
     val pairs = TextDedup.simhashPairs(
