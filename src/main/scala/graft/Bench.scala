@@ -59,6 +59,7 @@ object Bench {
     "q_annotate_srl",
     "q_pipeline_e2e",
     "q_dedup_exact",
+    "q_dedup_lines",
     "q_dedup_fingerprint",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
@@ -67,6 +68,7 @@ object Bench {
     "q_dedup_simhash",
     "q_dedup_containment",
     "q_contamination",
+    "q_decontaminate",
     "q_prep_pipeline",
     "q_dedup_embedding_lsh",
     "q_dedup_semantic",
@@ -81,6 +83,7 @@ object Bench {
     "q_knn_ivfpq_residual",
     "q_knn_ivfpq_refine",
     "q_ivf_train",
+    "q_cluster_assign",
     "q_text_quality",
     "q_lang_id",
     "q_repetition",

@@ -600,24 +600,27 @@ object TextDedup {
     * segment hash — a total deterministic order, so the result is
     * reproducible regardless of partitioning.
     *
-    * Scale shape (100 TB): one posexplode (no shuffle), one groupBy on the
-    * 16-byte segment hash (the only corpus-wide shuffle — keys are hashes,
-    * never segment text), an equi-join back on the same hash (AQE can
-    * reuse the exchange), and a per-document rebuild grouped on `idCol`.
-    * The rebuild's `collect_list` buffer is bounded by the caller's
-    * segmentation (one document's own segments), not by corpus size.
+    * Scale shape (100 TB): ONE corpus scan — posexplode (no shuffle), then
+    * first-occurrence selection as `row_number() over (partition by hash
+    * order by id, pos)`: one exchange keyed on the 16-byte segment hash
+    * (hashes shuffle, never segment text) with a within-partition sort,
+    * and a per-document rebuild grouped on `idCol`. The groupBy+join-back
+    * formulation of the same semantics derived the scan+segmentation
+    * subplan on BOTH join sides (2 corpus scans, and the join-inferred
+    * IsNotNull re-ran the segmentation lambdas per row) and its
+    * `min(struct(id, pos))` fell to SortAggregate — the window form is
+    * strictly fewer exchanges and keeps the lineage single. The rebuild's
+    * `collect_list` buffer is bounded by the caller's segmentation (one
+    * document's own segments), not by corpus size.
     * Returns (`idCol`, n_segs, n_kept, text_deduped). */
   def dedupSegments(docs: DataFrame, idCol: String, segsCol: String,
       sep: String = " "): DataFrame = {
-    val segs = docs
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col(idCol), col("pos"))
+    docs
       .select(col(idCol), posexplode(col(segsCol)).as(Seq("pos", "seg")))
       .withColumn("h", md5(col("seg")))
-    val first = segs.groupBy("h")
-      .agg(min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("f"))
-      .select(col("h"), col("f.fid").as("__fid"), col("f.fpos").as("__fpos"))
-    segs.join(first, Seq("h"))
-      .withColumn("keep",
-        col(idCol) === col("__fid") && col("pos") === col("__fpos"))
+      .withColumn("keep", row_number().over(byHash) === 1)
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_segs"),

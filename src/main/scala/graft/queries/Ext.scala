@@ -534,6 +534,20 @@ object Ext {
       ord(graft.operators.Similarity.assignToCentroids(e, cents)
         .select(col("vec_id"), col("cid")))
     }),
+    // corpus CLUSTERING audit (the SemDeDup/topic-balance shape): train
+    // k-means over the embedding corpus, assign every vector, and report
+    // per-cluster size + representative (min vec_id) — the mixture
+    // report a data-curation pass reads before re-weighting clusters.
+    // Same broadcast-centroids/one-corpus-scan shape as the IVF family;
+    // the oracle replays the Lloyd chain bit-for-bit.
+    "q_cluster_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+      ord(graft.operators.Similarity.assignToCentroids(e, cents)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec")))
+    }),
     // the full trained-IVF ANN path: train -> assign -> top-k within the
     // assigned cell (knn's bucket param takes the assignment column, so
     // candidate generation is the cell equi-join, not a corpus scan)
@@ -1221,6 +1235,16 @@ object Ext {
          |c2 AS (${ivfUpdateSql("a2")}),
          |fin AS (${ivfAssignSql("v", "c2")})
          |SELECT vec_id, cid FROM fin ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_cluster_assign" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")})
+         |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members, min(vec_id) AS rep_vec
+         |FROM fin GROUP BY cid ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_ivf_trained" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
