@@ -589,6 +589,61 @@ object Streams {
     * operator for any batch split. State is the per-pair counts;
     * production runs window it or clear it at benchmark-rotation
     * boundaries. */
+  /** At-ingest SEGMENT-level exact dedup — the streaming twin of
+    * [[graft.operators.TextDedup.dedupSegments]]. Input rows are
+    * (doc_id, pos, segment); output rows carry a `kept` flag: true iff
+    * this is the FIRST occurrence of the segment's content ever seen by
+    * the query. Consumers rebuild documents from their kept segments
+    * (order by pos), exactly like the batch operator's rebuild stage.
+    *
+    * "First" is arrival order across micro-batches and deterministic
+    * (doc_id, pos) order within one — so a feed arriving in id order
+    * reproduces the batch operator's global-min-(id, pos) choice
+    * exactly (spec'd across batch splits).
+    *
+    * Scale shape: keyed `flatMapGroupsWithState` on the segment's md5
+    * (state per DISTINCT segment is one boolean — the 16-byte key
+    * dominates; segment text never enters the shuffle or the store).
+    * Unbounded feeds bound the store with `idleTtl`: a segment unseen
+    * for the TTL is evicted and its next occurrence re-admitted — the
+    * standard recall/state trade, same knob as [[streamingNearDups]]. */
+  def streamingSegmentDedup(
+      segs: Dataset[(Long, Int, String)],
+      idleTtl: Option[java.time.Duration] = None): Dataset[(Long, Int, String, Boolean)] = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    val ttlMs = idleTtl.map(_.toMillis).getOrElse(0L)
+    val timeoutConf =
+      if (idleTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    segs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, pos, seg) =>
+        md.reset()
+        val h = md.digest(seg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (java.util.HexFormat.of().formatHex(h), id, pos, seg)
+      }
+    }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (_: String, rows: Iterator[(String, Long, Int, String)],
+            state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(false)
+            val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+              case (_, id, pos, seg) =>
+                val keep = !seen
+                seen = true
+                (id, pos, seg, keep)
+            }
+            state.update(true)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   def streamingContamination(
       docs: Dataset[(Long, String)],
       benchmark: DataFrame,

@@ -246,6 +246,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming segment dedup rebuilds match batch dedupSegments across batch splits") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "SITE HEADER\nunique first body",
+      2L -> "SITE HEADER\nsecond doc body",
+      3L -> "SITE HEADER\nunique first body\nfresh third line")
+    val segRows = docs.flatMap { case (id, t) =>
+      t.split("\n").zipWithIndex.map { case (s, i) => (id, i, s) } }
+    val ms = MemoryStream[(Long, Int, String)]
+    val q = graft.streaming.Streams.streamingSegmentDedup(ms.toDS())
+      .toDF("doc_id", "pos", "seg", "kept")
+      .writeStream.format("memory").queryName("segdedup").outputMode("append").start()
+    try {
+      // doc 3 arrives a batch later: its header/body dups must be caught
+      // against state from batch 1, its fresh line admitted
+      ms.addData(segRows.filter(_._1 <= 2): _*)
+      q.processAllAvailable()
+      ms.addData(segRows.filter(_._1 > 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("segdedup").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3)))
+      val rebuilt = streamed.groupBy(_._1).map { case (id, rs) =>
+        id -> rs.filter(_._4).sortBy(_._2).map(_._3).mkString("\n") }
+      val batch = graft.operators.TextDedup.dedupSegments(
+          docs.toDF("doc_id", "text").withColumn("segs",
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.col("text"), "\n")),
+          "doc_id", "segs", sep = "\n")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(rebuilt == batch,
+        s"streamed rebuilds $rebuilt must equal batch $batch")
+      assert(rebuilt(3L) == "fresh third line",
+        "cross-batch duplicate segments must be dropped incrementally")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dups match batch minhashPairs across batch splits") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
