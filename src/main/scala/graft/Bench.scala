@@ -90,6 +90,7 @@ object Bench {
     "q_mix_sources",
     "q_pack_sequences",
     "q_tfidf",
+    "q_bpe_train",
     "q_fingerprint",
     "q_mm_decode")
 

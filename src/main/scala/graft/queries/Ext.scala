@@ -759,6 +759,17 @@ object Ext {
       ord(bi.groupBy("bigram").agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("bigram")).limit(100))
     }),
+    // BPE tokenizer TRAINING (Sennrich et al. 2016) in the shape real
+    // trainers scale: ONE corpus pass builds the word-frequency dict;
+    // each merge round then runs at vocab scale (pair counts weighted
+    // by word freq, deterministic argmax, left-to-right greedy fusion).
+    // The oracle replays all 5 rounds bit-for-bit — winning pair, merged
+    // symbol, and weighted count per round. See operators/BpeTrainer.
+    "q_bpe_train" -> ((s, dir) => {
+      ord(graft.operators.BpeTrainer.train(
+        graft.operators.BpeTrainer.wordFreq(t(s, dir, "documents"), "text"),
+        steps = 5))
+    }),
     // source-weighted corpus MIXING: per-source sampling weights realized
     // as floor(w) whole copies plus one more with probability frac(w) —
     // the epoch/data-mixture step of corpus prep (upsample books, damp
@@ -987,6 +998,39 @@ object Ext {
   /** The same regex as a DuckDB SQL string literal (quotes doubled;
     * backslashes pass through — DuckDB strings don't process escapes). */
   private val BpeRegexSql = "'" + BpeRegex.replace("'", "''") + "'"
+
+  /** The k-round BPE replay (q_bpe_train): per round, adjacent-symbol
+    * pair counts weighted by word freq from the previous symbol frame,
+    * the deterministic argmax (count DESC, pair ASC), and sentinel-padded
+    * fusion — replace() is left-to-right non-overlapping in DuckDB
+    * exactly like the Spark side's \Q-quoted regexp_replace, which is
+    * BPE's greedy merge rule. */
+  private def bpeOracle(steps: Int): String = {
+    val rounds = (1 to steps).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (SELECT p, sum(freq) AS cnt FROM (
+         |  SELECT freq, unnest([a[j] || ' ' || a[j+1] for j in range(1, len(a))]) AS p
+         |  FROM (SELECT freq, string_split(s, ' ') AS a FROM $prev)) GROUP BY p),
+         |b$i AS (SELECT p, cnt FROM p$i ORDER BY cnt DESC, p ASC LIMIT 1),
+         |s$i AS (SELECT word, freq, trim(replace(replace(
+         |  ' ' || replace(s, ' ', '  ') || ' ',
+         |  ' ' || replace((SELECT p FROM b$i), ' ', '  ') || ' ',
+         |  ' ' || replace((SELECT p FROM b$i), ' ', '') || ' '), '  ', ' ')) AS s FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to steps).map { i =>
+      s"SELECT $i AS step, (SELECT p FROM b$i) AS pair, " +
+        s"replace((SELECT p FROM b$i), ' ', '') AS merged, " +
+        s"CAST((SELECT cnt FROM b$i) AS BIGINT) AS cnt"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
+       |  FROM documents) GROUP BY word),
+       |s0 AS (SELECT word, freq, array_to_string([word[j] for j in range(1, len(word) + 1)], ' ') AS s FROM w),
+       |$rounds
+       |SELECT * FROM (
+       |$sel
+       |) ORDER BY ALL NULLS FIRST""".stripMargin
+  }
 
   /** One nearest-centroid assignment step of the IVF oracle: distance is
     * the left-to-right squared-diff fold (exactly Spark's zip_with+
@@ -1429,6 +1473,7 @@ object Ext {
         |  WHERE w != '' GROUP BY w
         |  ORDER BY tf DESC, w LIMIT 100)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_bpe_train" -> bpeOracle(5),
     "q_ngram_counts" ->
       """SELECT bigram, tf FROM (
         |  SELECT bigram, COUNT(*) AS tf FROM (
