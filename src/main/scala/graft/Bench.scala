@@ -91,6 +91,7 @@ object Bench {
     "q_pack_sequences",
     "q_tfidf",
     "q_bpe_train",
+    "q_bpe_tokenize",
     "q_fingerprint",
     "q_mm_decode")
 

@@ -87,6 +87,29 @@ object BpeTrainer {
     merges.toSeq.toDF("step", "pair", "merged", "cnt")
   }
 
+  /** Apply a learned merge list to a `(word)` frame: replay the merges
+    * IN ORDER over each word's character sequence with the same
+    * doubled-separator greedy fusion as training, yielding the word's
+    * subword symbolization. The whole chain is ONE static expression
+    * tree (merges are a driver-side list, bounded by the vocab size the
+    * caller trained), so it codegens and runs in a single scan — apply
+    * it to the DISTINCT-word dictionary and join back to the corpus,
+    * never to raw 100-TB text. Returns the input plus `syms`
+    * (space-joined subword symbols). */
+  def symbolize(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val chain = merges.foldLeft(
+      concat_ws(" ", split(col("word"), "")): org.apache.spark.sql.Column) {
+      case (s, (pair, merged)) =>
+        trim(regexp_replace(
+          regexp_replace(
+            concat(lit(" "), regexp_replace(s, " ", "  "), lit(" ")),
+            java.util.regex.Pattern.quote(" " + pair.replace(" ", "  ") + " "),
+            java.util.regex.Matcher.quoteReplacement(s" $merged ")),
+          "  ", " "))
+    }
+    words.withColumn("syms", chain)
+  }
+
   /** Corpus-side word-frequency dictionary: the one 100-TB-scale pass. */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(filter(split(col(textCol), "\\s+"),

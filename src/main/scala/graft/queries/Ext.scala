@@ -770,6 +770,27 @@ object Ext {
         graft.operators.BpeTrainer.wordFreq(t(s, dir, "documents"), "text"),
         steps = 5))
     }),
+    // tokenizer APPLICATION: replay the learned merges over the DISTINCT
+    // word dictionary (one static codegen'd replace chain — never over
+    // raw corpus text) and join back to the corpus for per-document
+    // subword token counts — the "how many tokens is this corpus under
+    // my tokenizer" accounting every training-budget estimate needs.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wf = graft.operators.BpeTrainer.wordFreq(docs, "text")
+        .localCheckpoint(true) // shared by training and the dictionary
+      val merges = graft.operators.BpeTrainer.train(wf, steps = 5)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val dict = graft.operators.BpeTrainer.symbolize(wf.select("word"), merges)
+        .select(col("word"), size(split(col("syms"), " ")).as("n_syms"))
+      val words = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), w => w =!= lit(""))).as("word"))
+      ord(words.join(dict, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms").cast("bigint")).as("n_bpe_tokens")))
+    }),
     // source-weighted corpus MIXING: per-source sampling weights realized
     // as floor(w) whole copies plus one more with probability frac(w) —
     // the epoch/data-mixture step of corpus prep (upsample books, damp
@@ -1005,7 +1026,7 @@ object Ext {
     * fusion — replace() is left-to-right non-overlapping in DuckDB
     * exactly like the Spark side's \Q-quoted regexp_replace, which is
     * BPE's greedy merge rule. */
-  private def bpeOracle(steps: Int): String = {
+  private def bpeCtes(steps: Int): String = {
     val rounds = (1 to steps).map { i =>
       val prev = s"s${i - 1}"
       s"""p$i AS (SELECT p, sum(freq) AS cnt FROM (
@@ -1017,20 +1038,36 @@ object Ext {
          |  ' ' || replace((SELECT p FROM b$i), ' ', '  ') || ' ',
          |  ' ' || replace((SELECT p FROM b$i), ' ', '') || ' '), '  ', ' ')) AS s FROM $prev)""".stripMargin
     }.mkString(",\n")
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
+       |  FROM documents) GROUP BY word),
+       |s0 AS (SELECT word, freq, array_to_string([word[j] for j in range(1, len(word) + 1)], ' ') AS s FROM w),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracle(steps: Int): String = {
     val sel = (1 to steps).map { i =>
       s"SELECT $i AS step, (SELECT p FROM b$i) AS pair, " +
         s"replace((SELECT p FROM b$i), ' ', '') AS merged, " +
         s"CAST((SELECT cnt FROM b$i) AS BIGINT) AS cnt"
     }.mkString("\nUNION ALL ")
-    s"""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
-       |  FROM documents) GROUP BY word),
-       |s0 AS (SELECT word, freq, array_to_string([word[j] for j in range(1, len(word) + 1)], ' ') AS s FROM w),
-       |$rounds
+    s"""WITH ${bpeCtes(steps)}
        |SELECT * FROM (
        |$sel
        |) ORDER BY ALL NULLS FIRST""".stripMargin
   }
+
+  /** q_bpe_tokenize: the learned dictionary's final symbolization
+    * (`s<steps>`) joined back to the corpus words — per-document subword
+    * token counts under the trained merges. */
+  private def bpeTokenizeOracle(steps: Int): String =
+    s"""WITH ${bpeCtes(steps)},
+       |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
+       |  FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(string_split(s$steps.s, ' '))) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN s$steps USING (word)
+       |GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin
 
   /** One nearest-centroid assignment step of the IVF oracle: distance is
     * the left-to-right squared-diff fold (exactly Spark's zip_with+
@@ -1474,6 +1511,7 @@ object Ext {
         |  ORDER BY tf DESC, w LIMIT 100)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_bpe_train" -> bpeOracle(5),
+    "q_bpe_tokenize" -> bpeTokenizeOracle(5),
     "q_ngram_counts" ->
       """SELECT bigram, tf FROM (
         |  SELECT bigram, COUNT(*) AS tf FROM (

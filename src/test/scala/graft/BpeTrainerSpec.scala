@@ -47,6 +47,20 @@ class BpeTrainerSpec extends SparkSpec {
     assert(merges(Seq(("a", 7L), ("b", 1L)), 3).isEmpty)
   }
 
+  test("symbolize replays the merge list in order, including on unseen words") {
+    val spark0 = spark
+    import spark0.implicits._
+    val m = Seq(("a b", "ab"), ("ab ab", "abab"))
+    val out = BpeTrainer.symbolize(
+        Seq("abab", "aba", "ba", "x").toDF("word"), m)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "abab" -> "abab",  // both merges fire
+      "aba" -> "ab a",   // greedy left-to-right, the trailing a stays
+      "ba" -> "b a",     // reversed pair never merges
+      "x" -> "x"))       // single symbol untouched
+  }
+
   test("wordFreq is the corpus word count") {
     val spark0 = spark
     import spark0.implicits._
