@@ -87,6 +87,7 @@ object Bench {
     "q_text_quality",
     "q_lang_id",
     "q_repetition",
+    "q_rep_signals",
     "q_mix_sources",
     "q_pack_sequences",
     "q_tfidf",

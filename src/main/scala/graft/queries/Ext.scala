@@ -848,6 +848,27 @@ object Ext {
             round(col("r").getItem(1) / col("r").getItem(0).cast("double"), 6))
             .as("rep_ratio")))
     }),
+    // the full Gopher-style repetition signal set: top-gram fraction AND
+    // duplicate-gram fraction at orders 2 and 3, each a single map-side
+    // codegen'd rep_scan_n pass (zero shuffles before the presentation
+    // sort; the oracle keeps the relational explode→count→re-aggregate
+    // form — two corpus-wide exchanges per order — and must agree).
+    "q_rep_signals" -> ((s, dir) => {
+      import graft.functions.RepScanN.rep_scan_n
+      def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        when(den > 0, round(num.cast("double") / den, 6))
+      ord(t(s, dir, "documents")
+        .select(col("doc_id"),
+          rep_scan_n(col("text"), 2).as("r2"),
+          rep_scan_n(col("text"), 3).as("r3"))
+        .select(col("doc_id"),
+          col("r2")(0).as("n_2grams"),
+          frac(col("r2")(1), col("r2")(0)).as("top2_frac"),
+          frac(col("r2")(2), col("r2")(0)).as("dup2_frac"),
+          col("r3")(0).as("n_3grams"),
+          frac(col("r3")(1), col("r3")(0)).as("top3_frac"),
+          frac(col("r3")(2), col("r3")(0)).as("dup3_frac")))
+    }),
     // sequence packing: concatenate documents in a deterministic order and
     // split at a context-length budget — the layout step between data prep
     // and tokenization. pack_id = (token start offset) div budget over the
@@ -1536,6 +1557,31 @@ object Ext {
         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM m GROUP BY source ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_rep_signals" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+        |       FROM ws, unnest(range(1, len(w))) AS u(i)),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS tf FROM g2 GROUP BY doc_id, g),
+        |a2 AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS mx,
+        |         SUM(CASE WHEN tf >= 2 THEN tf ELSE 0 END) AS dup
+        |       FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+        |       FROM ws, unnest(range(1, len(w) - 1)) AS u(i)),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS tf FROM g3 GROUP BY doc_id, g),
+        |a3 AS (SELECT doc_id, SUM(tf) AS n, MAX(tf) AS mx,
+        |         SUM(CASE WHEN tf >= 2 THEN tf ELSE 0 END) AS dup
+        |       FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a2.n, 0) AS INT) AS n_2grams,
+        |  CASE WHEN a2.n > 0 THEN round(CAST(a2.mx AS DOUBLE) / a2.n, 6) END AS top2_frac,
+        |  CASE WHEN a2.n > 0 THEN round(CAST(a2.dup AS DOUBLE) / a2.n, 6) END AS dup2_frac,
+        |  CAST(coalesce(a3.n, 0) AS INT) AS n_3grams,
+        |  CASE WHEN a3.n > 0 THEN round(CAST(a3.mx AS DOUBLE) / a3.n, 6) END AS top3_frac,
+        |  CASE WHEN a3.n > 0 THEN round(CAST(a3.dup AS DOUBLE) / a3.n, 6) END AS dup3_frac
+        |FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_repetition" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w

@@ -85,6 +85,14 @@ class CodegenSpec extends SparkSpec {
       // "a b a b a b": bigrams a·b ×3, b·a ×2 -> n=5, max=3
       assert(r(0) == Seq(5, 3) && r(1) == Seq(0, 0) && r(2) == Seq(0, 0), r.toSeq)
 
+      import graft.functions.RepScanN.rep_scan_n
+      val rn = Seq("a b a b a b", "x y", "")
+        .toDF("text").select(rep_scan_n(col("text"), 3).as("r"))
+        .collect().map(_.getSeq[Int](0))
+      // "a b a b a b": 3-grams aba ×2, bab ×2 -> n=4, max=2, dup=4
+      assert(rn(0) == Seq(4, 2, 4) && rn(1) == Seq(0, 0, 0) &&
+        rn(2) == Seq(0, 0, 0), rn.toSeq)
+
       import graft.functions.BandGenerators.{minhash_bands, shingle_posts, simhash_bands}
       val mb = Seq("one two three four", "ab")
         .toDF("text").select(col("text"), minhash_bands(col("text"), 8, 4, true))
