@@ -71,6 +71,7 @@ object Bench {
     "q_decontaminate",
     "q_prep_pipeline",
     "q_dedup_embedding_lsh",
+    "q_embed_quantize",
     "q_dedup_semantic",
     "q_knn_bruteforce",
     "q_knn_ivf_probed",

@@ -345,6 +345,33 @@ object Ext {
     }),
     // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
     // q_dedup_embedding_lsh below is the scale path)
+    // embedding STORAGE quantization (uint8): per-dimension corpus
+    // min/max (one aggregate over the exploded frame; 64 rows broadcast
+    // back), floor-scaled to 0..255 — 4x/8x smaller vectors for the ANN
+    // candidate tiers. Verified per vector by an exact integer code
+    // checksum plus the mid-riser reconstruction squared error in
+    // order-free decimal accumulation (floor + decimal, never a
+    // float-order-dependent sum, so both engines agree bit-for-bit).
+    // Constant dimensions (max == min) quantize to 0 by contract.
+    "q_embed_quantize" -> ((s, dir) => {
+      val dims = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d", "x")))
+      val stats = dims.groupBy("d")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val q = when(col("mx") > col("mn"),
+        floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255).cast("int"))
+        .otherwise(0)
+      ord(dims.join(broadcast(stats), Seq("d"))
+        .select(col("vec_id"), col("x"), col("mn"), col("mx"), q.as("q"))
+        .withColumn("deq",
+          col("mn") + (col("q") + 0.5) * (col("mx") - col("mn")) / 256)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_dims"),
+          sum(col("q").cast("bigint")).as("sum_q"),
+          sum(((col("x") - col("deq")) * (col("x") - col("deq")))
+            .cast("decimal(25,12)")).cast("double").as("sq_err")))
+    }),
     "q_dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
@@ -1676,6 +1703,18 @@ object Ext {
         |SELECT doc_id, h FROM k WHERE doc_id % 2 = 1
         |AND h NOT IN (SELECT h FROM k WHERE doc_id % 2 = 0)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH dims AS (SELECT vec_id, d, v[d] AS x FROM (
+        |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  unnest(range(1, len(v) + 1)) AS u(d)),
+        |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d),
+        |j AS (SELECT vec_id, x, mn, mx,
+        |    CASE WHEN mx > mn THEN CAST(floor((x - mn) / (mx - mn) * 255) AS INT) ELSE 0 END AS q
+        |  FROM dims JOIN stats USING (d)),
+        |r AS (SELECT vec_id, x, q, mn + (q + 0.5) * (mx - mn) / 256 AS deq FROM j)
+        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims, CAST(SUM(q) AS BIGINT) AS sum_q,
+        |  CAST(SUM(CAST((x - deq) * (x - deq) AS DECIMAL(25,12))) AS DOUBLE) AS sq_err
+        |FROM r GROUP BY vec_id ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_lines" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
         |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0),
