@@ -24,7 +24,28 @@ object Similarity {
       vectors: DataFrame,
       queryPred: Column,
       k: Int,
-      bucket: Option[Column] = None): DataFrame = {
+      bucket: Option[Column] = None): DataFrame =
+    rankedNeighbors(vectors, queryPred, bucket).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+
+  /** Hard-negative mining band: per query, the neighbors ranked
+    * (`skip`, `skip + k`] by cosine — the "close but not closest" slice
+    * contrastive training mines for negatives (below the presumed-
+    * positive top-`skip`, above the trivially-far tail). Same
+    * broadcast-queries/one-corpus-scan plan as [[knn]]; identical
+    * determinism contract (cosine ties by vec_id). */
+  def knnBand(
+      vectors: DataFrame,
+      queryPred: Column,
+      skip: Int,
+      k: Int,
+      bucket: Option[Column] = None): DataFrame =
+    rankedNeighbors(vectors, queryPred, bucket)
+      .filter(col("rk") > skip && col("rk") <= skip + k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+
+  private def rankedNeighbors(
+      vectors: DataFrame, queryPred: Column, bucket: Option[Column]): DataFrame = {
     val b = vectors.withColumn("bucket", bucket.getOrElse(lit(0L)))
     val n = b.withColumn("nrm", vec_norm(col("v")))
     val q = broadcast(n.filter(queryPred)
@@ -33,8 +54,7 @@ object Similarity {
     val scored = n.join(q, col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+    scored.withColumn("rk", row_number().over(w))
   }
 
   /** Deterministic Lloyd k-means for IVF coarse quantization:

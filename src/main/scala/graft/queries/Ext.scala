@@ -493,6 +493,15 @@ object Ext {
         col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5))
     }),
+    // hard-negative MINING for contrastive training: per query, the
+    // neighbors ranked 6..10 — the "close but not closest" band below
+    // the presumed-positive top-5 and above the trivially-far tail.
+    // Same broadcast-queries/one-scan plan as q_knn_bruteforce.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      ord(graft.operators.Similarity.knnBand(e, col("vec_id") < 10, skip = 5, k = 5))
+    }),
     // LSH-bucketed ANN: deterministic sign-sketch buckets (scale path,
     // engine-specific hashing -> rows-only)
     "q_knn_ivf" -> ((s, dir) => {
@@ -1923,6 +1932,20 @@ object Ext {
          |labels AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src)
          |SELECT cluster_rep, COUNT(*) AS n_members FROM labels GROUP BY 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+        |  FROM n JOIN q ON vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id AS neighbor, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM scored)
+        |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk > 5 AND rk <= 10
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
