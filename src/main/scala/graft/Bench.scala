@@ -60,6 +60,7 @@ object Bench {
     "q_pipeline_e2e",
     "q_dedup_exact",
     "q_dedup_lines",
+    "q_strip_boiler",
     "q_dedup_fingerprint",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",

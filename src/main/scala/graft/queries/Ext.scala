@@ -210,6 +210,46 @@ object Ext {
         .withColumn("boiler_ratio",
           round(col("n_boiler").cast("double") / col("n_ngrams"), 6)))
     }),
+    // boilerplate span REMOVAL (the C4 rule q_boilerplate only scores):
+    // every token covered by any corpus-repeated 5-gram instance is
+    // dropped and documents are rebuilt from the survivors in order.
+    // Plan: the same inverted-index gram join as q_boilerplate (hash
+    // keys corpus-wide), span coverage exploded to (doc, pos) pairs, an
+    // anti-join back onto the token stream, and the per-doc ordered
+    // rebuild (buffer bounded by one document).
+    "q_strip_boiler" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
+        .filter(col("w") =!= "")
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      // re-rank positions over the EMPTY-FILTERED stream so gram spans
+      // and coverage offsets agree with the oracle's filtered word list
+      val rt = toks.withColumn("p", row_number().over(byPos) - 1)
+        .select(col("doc_id"), col("p"), col("w"))
+      val byP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val grams = rt
+        .withColumn("w2", lead(col("w"), 1).over(byP))
+        .withColumn("w3", lead(col("w"), 2).over(byP))
+        .withColumn("w4", lead(col("w"), 3).over(byP))
+        .withColumn("w5", lead(col("w"), 4).over(byP))
+        .filter(col("w5").isNotNull)
+        .select(col("doc_id"), col("p"),
+          conv(substring(md5(concat_ws(" ", col("w"), col("w2"), col("w3"),
+            col("w4"), col("w5"))), 1, 15), 16, 10).cast("bigint").as("g"))
+      val tf = grams.groupBy("g").agg(count(lit(1)).as("tf"))
+      val covered = grams.join(tf, Seq("g")).filter(col("tf") >= 2)
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + 4)).as("p"))
+        .distinct()
+      ord(rt.join(covered, Seq("doc_id", "p"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(p, w))), x -> x.w)"),
+            " ").as("text_clean")))
+    }),
     // bigram-LM corpus scoring (KenLM-proxy quality signal): a doc whose
     // bigrams are corpus-frequent reads like the corpus; one whose
     // bigrams are rare is an outlier. Integer corpus-tf sums (exact
@@ -474,6 +514,15 @@ object Ext {
       ord(d.filter(!isBench)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source")))
+    }),
+    // per-source quality audit matrix: the (source × gate-reason) counts
+    // a curation pass reads to see WHERE its losses come from — one
+    // quality_gate scan joined to source metadata, one groupBy.
+    "q_quality_by_source" -> ((s, dir) => {
+      ord(qualityReasons(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy("source", "reason").agg(count(lit(1)).as("n_docs")))
     }),
     // corpus audit: document-length histogram in 100-char buckets — the
     // distribution check run before/after every filtering stage
@@ -1768,6 +1817,39 @@ object Ext {
         |  CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
         |  round(CAST(SUM(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_ratio
         |FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_strip_boiler" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, i, CAST('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 15) AS BIGINT) AS s
+        |      FROM ws, unnest(range(1, len(w) - 3)) AS u(i)),
+        |c AS (SELECT s, COUNT(*) AS tf FROM g GROUP BY s),
+        |cov AS (SELECT DISTINCT doc_id, i + j AS p FROM g JOIN c USING (s), range(5) r(j)
+        |        WHERE tf >= 2),
+        |tok AS (SELECT doc_id, i AS p, w[i] AS w FROM ws, unnest(range(1, len(w) + 1)) AS u(i)),
+        |kept AS (SELECT t.doc_id, t.p, t.w FROM tok t
+        |         LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.p = cov.p
+        |         WHERE cov.p IS NULL)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  array_to_string(list(w ORDER BY p), ' ') AS text_clean
+        |FROM kept GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_quality_by_source" ->
+      """WITH m AS (SELECT doc_id, length(text) AS n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\s')) AS ws_chars,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS n_stop,
+        |    len(regexp_extract_all(text, '\b\w{1,2}\b')) AS n_short
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN n_tokens < 10 THEN 'too_short'
+        |         WHEN (n_chars - ws_chars) / CAST(n_chars AS DOUBLE) < 0.7 THEN 'low_alpha'
+        |         WHEN n_short / CAST(n_tokens AS DOUBLE) > 0.4 THEN 'high_short'
+        |         WHEN n_stop / CAST(n_tokens AS DOUBLE) < 0.01 THEN 'no_stopwords'
+        |         ELSE 'ok' END AS reason
+        |  FROM m)
+        |SELECT d.source, r.reason, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM r JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_lm_score" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
