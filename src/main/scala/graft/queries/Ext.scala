@@ -971,6 +971,33 @@ object Ext {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc")))
     }),
+    // TOKENIZER-AWARE sequence packing — the composition a real layout
+    // step runs: context-window bins over the BPE token counts from the
+    // trained tokenizer (not whitespace counts), on the same global
+    // prefix-sum machinery as q_pack_sequences. Chains train →
+    // symbolize → per-doc counts → distributed running sum → bins, all
+    // value-checked whole by the oracle.
+    "q_pack_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wf = graft.operators.BpeTrainer.wordFreq(docs, "text")
+        .localCheckpoint(true)
+      val merges = graft.operators.BpeTrainer.train(wf, steps = 5)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val dict = graft.operators.BpeTrainer.symbolize(wf.select("word"), merges)
+        .select(col("word"), size(split(col("syms"), " ")).as("ns"))
+      val words = docs.select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), w => w =!= lit(""))).as("word"))
+      val toks = words.join(dict, Seq("word"))
+        .groupBy("doc_id").agg(sum(col("ns").cast("bigint")).as("n"))
+      val cum = graft.operators.ScalableWindows.withGlobalRunningSum(
+        toks, col("n"), Seq(col("doc_id")), "cum", partitions = 8)
+      ord(cum
+        .withColumn("pack_id", expr("(cum - n) div 2048"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc")))
+    }),
     // per-document top-3 TF-IDF terms (stopword induction / keyword
     // extraction over the corpus). Single lineage: tf per (doc, term),
     // document frequency as a count over the term partition of that SAME
@@ -1174,6 +1201,22 @@ object Ext {
        |  CAST(SUM(len(string_split(s$steps.s, ' '))) AS BIGINT) AS n_bpe_tokens
        |FROM dw JOIN s$steps USING (word)
        |GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin
+
+  /** q_pack_bpe: the tokenize replay feeding the running-sum packing. */
+  private def bpePackOracle(steps: Int): String =
+    s"""WITH ${bpeCtes(steps)},
+       |dw AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
+       |  FROM documents),
+       |t AS (SELECT doc_id, CAST(SUM(len(string_split(s$steps.s, ' '))) AS BIGINT) AS n
+       |      FROM dw JOIN s$steps USING (word) GROUP BY doc_id),
+       |c AS (SELECT doc_id, n, sum(n) OVER (
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT CAST((cum - n) // 2048 AS BIGINT) AS pack_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
 
   /** One nearest-centroid assignment step of the IVF oracle: distance is
     * the left-to-right squared-diff fold (exactly Spark's zip_with+
@@ -1618,6 +1661,7 @@ object Ext {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_bpe_train" -> bpeOracle(5),
     "q_bpe_tokenize" -> bpeTokenizeOracle(5),
+    "q_pack_bpe" -> bpePackOracle(5),
     "q_ngram_counts" ->
       """SELECT bigram, tf FROM (
         |  SELECT bigram, COUNT(*) AS tf FROM (
