@@ -92,6 +92,10 @@ object Bench {
     "q_rep_signals",
     "q_mix_sources",
     "q_pack_sequences",
+    "q_pack_bpe",
+    "q_split_train_test",
+    "q_quality_by_source",
+    "q_hard_negatives",
     "q_tfidf",
     "q_bpe_train",
     "q_bpe_tokenize",

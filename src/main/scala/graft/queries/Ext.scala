@@ -1081,6 +1081,15 @@ object Ext {
     "q_mm_decode" -> ((s, dir) => {
       ord(graft.operators.Multimodal.decode(mmPayloads(s, dir)))
     }),
+    // byte-exact MEDIA dedup: the first pass every multimodal corpus
+    // runs — identical payload bytes collapse on the md5 of the BINARY
+    // column (16-byte shuffle keys; payload bytes never shuffle), same
+    // hash-groupBy shape as q_dedup_exact on text
+    "q_mm_dedup" -> ((s, dir) => {
+      ord(mmPayloads(s, dir).toDF("doc_id", "payload")
+        .groupBy(md5(col("payload")).as("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")))
+    }),
     // the REAL codec through the driver gate: synthesize a valid P6
     // payload per document (dims from doc_id, plane bytes cycling the
     // text's md5 digest), decode it with PpmCodec — actual header
@@ -2155,6 +2164,9 @@ object Ext {
         |  CAST('0x' || substr(md5(coalesce(text, '')), 3, 2) AS INT) AS g0,
         |  CAST('0x' || substr(md5(coalesce(text, '')), 5, 2) AS INT) AS b0
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_mm_dedup" ->
+      """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n_copies, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_decode" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
