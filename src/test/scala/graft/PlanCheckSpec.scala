@@ -70,15 +70,18 @@ class PlanCheckSpec extends SparkSpec {
     //    serial exchanges are the offsets windows over <= `partitions`
     //    per-bucket count rows (the corpus side hash-partitions on the
     //    quantile bucket — asserted in ScalableWindowsSpec).
-    //  - q_pack_sequences: forces the distributed running sum; like the
-    //    global-rank queries, the only serial exchanges are the offsets
-    //    windows over <= `partitions` per-bucket summary rows;
+    //  - q_pack_sequences / q_pack_bpe: force the distributed running
+    //    sum; like the global-rank queries, the only serial exchanges are
+    //    the offsets windows over <= `partitions` per-bucket summary rows
+    //    (q_pack_bpe's corpus side — the per-doc BPE token counts —
+    //    hash-partitions on the quantile bucket exactly like
+    //    q_pack_sequences; asserted in ScalableWindowsSpec);
     //  - q_tfidf: the broadcast corpus-size scalar (count(*) over
     //    documents) finalizes on one task, but only per-partition partial
     //    counts cross the exchange — the q_sql_scalar_subquery shape.
     val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery",
       "q_window_rank_global", "q_window_pct_global", "q_pack_sequences",
-      "q_tfidf")
+      "q_pack_bpe", "q_tfidf")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
