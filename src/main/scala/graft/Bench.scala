@@ -74,6 +74,9 @@ object Bench {
     "q_dedup_embedding_lsh",
     "q_embed_quantize",
     "q_dedup_semantic",
+    "q_semdedup",
+    "q_dedup_keep_best",
+    "q_sample_by_quality",
     "q_knn_bruteforce",
     "q_knn_ivf_probed",
     "q_knn_ivf_trained",

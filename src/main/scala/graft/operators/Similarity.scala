@@ -235,6 +235,44 @@ object Similarity {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    * near-dup pruning with k-means cells as the candidate buckets.
+    * Train k centroids ([[trainIvf]]), assign every vector, take
+    * within-cell cosine pairs >= `threshold` ([[cosinePairs]] with the
+    * cell id as bucket), connect them into components, and KEEP THE
+    * LEAST PROTOTYPICAL member per component — the lowest cosine to its
+    * cell centroid, ties by vec_id (the paper's keep-farthest-from-
+    * centroid rule: pruning toward prototypes preserves diversity).
+    * Returns (cluster_rep, keep_vec, keep_ccos, n_members).
+    *
+    * Scale shape: candidate work is Σ|cell|² — scale `k` with the corpus
+    * so cells stay bounded (plus `maxBucket` as the degenerate-cell cap);
+    * the k-row centroid frame broadcasts; the assigned corpus
+    * checkpoints ONCE and feeds both pair generation and the
+    * centroid-cosine rank, so the corpus is scanned once end-to-end.
+    * The keeper rank partitions by cluster_rep — no global window. At
+    * 100 TB, train on a sample (see [[trainIvf]]) and raise `k`. */
+  def semDedup(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int,
+      threshold: Double,
+      maxBucket: Int = 0): DataFrame = {
+    val cents = trainIvf(vectors, k, iters).localCheckpoint(true)
+    val assigned = assignToCentroids(vectors, cents).localCheckpoint(true)
+    val pairs = cosinePairs(assigned, threshold,
+      bucket = Some(col("cid")), maxBucket = maxBucket)
+    val comps = TextDedup.duplicateClustersAuto(pairs, "vec_a", "vec_b")
+    val ccos = assigned.join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), round(
+        vec_dot(col("v"), col("cen")) /
+          (sqrt(vec_dot(col("v"), col("v"))) * sqrt(vec_dot(col("cen"), col("cen")))),
+        4).as("ccos"))
+    TextDedup.keepers(comps, ccos, "vec_id", "ccos", ascending = true)
+      .withColumnRenamed("keep_id", "keep_vec")
+      .withColumnRenamed("keep_score", "keep_ccos")
+  }
+
   // ----- product quantization (IVF-PQ's compression half) ---------------
   //
   // At 100 TB the corpus CANNOT keep full float vectors hot: a 64-dim

@@ -560,6 +560,32 @@ object TextDedup {
     result
   }
 
+  /** Keeper selection over duplicate components: one row per cluster —
+    * (cluster_rep, keep_id, keep_score, n_members) — keeping the member
+    * with the best score (max by default, min when `ascending`), ties by
+    * lowest member id. `comps` is [[duplicateClusters]]-shaped
+    * (member, cluster_rep); `scores` carries (`idCol`, `scoreCol`) —
+    * typically a 2-column pruned metadata scan, never a second text
+    * scan. The rank window partitions by cluster_rep (components are
+    * small by construction), so there is no global window and no serial
+    * exchange — the only shuffle is the hash partition on cluster_rep. */
+  def keepers(
+      comps: DataFrame,
+      scores: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      ascending: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_rep")
+    val ord = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    comps.join(scores, comps("member") === scores(idCol))
+      .select(col("cluster_rep"), col("member"), col(scoreCol))
+      .withColumn("rn", row_number().over(w.orderBy(ord, col("member"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("member").as("keep_id"),
+        col(scoreCol).as("keep_score"), col("n_members"))
+  }
+
   /** SimHash candidate pairs over canonicalized docs:
     * (doc_a, doc_b, hamming) for hamming <= `maxHamming`. Band count and
     * width follow the pigeonhole rule: maxHamming+1 bands guarantee two

@@ -360,6 +360,26 @@ object Ext {
         maxDf = if (graft.Tables.benchMode) 64 else 0)
       ord(graft.operators.TextDedup.duplicateClustersAuto(pairs))
     }),
+    // QUALITY-AWARE keeper choice: the same near-dup components, but
+    // keep the LONGEST member per cluster (ties by min doc_id) instead
+    // of the arbitrary min-id representative — the rule real curation
+    // pipelines use (the longest variant of a boilerplate-trimmed /
+    // truncated family is usually the most complete). The keeper rank
+    // needs only the tiny (member, n_chars) frame — n_chars comes from
+    // the documents table's own metadata column, a 2-column pruned scan
+    // joined to the component labels, never a second text scan; the
+    // per-cluster window partitions by cluster_rep (no global window).
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val pairs = graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
+      val len = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      ord(graft.operators.TextDedup.keepers(comps, len, "doc_id", "n_chars")
+        .withColumnRenamed("keep_id", "keep_doc")
+        .withColumnRenamed("keep_score", "keep_chars"))
+    }),
     // MinHash + LSH banding, fully oracle-checked (portable affine hash
     // family, see MinHashP above); banding is an equi-join on
     // (band, band-slice key), so the only shuffle is |docs|*bands rows,
@@ -471,6 +491,25 @@ object Ext {
       val clusters = graft.operators.TextDedup.duplicateClustersAuto(
         pairs, "vec_a", "vec_b")
       ord(clusters.groupBy(col("cluster_rep")).agg(count(lit(1)).as("n_members")))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cells as
+    // the candidate buckets — within-cell cosine pairs above threshold,
+    // connected components, then KEEP THE LEAST PROTOTYPICAL member (the
+    // lowest cosine to its cell centroid; the paper's keep-farthest-from-
+    // centroid rule, preserving diversity where plain min-id keeps an
+    // arbitrary member). 100-TB shape: candidate work is Σ|cell|² with k
+    // scaled so cells stay bounded (+ the maxBucket cap in bench mode);
+    // the trained-centroid frame broadcasts everywhere; ONE corpus scan
+    // feeds assignment, pairs, and the centroid-cosine ranking. Fully
+    // deterministic (Lloyd ties by cid, keeper ties by vec_id), so the
+    // oracle replays training, components, and the keeper choice exactly.
+    "q_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      ord(graft.operators.Similarity.semDedup(e, k = 8, iters = 2,
+        threshold = 0.3,
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
 
     // train/eval CONTAMINATION check: shingle overlap between the corpus
@@ -915,6 +954,27 @@ object Ext {
           explode(sequence(lit(1), col("n_copies"))).as("copy"))
       ord(mixed.groupBy("source")
         .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_rows")))
+    }),
+    // QUALITY-WEIGHTED subsampling: soft-filtering instead of the hard
+    // gate — docs passing the quality gate are all kept, each REJECTED
+    // bucket salvages a deterministic 25% (content-independent 28-bit
+    // md5 draw on doc_id, the q_mix_sources/q_split_train_test family:
+    // re-runs, re-partitioning, and text edits can never move a doc in
+    // or out of the sample). Keeping a calibrated slice of lower-quality
+    // data is standard practice (hard filters measurably hurt diversity);
+    // the audit output is per-reason (candidates, kept, kept-id checksum)
+    // so the draw itself is value-checked, not just the counts. One
+    // single-pass quality_gate scan + one groupBy — no joins, no windows.
+    "q_sample_by_quality" -> ((s, dir) => {
+      val base28 = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+      val keep = (col("reason") === "ok") || (base28 < lit(67108864L)) // 0.25 * 2^28
+      ord(qualityReasons(s, dir)
+        .withColumn("keep", keep)
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum")))
     }),
     // intra-document repetition: top-bigram fraction (the Gopher-style
     // "page dominated by one repeated phrase" gate). A pure per-document
@@ -1695,6 +1755,31 @@ object Ext {
         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM m GROUP BY source ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_quality_filter reason CASE + the 28-bit md5 draw (keep all
+    // 'ok', salvage 25% of each rejected bucket), audited per reason
+    // with a kept-id checksum so the draw itself is value-checked
+    "q_sample_by_quality" ->
+      """WITH m AS (SELECT doc_id, length(text) AS n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\s')) AS ws_chars,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS n_stop,
+        |    len(regexp_extract_all(text, '\b\w{1,2}\b')) AS n_short
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN n_tokens < 10 THEN 'too_short'
+        |         WHEN (n_chars - ws_chars) / CAST(n_chars AS DOUBLE) < 0.7 THEN 'low_alpha'
+        |         WHEN n_short / CAST(n_tokens AS DOUBLE) > 0.4 THEN 'high_short'
+        |         WHEN n_stop / CAST(n_tokens AS DOUBLE) < 0.01 THEN 'no_stopwords'
+        |         ELSE 'ok' END AS reason
+        |  FROM m),
+        |k AS (SELECT doc_id, reason,
+        |    reason = 'ok' OR
+        |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) < 67108864 AS keep
+        |  FROM r)
+        |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM k GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_rep_signals" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
@@ -2020,6 +2105,41 @@ object Ext {
         |SELECT src AS member, min(lbl) AS cluster_rep
         |FROM reach GROUP BY src
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_dedup_clusters pair+components chain, plus the
+    // keep-the-longest keeper rank (n_chars DESC, ties by min doc_id)
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE canon AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+        |labels AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src),
+        |j AS (SELECT l.cluster_rep, l.member, d.n_chars
+        |      FROM labels l JOIN documents d ON l.member = d.doc_id),
+        |r AS (SELECT cluster_rep, member, n_chars,
+        |    row_number() OVER (PARTITION BY cluster_rep ORDER BY n_chars DESC, member) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members FROM j)
+        |SELECT cluster_rep, member AS keep_doc, n_chars AS keep_chars, n_members
+        |FROM r WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM v)
@@ -2067,6 +2187,42 @@ object Ext {
          |labels AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src)
          |SELECT cluster_rep, COUNT(*) AS n_members FROM labels GROUP BY 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // SemDeDup replay: the q_ivf_train Lloyd chain, within-cell cosine
+    // pairs, the connected-components recursive CTE, and the
+    // keep-least-prototypical (min centroid-cosine, ties by vec_id)
+    // keeper rank — end-to-end bit-for-bit.
+    "q_semdedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |n AS (SELECT vec_id, v, cid, list_sum(list_transform(v, x -> x * x)) AS n2 FROM fin),
+         |p AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+         |  FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  WHERE round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
+         |    (sqrt(x.n2) * sqrt(y.n2)), 4) >= 0.3),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(src, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+         |labels AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src),
+         |cc AS (SELECT f.vec_id,
+         |  round(list_sum([f.v[d] * c.cen[d] FOR d IN range(1, len(f.v) + 1)]) /
+         |    (sqrt(list_sum(list_transform(f.v, x -> x * x))) *
+         |     sqrt(list_sum(list_transform(c.cen, x -> x * x)))), 4) AS ccos
+         |  FROM fin f JOIN c2 c USING (cid)),
+         |j AS (SELECT l.cluster_rep, l.member, cc.ccos
+         |      FROM labels l JOIN cc ON l.member = cc.vec_id),
+         |r AS (SELECT cluster_rep, member, ccos,
+         |    row_number() OVER (PARTITION BY cluster_rep ORDER BY ccos, member) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members FROM j)
+         |SELECT cluster_rep, member AS keep_vec, ccos AS keep_ccos, n_members
+         |FROM r WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_hard_negatives" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),

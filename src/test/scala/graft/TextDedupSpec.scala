@@ -363,4 +363,18 @@ class TextDedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("keepers picks the max-score member (ties min id); min-score when ascending") {
+    import spark.implicits._
+    val comps = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("member", "cluster_rep")
+    val scores = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 3L), (21L, 3L))
+      .toDF("doc_id", "s")
+    val best = TextDedup.keepers(comps, scores, "doc_id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(best == Set((1L, 11L, 9L, 3L), (2L, 20L, 3L, 2L)), s"got $best")
+    val worst = TextDedup.keepers(comps, scores, "doc_id", "s", ascending = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(worst == Set((1L, 10L), (2L, 20L)), s"got $worst")
+  }
 }
