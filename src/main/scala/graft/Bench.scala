@@ -94,6 +94,7 @@ object Bench {
     "q_repetition",
     "q_rep_signals",
     "q_mix_sources",
+    "q_mix_lang_capped",
     "q_pack_sequences",
     "q_pack_bpe",
     "q_split_train_test",

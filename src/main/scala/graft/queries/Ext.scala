@@ -955,6 +955,33 @@ object Ext {
       ord(mixed.groupBy("source")
         .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_rows")))
     }),
+    // PER-LANGUAGE CAPPED sampling (the UniMax shape, Chung et al. 2023):
+    // every language keeps at most CAP docs, chosen by the deterministic
+    // 28-bit md5 draw (lowest draws win, ties by doc_id) — language
+    // balancing without repeating a content-dependent choice. 100-TB
+    // shape: the selection is a rank window partitioned by lang whose
+    // filter Spark rewrites into partial+final WindowGroupLimit — each
+    // input partition pre-prunes to <= CAP rows per language BEFORE the
+    // exchange, so shuffle volume is langs x CAP x partitions, not the
+    // corpus (asserted in PlanCheckSpec); the per-language candidate
+    // counts come from a separate partial+final aggregate over the same
+    // 2-column pruned scan (folding the count into the window as an
+    // unordered count-over-partition would force full-partition
+    // materialization and defeat the prune).
+    "q_mix_lang_capped" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+      val d = t(s, dir, "documents").select(col("lang"), col("doc_id"), draw.as("draw"))
+      val kept = d.withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("draw"), col("doc_id"))))
+        .filter(col("rn") <= 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      ord(counts.join(kept, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_kept"), col("kept_id_sum")))
+    }),
     // QUALITY-WEIGHTED subsampling: soft-filtering instead of the hard
     // gate — docs passing the quality gate are all kept, each REJECTED
     // bucket salvages a deterministic 25% (content-independent 28-bit
@@ -1755,6 +1782,21 @@ object Ext {
         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM m GROUP BY source ORDER BY ALL NULLS FIRST""".stripMargin,
+    // per-language top-cap by the md5 draw (lowest 100 per lang, ties by
+    // doc_id) joined to the full per-language candidate counts
+    "q_mix_lang_capped" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS draw
+        |  FROM documents),
+        |k AS (SELECT lang, doc_id FROM (
+        |    SELECT lang, doc_id,
+        |      row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rn FROM d)
+        |  WHERE rn <= 100),
+        |kk AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum FROM k GROUP BY 1),
+        |c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY 1)
+        |SELECT lang, n_docs, n_kept, kept_id_sum FROM c JOIN kk USING (lang)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the q_quality_filter reason CASE + the 28-bit md5 draw (keep all
     // 'ok', salvage 25% of each rejected bucket), audited per reason
     // with a kept-id checksum so the draw itself is value-checked

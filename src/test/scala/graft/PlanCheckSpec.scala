@@ -42,6 +42,13 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "rank-limit pushdown missing")
   }
 
+  test("per-language capped sampling pre-prunes the exchange with WindowGroupLimit") {
+    // the selection side must shuffle langs x cap x partitions rows, not
+    // the corpus: partial WindowGroupLimit before the lang exchange
+    val p = plan("q_mix_lang_capped")
+    assert(p.contains("WindowGroupLimit"), "capped-sample rank prune missing")
+  }
+
   test("big-big equi join falls back to sort-merge when broadcast is off") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
