@@ -955,6 +955,30 @@ object Ext {
       ord(mixed.groupBy("source")
         .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_rows")))
     }),
+    // DOCUMENT CHUNKING (RAG / long-context prep): overlapping
+    // token-window splits — 64-word chunks at stride 48 (16-word
+    // overlap), one row per chunk with a content key. The dual of
+    // packing (q_pack_sequences concatenates docs to fill a context
+    // window; chunking splits docs that overflow one). 100-TB shape:
+    // pure map-side — split, sequence of starts, posexplode, slice,
+    // hash — zero shuffles beyond the presentation sort; chunk
+    // identity is (doc_id, chunk_idx) and the 60-bit md5 chunk_key
+    // supports downstream chunk-level dedup/lookup.
+    "q_chunk_docs" -> ((s, dir) => {
+      val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), words.as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") > 0)
+      ord(d
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(48))).as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("w"), col("start") + 1, lit(64)).as("cw"))
+        .select(col("doc_id"), col("chunk_idx"), size(col("cw")).as("n_words"),
+          conv(substring(md5(concat_ws(" ", col("cw"))), 1, 15), 16, 10)
+            .cast("bigint").as("chunk_key")))
+    }),
     // PER-LANGUAGE CAPPED sampling (the UniMax shape, Chung et al. 2023):
     // every language keeps at most CAP docs, chosen by the deterministic
     // 28-bit md5 draw (lowest draws win, ties by doc_id) — language
@@ -1782,6 +1806,20 @@ object Ext {
         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM m GROUP BY source ORDER BY ALL NULLS FIRST""".stripMargin,
+    // 64-word windows at stride 48 over the whitespace word list; the
+    // 0-based chunk index is start // stride (starts are the stride
+    // multiples below n, exactly posexplode's position)
+    "q_chunk_docs" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+        |c AS (SELECT doc_id, CAST(t.s // 48 AS INT) AS chunk_idx,
+        |    w[CAST(t.s AS BIGINT) + 1 : CAST(t.s AS BIGINT) + 64] AS cw
+        |  FROM d, unnest(range(0, n, 48)) AS t(s))
+        |SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_words,
+        |  CAST('0x' || substr(md5(array_to_string(cw, ' ')), 1, 15) AS BIGINT) AS chunk_key
+        |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
     // per-language top-cap by the md5 draw (lowest 100 per lang, ties by
     // doc_id) joined to the full per-language candidate counts
     "q_mix_lang_capped" ->
