@@ -98,6 +98,7 @@ object Bench {
     "q_pack_sequences",
     "q_pack_bpe",
     "q_chunk_docs",
+    "q_dedup_chunks",
     "q_split_train_test",
     "q_quality_by_source",
     "q_hard_negatives",

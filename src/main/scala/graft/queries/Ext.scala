@@ -979,6 +979,31 @@ object Ext {
           conv(substring(md5(concat_ws(" ", col("cw"))), 1, 15), 16, 10)
             .cast("bigint").as("chunk_key")))
     }),
+    // CHUNK-LEVEL cross-document dedup: which 64-word chunks recur in
+    // more than one document — the chunk-granularity approximation of
+    // exact substring dedup (Lee et al. 2021: repeated long spans are
+    // memorization fuel). Rides the q_chunk_docs lineage; the only
+    // shuffle is the groupBy on the 8-byte chunk_key (chunk text never
+    // shuffles), so cost at 100 TB is the chunk count, not chunk bytes.
+    "q_dedup_chunks" -> ((s, dir) => {
+      val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), words.as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") > 0)
+      val chunks = d
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(48))).as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(" ",
+            slice(col("w"), col("start") + 1, lit(64)))), 1, 15), 16, 10)
+            .cast("bigint").as("chunk_key"))
+      ord(chunks.groupBy("chunk_key")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1))
+    }),
     // PER-LANGUAGE CAPPED sampling (the UniMax shape, Chung et al. 2023):
     // every language keeps at most CAP docs, chosen by the deterministic
     // 28-bit md5 draw (lowest draws win, ties by doc_id) — language
@@ -1820,6 +1845,21 @@ object Ext {
         |SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_words,
         |  CAST('0x' || substr(md5(array_to_string(cw, ' ')), 1, 15) AS BIGINT) AS chunk_key
         |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_chunk_docs chunk keys, grouped: chunks in more than one doc
+    "q_dedup_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+        |c AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(
+        |      w[CAST(t.s AS BIGINT) + 1 : CAST(t.s AS BIGINT) + 64], ' ')), 1, 15) AS BIGINT) AS chunk_key
+        |  FROM d, unnest(range(0, n, 48)) AS t(s))
+        |SELECT chunk_key, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // per-language top-cap by the md5 draw (lowest 100 per lang, ties by
     // doc_id) joined to the full per-language candidate counts
     "q_mix_lang_capped" ->
