@@ -101,6 +101,7 @@ object Bench {
     "q_dedup_chunks",
     "q_split_train_test",
     "q_quality_by_source",
+    "q_datasheet",
     "q_hard_negatives",
     "q_tfidf",
     "q_bpe_train",

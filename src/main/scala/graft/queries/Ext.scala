@@ -955,6 +955,29 @@ object Ext {
       ord(mixed.groupBy("source")
         .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_rows")))
     }),
+    // CORPUS DATASHEET: the per-source report a curation pass reads
+    // first — volume, length, language spread, quality pass-rate, and
+    // within-source exact-dup count — in ONE quality_gate scan + ONE
+    // groupBy. Duplicate counting is count - count_distinct(md5(text)):
+    // the 16-byte hash shuffles for the distinct, never the text.
+    "q_datasheet" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("lang"),
+        col("n_chars"), col("doc_id"),
+        graft.functions.QualityGate.quality_gate(col("text"),
+          Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"), 2)
+          .as("reason"),
+        md5(col("text")).as("h"))
+      ord(d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(when(col("reason") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        (count(lit(1)) - count_distinct(col("h"))).as("n_dup_docs"))
+        .withColumn("mean_chars",
+          round(col("sum_chars").cast("double") / col("n_docs"), 4))
+        .withColumn("pct_ok",
+          round(col("n_ok").cast("double") / col("n_docs"), 6)))
+    }),
     // DOCUMENT CHUNKING (RAG / long-context prep): overlapping
     // token-window splits — 64-word chunks at stride 48 (16-word
     // overlap), one row per chunk with a content key. The dual of
@@ -1845,6 +1868,30 @@ object Ext {
         |SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_words,
         |  CAST('0x' || substr(md5(array_to_string(cw, ' ')), 1, 15) AS BIGINT) AS chunk_key
         |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the per-source corpus report: quality CASE + md5-distinct dup count
+    "q_datasheet" ->
+      """WITH m AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h,
+        |    length(text) AS nc,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\s')) AS ws_chars,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS n_stop,
+        |    len(regexp_extract_all(text, '\b\w{1,2}\b')) AS n_short
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, lang, n_chars, h,
+        |    CASE WHEN n_tokens < 10 THEN 'too_short'
+        |         WHEN (nc - ws_chars) / CAST(nc AS DOUBLE) < 0.7 THEN 'low_alpha'
+        |         WHEN n_short / CAST(n_tokens AS DOUBLE) > 0.4 THEN 'high_short'
+        |         WHEN n_stop / CAST(n_tokens AS DOUBLE) < 0.01 THEN 'no_stopwords'
+        |         ELSE 'ok' END AS reason
+        |  FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS mean_chars,
+        |  round(CAST(SUM(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pct_ok
+        |FROM r GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // the q_chunk_docs chunk keys, grouped: chunks in more than one doc
     "q_dedup_chunks" ->
       """WITH w AS (SELECT doc_id,
