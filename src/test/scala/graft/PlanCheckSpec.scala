@@ -57,6 +57,18 @@ class PlanCheckSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("bucketed fact-fact join pays zero join-side exchanges (ingest-time shuffle)") {
+    // broadcast off so the join cannot degenerate into BHJ at test SF;
+    // the only hash exchange left must be the final aggregate's
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_join_bucketed")
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"bucketed join must not shuffle either side:\n${p.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("ingest dedup is a hash aggregate over the text, not a sort aggregate over maps") {
     val ds = graft.sources.Sources.fromTextColumn(
       spark.read.parquet(s"$dir/documents.parquet"), "text")
