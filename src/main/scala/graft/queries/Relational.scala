@@ -191,6 +191,32 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty")))
     }),
+    // SALTED skew join in the checked catalog (§4.2): the hot-key
+    // mitigation — big side salted 8 ways, small side replicated per
+    // salt, join key becomes (key, salt) — with the result row-identical
+    // to the plain join BY CONSTRUCTION, which is exactly what the
+    // oracle (the plain join, recomputed) verifies. Salting is the
+    // explicit form that also covers hash joins and aggregations where
+    // AQE's adaptive skew handling does not reach.
+    "q_join_skew_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      ord(graft.functions.Skew.saltedJoin(li, sup, "l_suppkey", salts = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty")))
+    }),
+    // SALTED two-phase aggregation: a hot group key spreads over (key,
+    // salt) partials before the tiny per-key combine. The value routes
+    // through DECIMAL so both phases are exact and order-free — the
+    // determinism contract the double-typed column cannot give across a
+    // two-phase sum.
+    "q_agg_skew_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_quantity").cast("decimal(18,4)").as("q"))
+      ord(graft.functions.Skew.saltedSumByKey(li, "l_suppkey", "q", salts = 8)
+        .select(col("l_suppkey"), col("sum_q").cast("double").as("sum_qty")))
+    }),
     "q_join_broadcast" -> ((s, dir) => {
       val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
       ord(c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -767,6 +793,17 @@ object Relational {
       """SELECT c_custkey, n_name, r_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the plain join the salted form must reproduce row-for-row
+    "q_join_skew_salted" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the single-phase aggregate the salted two-phase form must equal
+    "q_agg_skew_salted" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // recomputed from the original tables: the bucketed staging must be
     // a faithful copy or this diverges
     "q_join_bucketed" ->
