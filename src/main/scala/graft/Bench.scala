@@ -42,6 +42,7 @@ object Bench {
     * streaming-shape, annotation, dedup family, similarity). */
   val headline: Seq[String] = Seq(
     "q1_agg",
+    "q_partitioned_write",
     "q_join_inner",
     "q_join_broadcast",
     "q_join_bucketed",

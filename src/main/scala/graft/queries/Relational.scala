@@ -162,6 +162,28 @@ object Relational {
         .filter(col("o_totalprice") > 400000)
         .select("l_orderkey", "l_linenumber", "o_orderdate", "l_quantity", "o_totalprice"))
     }),
+    // PARTITIONED write sink + partition-PRUNED read-back (§2c sinks):
+    // documents staged once per session under lang=<v> directories
+    // (`partitionBy("lang")`), then read back with a lang filter that
+    // must prune to the matching directories at planning time — the scan
+    // carries a PartitionFilters entry and reads none of the other
+    // languages' files (asserted in PlanCheckSpec). At 100 TB this is
+    // the difference between scanning one language and scanning the
+    // corpus. The oracle recomputes from the ORIGINAL table, so any row
+    // lost, duplicated, or mis-partitioned by the write path diverges.
+    "q_partitioned_write" -> ((s, dir) => {
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_partitioned_" + fp).getAbsolutePath
+      if (!new java.io.File(base, "_SUCCESS").isFile)
+        t(s, dir, "documents").select("doc_id", "n_chars", "source", "lang")
+          .write.mode("overwrite").partitionBy("lang").parquet(base)
+      ord(s.read.parquet(base)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")))
+    }),
     // CO-LOCATED (bucketed) fact-fact join — the §4.2 pay-the-shuffle-
     // once-at-ingest strategy in the checked catalog: lineitem and
     // orders staged ONCE per session as 8-bucket tables hash-partitioned
@@ -793,6 +815,13 @@ object Relational {
       """SELECT c_custkey, n_name, r_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey ORDER BY ALL NULLS FIRST""".stripMargin,
+    // recomputed from the original table: the partitioned staging must
+    // be a faithful, correctly-bucketed-by-lang copy or this diverges
+    "q_partitioned_write" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
     // the plain join the salted form must reproduce row-for-row
     "q_join_skew_salted" ->
       """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_items,

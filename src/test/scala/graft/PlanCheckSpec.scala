@@ -22,6 +22,12 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p.take(800))
   }
 
+  test("partitioned-write read-back prunes partitions at the scan") {
+    val p = plan("q_partitioned_write")
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang filter must prune partition directories:\n${p.take(800)}")
+  }
+
   test("dimension joins broadcast (no shuffle of the fact side)") {
     val p = plan("q_join_broadcast")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(800))
