@@ -268,9 +268,19 @@ object Similarity {
         vec_dot(col("v"), col("cen")) /
           (sqrt(vec_dot(col("v"), col("v"))) * sqrt(vec_dot(col("cen"), col("cen")))),
         4).as("ccos"))
-    TextDedup.keepers(comps, ccos, "vec_id", "ccos", ascending = true)
+    // the persist-lifecycle contract of the clustering family: the
+    // (small) group summary materializes eagerly, every internal block
+    // (centroids, assigned corpus, component labels) is released before
+    // returning, and the ONE checkpointed frame handed back is the
+    // caller's to release once consumed
+    val result = TextDedup.keepers(comps, ccos, "vec_id", "ccos", ascending = true)
       .withColumnRenamed("keep_id", "keep_vec")
       .withColumnRenamed("keep_score", "keep_ccos")
+      .localCheckpoint(true)
+    graft.plans.Checkpoints.release(comps)
+    graft.plans.Checkpoints.release(assigned)
+    graft.plans.Checkpoints.release(cents)
+    result
   }
 
   // ----- product quantization (IVF-PQ's compression half) ---------------

@@ -343,6 +343,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("semDedup keeps the least-prototypical member per component") {
     import spark.implicits._
+    graft.plans.Checkpoints.releaseAll(spark)
     // two direction-families; within each, the (0.9, 0.1)-style member has
     // the largest angle to the cell centroid and must be the keeper
     // (keep-farthest-from-centroid); ids 0/1 seed the two cells.
@@ -350,8 +351,11 @@ class SimilaritySpec extends SparkSpec {
       (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
       (2L, Seq(0.9, 0.1)), (3L, Seq(0.1, 0.9)),
       (4L, Seq(2.0, 0.0)), (5L, Seq(0.0, 2.0))).toDF("vec_id", "v")
-    val out = Similarity.semDedup(vs, k = 2, iters = 1, threshold = 0.99)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val res = Similarity.semDedup(vs, k = 2, iters = 1, threshold = 0.99)
+    // persist-lifecycle contract: exactly the one returned frame stays
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      "semDedup must release every internal block before returning")
+    val out = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(out == Set((0L, 2L, 3L), (1L, 3L, 3L)), s"got $out")
     graft.plans.Checkpoints.releaseAll(spark)
   }
