@@ -43,6 +43,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg",
     "q_partitioned_write",
+    "q_orc_roundtrip",
     "q_join_inner",
     "q_join_broadcast",
     "q_join_bucketed",

@@ -162,6 +162,28 @@ object Relational {
         .filter(col("o_totalprice") > 400000)
         .select("l_orderkey", "l_linenumber", "o_orderdate", "l_quantity", "o_totalprice"))
     }),
+    // ORC interchange round-trip (§2c sources/sinks beyond parquet):
+    // orders staged once per session as ORC (Spark's second bundled
+    // columnar format — same pushdown/pruning machinery), read back
+    // with a predicate that must reach the ORC reader, and aggregated;
+    // the oracle recomputes from the ORIGINAL parquet, so any value or
+    // type drift through the ORC writer/reader pair diverges.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_orc_" + fp).getAbsolutePath
+      if (!new java.io.File(base, "_SUCCESS").isFile)
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+          .write.mode("overwrite").orc(base)
+      ord(s.read.orc(base)
+        .filter(col("o_totalprice") > 200000)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderdate")).as("first_date")))
+    }),
     // PARTITIONED write sink + partition-PRUNED read-back (§2c sinks):
     // documents staged once per session under lang=<v> directories
     // (`partitionBy("lang")`), then read back with a lang filter that
@@ -815,6 +837,14 @@ object Relational {
       """SELECT c_custkey, n_name, r_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey ORDER BY ALL NULLS FIRST""".stripMargin,
+    // recomputed from the original parquet: the ORC writer/reader pair
+    // must be value- and type-faithful or this diverges
+    "q_orc_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  min(o_orderdate) AS first_date
+        |FROM orders WHERE o_totalprice > 200000
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // recomputed from the original table: the partitioned staging must
     // be a faithful, correctly-bucketed-by-lang copy or this diverges
     "q_partitioned_write" ->
