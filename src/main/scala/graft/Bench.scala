@@ -44,6 +44,7 @@ object Bench {
     "q1_agg",
     "q_partitioned_write",
     "q_orc_roundtrip",
+    "q_csv_roundtrip",
     "q_join_inner",
     "q_join_broadcast",
     "q_join_bucketed",

@@ -162,6 +162,32 @@ object Relational {
         .filter(col("o_totalprice") > 400000)
         .select("l_orderkey", "l_linenumber", "o_orderdate", "l_quantity", "o_totalprice"))
     }),
+    // CSV interchange round-trip (the flat-data exchange format): the
+    // same staging pattern, read back SCHEMA-FIRST (explicit DDL +
+    // FAILFAST — header inference at 100 TB means a full extra pass and
+    // silently-wrong types; a malformed shard must fail loudly, not
+    // row-drop). Flat numeric/date columns only — CSV with embedded
+    // newlines forces multiLine=true, which makes shards unsplittable;
+    // free-text interchange belongs to JSONL (q_jsonl_ingest).
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_csv_" + fp).getAbsolutePath
+      if (!new java.io.File(base, "_SUCCESS").isFile)
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+          .write.mode("overwrite").option("header", "true").csv(base)
+      ord(s.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE"))
+        .option("header", "true").option("mode", "FAILFAST")
+        .csv(base)
+        .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          count_distinct(col("o_custkey")).as("n_custs")))
+    }),
     // ORC interchange round-trip (§2c sources/sinks beyond parquet):
     // orders staged once per session as ORC (Spark's second bundled
     // columnar format — same pushdown/pruning machinery), read back
@@ -837,6 +863,14 @@ object Relational {
       """SELECT c_custkey, n_name, r_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey ORDER BY ALL NULLS FIRST""".stripMargin,
+    // recomputed from the original parquet: the CSV writer/reader pair
+    // (doubles, dates, bigints through text) must round-trip exactly
+    "q_csv_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM orders GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // recomputed from the original parquet: the ORC writer/reader pair
     // must be value- and type-faithful or this diverges
     "q_orc_roundtrip" ->
