@@ -45,6 +45,7 @@ object Bench {
     "q_partitioned_write",
     "q_orc_roundtrip",
     "q_csv_roundtrip",
+    "q_compact_store",
     "q_join_inner",
     "q_join_broadcast",
     "q_join_bucketed",

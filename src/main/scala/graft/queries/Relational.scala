@@ -162,6 +162,40 @@ object Relational {
         .filter(col("o_totalprice") > 400000)
         .select("l_orderkey", "l_linenumber", "o_orderdate", "l_quantity", "o_totalprice"))
     }),
+    // SMALL-FILES COMPACTION of the record store (§2c sinks / archive
+    // maintenance): long-lived archives accumulate one file per
+    // micro-batch/upsert until read cost is file-open overhead, not
+    // bytes. Staged once per session: the documents corpus ingested as
+    // content-addressed Records deliberately shattered into 64 shards,
+    // then `Sources.compactRecords` (crash-safe swapInPlace rewrite)
+    // compacts to ONE file. The output counts distinct
+    // input_file_name()s, so the artifact of compaction itself — the
+    // file count — is part of the oracle-checked value, alongside the
+    // record count and length stats the oracle recomputes from the
+    // original table (distinct non-empty texts, matching ingest dedup).
+    "q_compact_store" -> ((s, dir) => {
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_compact_" + fp).getAbsolutePath
+      val done = new java.io.File(base + ".done")
+      if (!done.isFile) {
+        graft.sources.Sources.writeRecords(
+          graft.sources.Sources.fromTextColumn(
+            t(s, dir, "documents"), "text").repartition(64), base)
+        graft.sources.Sources.compactRecords(s, base, targetBytes = 1L << 40)
+        done.createNewFile()
+      }
+      ord(graft.sources.Sources.readRecords(s, base).toDF()
+        // input_file_name is non-deterministic to the analyzer: project
+        // it to a column before it enters the aggregate
+        .select(col("rawText"), input_file_name().as("f"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(length(col("rawText"))).as("sum_chars"),
+          min(length(col("rawText"))).cast("int").as("min_len"),
+          max(length(col("rawText"))).cast("int").as("max_len"),
+          count_distinct(col("f")).as("n_files")))
+    }),
     // CSV interchange round-trip (the flat-data exchange format): the
     // same staging pattern, read back SCHEMA-FIRST (explicit DDL +
     // FAILFAST — header inference at 100 TB means a full extra pass and
@@ -863,6 +897,16 @@ object Relational {
       """SELECT c_custkey, n_name, r_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey ORDER BY ALL NULLS FIRST""".stripMargin,
+    // recomputed from the original table (distinct non-empty texts =
+    // the ingest dedup); n_files = 1 IS the compaction postcondition
+    "q_compact_store" ->
+      """WITH c AS (SELECT DISTINCT text FROM documents WHERE length(text) > 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(length(text)) AS INT) AS min_len,
+        |  CAST(MAX(length(text)) AS INT) AS max_len,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM c""".stripMargin,
     // recomputed from the original parquet: the CSV writer/reader pair
     // (doubles, dates, bigints through text) must round-trip exactly
     "q_csv_roundtrip" ->
