@@ -29,6 +29,29 @@ object Tables {
     case _                => raw
   }
 
+  /** Session-cached staging directory for queries that materialize a
+    * side copy of a test table (CSV/ORC/partitioned/bucketed/compacted
+    * stagings): `/tmp/<prefix>_<fp>` where the fingerprint hashes the
+    * source path AND a content checksum (row count + xxhash64-of-rows
+    * sum, one cheap aggregate per invocation). A path-only key let a
+    * regenerated fixture at the same path silently reuse stale staged
+    * data while the oracle recomputed from the new file — spurious
+    * divergence misdiagnosed as an engine bug (the q_jsonl_ingest
+    * staging always guarded against this; the later stagings now share
+    * the guard). */
+  def stagingDir(s: SparkSession, dir: String, table: String, prefix: String): String = {
+    val df = t(s, dir, table)
+    val r = df.agg(
+      count(lit(1)),
+      // bit_xor, not sum: order-free like sum, but cannot overflow
+      // under ANSI arithmetic
+      coalesce(bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))), lit(0L))).head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$table|${r.getLong(0)}|${r.getLong(1)}".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(12)
+    new java.io.File(sys.props("java.io.tmpdir"), s"${prefix}_$md").getAbsolutePath
+  }
+
   /** Bench mode (`-Dgraft.bench.noSort=true`): measurement-oriented query
     * construction — no presentation sort, natural double aggregation, and
     * production (xxhash64) hash families where the oracle gate substitutes

@@ -263,10 +263,14 @@ object Similarity {
     val pairs = cosinePairs(assigned, threshold,
       bucket = Some(col("cid")), maxBucket = maxBucket)
     val comps = TextDedup.duplicateClustersAuto(pairs, "vec_a", "vec_b")
-    val ccos = assigned.join(broadcast(cents), Seq("cid"))
+    // centroid self-norms are a function of the k-row frame: compute
+    // them once there, not per corpus row (same doubles, one fewer
+    // 64-dim dot per row in the ranking scan)
+    val centsN = cents.withColumn("cnorm", sqrt(vec_dot(col("cen"), col("cen"))))
+    val ccos = assigned.join(broadcast(centsN), Seq("cid"))
       .select(col("vec_id"), round(
         vec_dot(col("v"), col("cen")) /
-          (sqrt(vec_dot(col("v"), col("v"))) * sqrt(vec_dot(col("cen"), col("cen")))),
+          (sqrt(vec_dot(col("v"), col("v"))) * col("cnorm")),
         4).as("ccos"))
     // the persist-lifecycle contract of the clustering family: the
     // (small) group summary materializes eagerly, every internal block

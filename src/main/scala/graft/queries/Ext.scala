@@ -121,6 +121,26 @@ object Ext {
       graft.functions.QualityGate.quality_gate(col("text"), stop, 2).as("reason"))
   }
 
+  /** The chunking lineage shared by `q_chunk_docs` and `q_dedup_chunks`
+    * (one definition of width/stride/slice so the two can never
+    * desynchronize): 64-word windows at stride 48 over the whitespace
+    * word list — (doc_id, chunk_idx, cw). Pure map-side. */
+  private def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+    t(s, dir, "documents")
+      .select(col("doc_id"), words.as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(48))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("w"), col("start") + 1, lit(64)).as("cw"))
+  }
+
+  /** 60-bit md5 content key of a chunk's word array. */
+  private def chunkKey(cw: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws(" ", cw)), 1, 15), 16, 10).cast("bigint")
+
   /** Exact-dup canonicalization: one representative (min doc_id) per
     * distinct text. Near-dup operators run over representatives — with d
     * exact copies of a document, pairwise candidate generation would
@@ -962,7 +982,7 @@ object Ext {
     // the 16-byte hash shuffles for the distinct, never the text.
     "q_datasheet" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("source"), col("lang"),
-        col("n_chars"), col("doc_id"),
+        col("n_chars"),
         graft.functions.QualityGate.quality_gate(col("text"),
           Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"), 2)
           .as("reason"),
@@ -988,19 +1008,9 @@ object Ext {
     // identity is (doc_id, chunk_idx) and the 60-bit md5 chunk_key
     // supports downstream chunk-level dedup/lookup.
     "q_chunk_docs" -> ((s, dir) => {
-      val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), words.as("w"))
-        .withColumn("n", size(col("w")))
-        .filter(col("n") > 0)
-      ord(d
-        .select(col("doc_id"), col("w"),
-          posexplode(sequence(lit(0), col("n") - 1, lit(48))).as(Seq("chunk_idx", "start")))
-        .select(col("doc_id"), col("chunk_idx"),
-          slice(col("w"), col("start") + 1, lit(64)).as("cw"))
+      ord(docChunks(s, dir)
         .select(col("doc_id"), col("chunk_idx"), size(col("cw")).as("n_words"),
-          conv(substring(md5(concat_ws(" ", col("cw"))), 1, 15), 16, 10)
-            .cast("bigint").as("chunk_key")))
+          chunkKey(col("cw")).as("chunk_key")))
     }),
     // CHUNK-LEVEL cross-document dedup: which 64-word chunks recur in
     // more than one document — the chunk-granularity approximation of
@@ -1009,18 +1019,8 @@ object Ext {
     // shuffle is the groupBy on the 8-byte chunk_key (chunk text never
     // shuffles), so cost at 100 TB is the chunk count, not chunk bytes.
     "q_dedup_chunks" -> ((s, dir) => {
-      val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), words.as("w"))
-        .withColumn("n", size(col("w")))
-        .filter(col("n") > 0)
-      val chunks = d
-        .select(col("doc_id"), col("w"),
-          posexplode(sequence(lit(0), col("n") - 1, lit(48))).as(Seq("chunk_idx", "start")))
-        .select(col("doc_id"),
-          conv(substring(md5(concat_ws(" ",
-            slice(col("w"), col("start") + 1, lit(64)))), 1, 15), 16, 10)
-            .cast("bigint").as("chunk_key"))
+      val chunks = docChunks(s, dir)
+        .select(col("doc_id"), chunkKey(col("cw")).as("chunk_key"))
       ord(chunks.groupBy("chunk_key")
         .agg(count(lit(1)).as("n_occurrences"),
           count_distinct(col("doc_id")).as("n_docs"),

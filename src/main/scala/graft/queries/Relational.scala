@@ -27,7 +27,7 @@ import org.apache.spark.sql.expressions.Window
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
-  import graft.Tables.{t, ord, dsum}
+  import graft.Tables.{t, ord, dsum, stagingDir}
 
   val all: Map[String, Q] = Map(
     // ---- scans / projection / filter (D1, D8; pushdown-compatible) ----
@@ -174,10 +174,7 @@ object Relational {
     // record count and length stats the oracle recomputes from the
     // original table (distinct non-empty texts, matching ingest dedup).
     "q_compact_store" -> ((s, dir) => {
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_compact_" + fp).getAbsolutePath
+      val base = stagingDir(s, dir, "documents", "graft_compact")
       val done = new java.io.File(base + ".done")
       if (!done.isFile) {
         graft.sources.Sources.writeRecords(
@@ -204,10 +201,7 @@ object Relational {
     // newlines forces multiLine=true, which makes shards unsplittable;
     // free-text interchange belongs to JSONL (q_jsonl_ingest).
     "q_csv_roundtrip" -> ((s, dir) => {
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_csv_" + fp).getAbsolutePath
+      val base = stagingDir(s, dir, "orders", "graft_csv")
       if (!new java.io.File(base, "_SUCCESS").isFile)
         t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
@@ -229,10 +223,7 @@ object Relational {
     // the oracle recomputes from the ORIGINAL parquet, so any value or
     // type drift through the ORC writer/reader pair diverges.
     "q_orc_roundtrip" -> ((s, dir) => {
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_orc_" + fp).getAbsolutePath
+      val base = stagingDir(s, dir, "orders", "graft_orc")
       if (!new java.io.File(base, "_SUCCESS").isFile)
         t(s, dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
@@ -254,10 +245,7 @@ object Relational {
     // corpus. The oracle recomputes from the ORIGINAL table, so any row
     // lost, duplicated, or mis-partitioned by the write path diverges.
     "q_partitioned_write" -> ((s, dir) => {
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_partitioned_" + fp).getAbsolutePath
+      val base = stagingDir(s, dir, "documents", "graft_partitioned")
       if (!new java.io.File(base, "_SUCCESS").isFile)
         t(s, dir, "documents").select("doc_id", "n_chars", "source", "lang")
           .write.mode("overwrite").partitionBy("lang").parquet(base)
@@ -277,12 +265,10 @@ object Relational {
     // tables, so any row lost or duplicated by the bucketed write path
     // diverges.
     "q_join_bucketed" -> ((s, dir) => {
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      val base = stagingDir(s, dir, "lineitem", "graft_bucketed")
+      val fp = base.substring(base.lastIndexOf('_') + 1)
       val liT = s"li_bkt_$fp"; val oT = s"o_bkt_$fp"
       if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(oT)) {
-        val base = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_bucketed_" + fp).getAbsolutePath
         graft.sources.Bucketing.writeBucketed(
           t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
           liT, s"$base/li", 8, Seq("l_orderkey"))

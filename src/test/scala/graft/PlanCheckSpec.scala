@@ -103,10 +103,13 @@ class PlanCheckSpec extends SparkSpec {
     //    q_pack_sequences; asserted in ScalableWindowsSpec);
     //  - q_tfidf: the broadcast corpus-size scalar (count(*) over
     //    documents) finalizes on one task, but only per-partition partial
-    //    counts cross the exchange — the q_sql_scalar_subquery shape.
+    //    counts cross the exchange — the q_sql_scalar_subquery shape;
+    //  - q_compact_store: a single-row GLOBAL aggregate over the
+    //    compacted store — only per-partition partials (counts, sums,
+    //    min/max, distinct file names) cross the exchange, never rows.
     val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery",
       "q_window_rank_global", "q_window_pct_global", "q_pack_sequences",
-      "q_pack_bpe", "q_tfidf")
+      "q_pack_bpe", "q_tfidf", "q_compact_store")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
