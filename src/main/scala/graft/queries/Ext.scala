@@ -380,6 +380,25 @@ object Ext {
         maxDf = if (graft.Tables.benchMode) 64 else 0)
       ord(graft.operators.TextDedup.duplicateClustersAuto(pairs))
     }),
+    // NORMALIZED exact dedup (the CCNet pre-pass): lowercase, strip
+    // non-alphanumerics, collapse whitespace — then group on the md5 of
+    // the NORMALIZED text. Catches the near-exact families raw exact
+    // dedup misses (case/punctuation/spacing variants) at exact-dedup
+    // cost: one codegen'd normalize scan + one 16-byte-key groupBy;
+    // normalized text itself never shuffles (only its hash and length).
+    "q_dedup_normalized" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "), "\\s+", " "))
+      ord(t(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("nkey"), length(norm).as("n_chars"))
+        .groupBy("nkey")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"),
+          min(col("n_chars")).cast("int").as("n_chars")))
+      // no n_docs > 1 filter: this corpus has no case/punct variants, so
+      // the dup slice would be empty and the check vacuous — emitting
+      // every group value-checks the normalization chain (and its md5)
+      // on EVERY document cross-engine
+    }),
     // QUALITY-AWARE keeper choice: the same near-dup components, but
     // keep the LONGEST member per cluster (ties by min doc_id) instead
     // of the arbitrary min-id representative — the rule real curation
@@ -2271,6 +2290,17 @@ object Ext {
         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
         |SELECT src AS member, min(lbl) AS cluster_rep
         |FROM reach GROUP BY src
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // same normalization chain (DuckDB regexp_replace needs the 'g'
+    // flag; Spark's is global by default)
+    "q_dedup_normalized" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |         '\s+', ' ', 'g')) AS ntext
+        |  FROM documents)
+        |SELECT md5(ntext) AS nkey, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS rep_doc, CAST(MIN(length(ntext)) AS INT) AS n_chars
+        |FROM n GROUP BY 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the q_dedup_clusters pair+components chain, plus the
     // keep-the-longest keeper rank (n_chars DESC, ties by min doc_id)
