@@ -731,4 +731,34 @@ class StreamingSpec extends SparkSpec {
         "the archive must survive a mid-swap crash (recovered from _bak)")
     } finally q.stop()
   }
+
+  test("at-ingest chunk-level dedup: streamingSegmentDedup over chunk rows drops cross-batch repeats") {
+    // chunk rows (doc_id, chunk_idx, chunk_text) are exactly the segment
+    // shape, so the q_dedup_chunks contract runs at ingest on the same
+    // keyed-state operator: state per distinct chunk is one boolean on
+    // the 16-byte hash, chunk text never enters the store
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def words(a: Int, b: Int) = (a until b).map(i => s"w$i")
+    def chunks(ws: Seq[String]) =
+      (0 until ws.length by 48).map(st => ws.slice(st, st + 64).mkString(" "))
+    val d1 = chunks(words(0, 100))
+    val rows1 = d1.zipWithIndex.map { case (c, i) => (1L, i, c) }
+    val rows2 = d1.zipWithIndex.map { case (c, i) => (2L, i, c) } // repeat, later batch
+    val rows3 = chunks(words(200, 300)).zipWithIndex.map { case (c, i) => (3L, i, c) }
+    val ms = MemoryStream[(Long, Int, String)]
+    val q = graft.streaming.Streams.streamingSegmentDedup(ms.toDS())
+      .toDF("doc_id", "idx", "chunk", "kept")
+      .writeStream.format("memory").queryName("chunkdedup").outputMode("append").start()
+    try {
+      ms.addData(rows1: _*); q.processAllAvailable()
+      ms.addData(rows2 ++ rows3: _*); q.processAllAvailable()
+      val kept = spark.table("chunkdedup").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(3)).toMap
+      assert(rows1.forall(r => kept((1L, r._2))), "first occurrences must keep")
+      assert(rows2.forall(r => !kept((2L, r._2))),
+        "chunks first seen in an earlier batch must drop")
+      assert(rows3.forall(r => kept((3L, r._2))), "fresh chunks must keep")
+    } finally q.stop()
+  }
 }
