@@ -102,6 +102,7 @@ object Bench {
     "q_rep_signals",
     "q_mix_sources",
     "q_mix_lang_capped",
+    "q_mix_cluster_capped",
     "q_pack_sequences",
     "q_pack_bpe",
     "q_chunk_docs",

@@ -994,6 +994,34 @@ object Ext {
       ord(mixed.groupBy("source")
         .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_rows")))
     }),
+    // CLUSTER-BALANCED capped sampling: q_mix_lang_capped's rule keyed
+    // on LEARNED k-means cells instead of a metadata column — the
+    // topic-balance step (SemDeDup/DoReMi-style cluster reweighting)
+    // run on the same trained clustering as q_cluster_assign. Each
+    // cell keeps at most 50 vectors by lowest deterministic 28-bit md5
+    // draw on vec_id (ties vec_id); per-cell audit reports candidates,
+    // kept, and a kept-id checksum so the draw itself is value-checked.
+    // Same scale shape as the IVF family: centroids broadcast, corpus
+    // scanned once, WindowGroupLimit prunes the selection exchange.
+    "q_mix_cluster_capped" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+        .localCheckpoint(true)   // see q_knn_ivf_trained
+      val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
+      val draw = conv(substring(md5(col("vec_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+      val d = assigned.select(col("cid"), col("vec_id"), draw.as("draw"))
+      val kept = d.withColumn("rn", row_number().over(
+          Window.partitionBy("cid").orderBy(col("draw"), col("vec_id"))))
+        .filter(col("rn") <= 50)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_id_sum"))
+      val counts = d.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      ord(counts.join(kept, Seq("cid"))
+        .select(col("cid"), col("n_members"), col("n_kept"), col("kept_id_sum")))
+    }),
     // CORPUS DATASHEET: the per-source report a curation pass reads
     // first — volume, length, language spread, quality pass-rate, and
     // within-source exact-dup count — in ONE quality_gate scan + ONE
@@ -1887,6 +1915,27 @@ object Ext {
         |SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_words,
         |  CAST('0x' || substr(md5(array_to_string(cw, ' ')), 1, 15) AS BIGINT) AS chunk_key
         |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_ivf_train Lloyd chain + the per-cell capped md5-draw rank
+    "q_mix_cluster_capped" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |d AS (SELECT cid, vec_id,
+         |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS draw
+         |  FROM fin),
+         |k AS (SELECT cid, vec_id FROM (
+         |    SELECT cid, vec_id,
+         |      row_number() OVER (PARTITION BY cid ORDER BY draw, vec_id) AS rn FROM d)
+         |  WHERE rn <= 50),
+         |kk AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum FROM k GROUP BY 1),
+         |c AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM d GROUP BY 1)
+         |SELECT cid, n_members, n_kept, kept_id_sum FROM c JOIN kk USING (cid)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the per-source corpus report: quality CASE + md5-distinct dup count
     "q_datasheet" ->
       """WITH m AS (SELECT doc_id, source, lang, n_chars, md5(text) AS h,

@@ -377,4 +377,30 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(worst == Set((1L, 10L), (2L, 20L)), s"got $worst")
   }
+
+  test("keepers property: one row per cluster, keeper is in-cluster argmax with min-id ties") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // random component labelings (member -> cluster) + random scores
+    val genCase = for {
+      n <- Gen.choose(1, 30)
+      clusters <- Gen.listOfN(n, Gen.choose(0L, 5L))
+      scores <- Gen.listOfN(n, Gen.choose(0L, 4L)) // narrow range forces ties
+    } yield (clusters.zipWithIndex.map { case (c, i) => (i.toLong, c) }, scores)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(genCase) { case (comps, scoreVals) =>
+        val scoreOf = comps.map(_._1).zip(scoreVals).toMap
+        val got = TextDedup.keepers(
+            comps.toDF("member", "cluster_rep"),
+            scoreOf.toSeq.toDF("doc_id", "s"), "doc_id", "s")
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        val expected = comps.groupBy(_._2).map { case (c, ms) =>
+          val members = ms.map(_._1)
+          val best = members.map(m => (-scoreOf(m), m)).min._2
+          c -> ((best, scoreOf(best), members.size.toLong))
+        }
+        got == expected
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
