@@ -824,6 +824,163 @@ object Relational {
           coalesce(delta("k"), base("k")).as("k"),
           coalesce(delta("price"), base("price")).as("price")))
     }),
+
+    // ---- statistical aggregates / recursive CTE / scalar surface ----
+
+    // sample statistics (variance/stddev/covariance/correlation) from
+    // exact decimal power sums: the sums are order-independent and
+    // engine-exact, the closing formulas are identical IEEE double
+    // expressions on both sides, rounded last. The native streaming
+    // stddev/corr aggregates accumulate doubles in partition order (not
+    // reproducible cross-engine); the power-sum form is also the
+    // distributable one — ONE partial+final aggregate, no second pass,
+    // and at 100 TB the five sums ride the same shuffle as any count.
+    "q_stats_agg" -> ((s, dir) => {
+      def d(c: Column) = sum(c.cast("decimal(38,6)")).cast("double")
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      ord(t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("nd"),
+          d(x).as("sx"), d(x * x).as("sxx"),
+          d(y).as("sy"), d(y * y).as("syy"), d(x * y).as("sxy"))
+        .select(col("l_returnflag"),
+          col("nd").cast("bigint").as("n"),
+          round((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1), 6)
+            .as("var_qty"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1)), 6)
+            .as("stddev_qty"),
+          round((col("sxy") - col("sx") * col("sy") / col("nd")) / (col("nd") - 1), 6)
+            .as("covar_qp"),
+          round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("nd") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp")))
+    }),
+
+    // recursive CTE (Spark 4 WITH RECURSIVE): generate the 24-hour spine
+    // recursively and left-join per-hour event aggregates. The recursion
+    // runs on a 1-row frame for 24 bounded steps; the fact table is
+    // scanned exactly once — the dimension-generation pattern that also
+    // covers date spines and hierarchy walks.
+    "q_sql_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_rc")
+      ord(s.sql(
+        """WITH RECURSIVE spine(h) AS (
+          |  SELECT 0 UNION ALL SELECT h + 1 FROM spine WHERE h < 23
+          |)
+          |SELECT s.h, COALESCE(e.n, CAST(0 AS BIGINT)) AS n_events,
+          |       COALESCE(e.sum_value, CAST(0 AS DOUBLE)) AS sum_value
+          |FROM spine s LEFT JOIN (
+          |  SELECT CAST(hour(ts) AS INT) AS h, COUNT(*) AS n,
+          |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |  FROM events_rc GROUP BY hour(ts)) e ON s.h = e.h""".stripMargin))
+    }),
+
+    // grouping flags on a rollup: the aggregation level of each output
+    // row made explicit — what report consumers key on to separate
+    // subtotal rows from data rows.
+    "q_grouping_id" -> ((s, dir) => {
+      ord(t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n")))
+    }),
+
+    // positional window values over the full frame: first/last/nth with
+    // an explicit ROWS UNBOUNDED...UNBOUNDED frame (the default frame
+    // would stop at CURRENT ROW and make last/nth non-deterministic).
+    // The synthetic lineitem has duplicate (orderkey, linenumber) pairs,
+    // so the order adds every value-bearing output column as tiebreaker —
+    // rows equal under the full order are interchangeable in the outputs.
+    "q_window_nth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ord(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          first(col("l_partkey")).over(w).as("first_part"),
+          last(col("l_partkey")).over(w).as("last_part"),
+          nth_value(col("l_quantity"), 2).over(w).as("second_qty")))
+    }),
+
+    // bitwise surface: AND/OR/XOR aggregates plus scalar xor/shifts —
+    // integer arithmetic, exact in both engines.
+    "q_bitwise" -> ((s, dir) => {
+      ord(t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("bit_and(user_id)").as("band"),
+          expr("bit_or(user_id)").as("bor"),
+          expr("bit_xor(user_id)").as("bxor"),
+          sum(expr("user_id ^ event_id")).as("sum_xor"),
+          sum(expr("shiftleft(user_id, 3)")).as("sum_shl"),
+          sum(expr("shiftright(event_id, 2)")).as("sum_shr")))
+    }),
+
+    // calendar functions beyond q_date_funcs: quarter / ISO week / ISO
+    // day-of-week / day-of-year / month-end / month arithmetic (with
+    // end-of-month clamping, identical in both engines).
+    "q_date_funcs2" -> ((s, dir) => {
+      ord(t(s, dir, "orders").select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        (expr("weekday(o_orderdate)") + 1).as("iso_dow"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate"), 2).as("plus2m")))
+    }),
+
+    // string surface beyond q_str_funcs: pad/repeat/reverse/translate/
+    // split_part/instr/prefix/suffix predicates.
+    "q_str_funcs2" -> ((s, dir) => {
+      ord(t(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, "*").as("brand_rpad"),
+        repeat(substring(col("p_type"), 1, 2), 3).as("type_rep"),
+        reverse(col("p_type")).as("type_rev"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+        expr("split_part(p_type, ' ', 2)").as("type_mid"),
+        instr(col("p_name"), "a").cast("int").as("first_a"),
+        col("p_name").startsWith("a").as("starts_a"),
+        col("p_type").endsWith("D").as("ends_d")))
+    }),
+
+    // array surface beyond q_array_funcs: slice / flatten / distinct /
+    // position / remove over the tokenized text (all map-side; sorting
+    // normalizes any engine-specific distinct order).
+    "q_array_funcs2" -> ((s, dir) => {
+      val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+      ord(t(s, dir, "documents").select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        array_join(slice(words, 1, 5), " ").as("head5"),
+        array_join(sort_array(array_distinct(slice(words, 1, 10))), ",").as("d10"),
+        array_position(words, "the").as("pos_the"),
+        array_join(flatten(array(slice(words, 1, 2), slice(words, 3, 2))), " ").as("flat4"),
+        array_join(array_remove(slice(words, 1, 8), "the"), " ").as("no_the8")))
+    }),
+
+    // exact interpolated median (both engines: quantile_cont semantics)
+    // plus a DETERMINISTIC mode: the native mode() aggregate ties
+    // arbitrarily, so the portable form ranks (count DESC, value ASC)
+    // explicitly — which is also the distributable shape (one groupBy +
+    // one per-group WindowGroupLimit-prunable rank, no serial state).
+    "q_agg_median_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("c").desc, col("l_quantity").asc)
+      val mode = cnts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+      val med = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(median(col("l_quantity")), 6).as("median_qty"))
+      ord(med.join(mode, Seq("l_returnflag")))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1267,5 +1424,103 @@ object Relational {
         |delta AS (SELECT o_orderkey AS k, o_totalprice + 1000 AS price FROM orders WHERE o_orderkey % 2 = 0)
         |SELECT coalesce(delta.k, base.k) AS k, coalesce(delta.price, base.price) AS price
         |FROM base FULL JOIN delta ON base.k = delta.k ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_stats_agg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(nd AS BIGINT) AS n,
+        |  ROUND((sxx - sx*sx/nd)/(nd-1), 6) AS var_qty,
+        |  ROUND(SQRT((sxx - sx*sx/nd)/(nd-1)), 6) AS stddev_qty,
+        |  ROUND((sxy - sx*sy/nd)/(nd-1), 6) AS covar_qp,
+        |  ROUND((nd*sxy - sx*sy)/(SQRT(nd*sxx - sx*sx)*SQRT(nd*syy - sy*sy)), 6) AS corr_qp
+        |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sql_recursive_cte" ->
+      """WITH RECURSIVE spine(h) AS (
+        |  SELECT 0 UNION ALL SELECT h + 1 FROM spine WHERE h < 23
+        |)
+        |SELECT s.h, COALESCE(e.n, CAST(0 AS BIGINT)) AS n_events,
+        |       COALESCE(e.sum_value, CAST(0 AS DOUBLE)) AS sum_value
+        |FROM spine s LEFT JOIN (
+        |  SELECT CAST(hour(ts) AS INT) AS h, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY hour(ts)) e ON s.h = e.h
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_nth" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  first_value(l_partkey) OVER w AS first_part,
+        |  last_value(l_partkey) OVER w AS last_part,
+        |  nth_value(l_quantity, 2) OVER w AS second_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_bitwise" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS band, bit_or(user_id) AS bor, bit_xor(user_id) AS bxor,
+        |  CAST(SUM(xor(user_id, event_id)) AS BIGINT) AS sum_xor,
+        |  CAST(SUM(user_id << 3) AS BIGINT) AS sum_shl,
+        |  CAST(SUM(event_id >> 2) AS BIGINT) AS sum_shr
+        |FROM events GROUP BY event_type ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_str_funcs2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_lpad,
+        |  rpad(p_brand, 12, '*') AS brand_rpad,
+        |  repeat(substring(p_type, 1, 2), 3) AS type_rep,
+        |  reverse(p_type) AS type_rev,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+        |  split_part(p_type, ' ', 2) AS type_mid,
+        |  CAST(instr(p_name, 'a') AS INT) AS first_a,
+        |  starts_with(p_name, 'a') AS starts_a,
+        |  ends_with(p_type, 'D') AS ends_d
+        |FROM part ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_array_funcs2" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(words) AS INT) AS n_words,
+        |  array_to_string(words[1:5], ' ') AS head5,
+        |  array_to_string(list_sort(list_distinct(words[1:10])), ',') AS d10,
+        |  CAST(COALESCE(list_position(words, 'the'), 0) AS BIGINT) AS pos_the,
+        |  array_to_string(flatten([words[1:2], words[3:4]]), ' ') AS flat4,
+        |  array_to_string(list_filter(words[1:8], x -> x <> 'the'), ' ') AS no_the8
+        |FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_median_mode" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, ROUND(median(l_quantity), 6) AS median_qty
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |m AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty FROM (
+        |    SELECT l_returnflag, l_quantity,
+        |      row_number() OVER (PARTITION BY l_returnflag
+        |                         ORDER BY c DESC, l_quantity ASC) AS rk
+        |    FROM c) WHERE rk = 1)
+        |SELECT med.l_returnflag, med.median_qty, m.mode_qty
+        |FROM med JOIN m USING (l_returnflag) ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }
