@@ -44,6 +44,44 @@ object Similarity {
       .filter(col("rk") > skip && col("rk") <= skip + k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
 
+  /** Scalar-quantized (SQ8) nearest-neighbor top-k: every vector
+    * quantized to per-dimension uint8 codes against corpus min/max (the
+    * same floor scaling as the storage-quantization operator), queries
+    * quantized identically, candidates ranked by the EXACT integer
+    * code-space squared-L2 distance Σ(qx_d − qy_d)². This is the
+    * memory-bandwidth tier of the ANN ladder — an 8× smaller scan than
+    * float64 with zero training (PQ's per-query LUTs replace it when
+    * recall at lower byte budgets matters). Code-space L2 equals true L2
+    * up to the per-dimension scale factors (exactly proportional when
+    * all dims share their range — the normalized-embedding case); the
+    * integer distances (≤ dims·255² per pair) are double-exact, so
+    * cross-engine replay is bit-for-bit. Codes build with one explode +
+    * one dims-row broadcast back + one groupBy; the search is the usual
+    * broadcast-queries/one-corpus-scan plan (codegen'd vec_sqdiff inner
+    * loop). At 100 TB the codes are materialized once at write time and
+    * only the 1-byte-per-dim arrays are scanned. */
+  def knnSq8(vectors: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val dims = vectors.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+    val stats = dims.groupBy("d").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val qc = when(col("mx") > col("mn"),
+      floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255).cast("double"))
+      .otherwise(0.0)
+    val codes = dims.join(broadcast(stats), Seq("d"))
+      .select(col("vec_id"), col("d"), qc.as("q"))
+      .groupBy("vec_id")
+      // once-per-vector assembly of the ordered code array (not the
+      // per-pair hot path — that's the codegen'd vec_sqdiff below)
+      .agg(expr("transform(array_sort(collect_list(struct(d, q))), p -> p.q)").as("cv"))
+    val queries = broadcast(codes.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("cv").as("qv")))
+    val scored = codes.join(queries, col("vec_id") =!= col("q_id"))
+      .withColumn("d2",
+        graft.functions.VecSqDiff.vec_sqdiff(col("qv"), col("cv")).cast("bigint"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("d2"), col("rk"))
+  }
+
   private def rankedNeighbors(
       vectors: DataFrame, queryPred: Column, bucket: Option[Column]): DataFrame = {
     val b = vectors.withColumn("bucket", bucket.getOrElse(lit(0L)))

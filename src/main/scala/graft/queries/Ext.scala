@@ -1346,6 +1346,110 @@ object Ext {
       ord(feats.select(col("doc_id"), col("n_bytes"),
         array_join(col("byte_hist"), ",").as("hist")))
     }),
+
+    // ---- round-11 curation additions ---------------------------------
+
+    // CCNet-style perplexity BUCKETS: the head/middle/tail tercile
+    // assignment the CCNet pipeline keys its keep/discard policy on —
+    // here over the bigram-LM corpus-fit score (q_lm_score's signal;
+    // higher mean corpus-tf = more in-distribution = head). The global
+    // tercile runs through ScalableWindows.withGlobalNtile (quantile
+    // buckets + broadcast offsets — no serial exchange at corpus scale);
+    // ordering ties broken by doc_id so the cut is total. Audited
+    // per-bucket with an id checksum so the assignment itself is
+    // value-checked, not just the counts.
+    "q_lm_buckets" -> ((s, dir) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = t(s, dir, "documents")
+        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
+        .filter(col("w") =!= "")
+      val bi = toks.withColumn("w2", lead(col("w"), 1).over(byPos))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(" ", col("w"), col("w2"))), 1, 15), 16, 10)
+            .cast("bigint").as("s"))
+      val tf = bi.groupBy("s").agg(count(lit(1)).as("tf"))
+      val scored = bi.join(tf, Seq("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("tf")).as("sum_tf"))
+        .select(col("doc_id"),
+          round(col("sum_tf").cast("double") / col("n_bigrams"), 6).as("mean_tf"))
+      val bucketed = graft.operators.ScalableWindows.withGlobalNtile(
+        scored, 3, Seq(col("mean_tf") * -1, col("doc_id")), "b", partitions = 8)
+      ord(bucketed
+        .groupBy(when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("mean_tf")), 6).as("min_score"),
+          round(max(col("mean_tf")), 6).as("max_score"),
+          sum(col("doc_id")).as("id_checksum")))
+    }),
+
+    // blocklist / bad-words filter (the C4 gate): a document is dropped
+    // when any token matches the blocklist. The list is a literal (at
+    // 100 TB it broadcasts for free); the check is one map-side
+    // arrays_overlap over the tokenized text — no shuffle before the
+    // audit groupBy. Reported per (source, blocked) with an id checksum
+    // so membership of each class is value-checked.
+    "q_blocklist_filter" -> ((s, dir) => {
+      val bad = array(lit("slow"), lit("broken"), lit("spam"))
+      val hit = arrays_overlap(split(lower(col("text")), "\\s+"), bad)
+      ord(t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), hit.as("blocked"))
+        .groupBy("source", "blocked")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum")))
+    }),
+
+    // deterministic TRAINING-ORDER shuffle: the reproducible global
+    // pseudo-random order a corpus release ships with (content-
+    // independent 28-bit md5 draw on doc_id, ties by doc_id — re-runs
+    // and re-partitions can never reorder). The global position comes
+    // from ScalableWindows.withGlobalRowNumber: quantile-bucket local
+    // row_numbers + broadcast offsets, no single-partition exchange —
+    // at 100 TB this is a sort by an 8-byte key, nothing more.
+    "q_shuffle_train_order" -> ((s, dir) => {
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+      val d = t(s, dir, "documents").select(col("doc_id"), draw.as("draw"))
+      ord(graft.operators.ScalableWindows
+        .withGlobalRowNumber(d, Seq(col("draw"), col("doc_id")), "train_pos",
+          partitions = 8)
+        .select(col("doc_id"), col("train_pos")))
+    }),
+
+    // token-budget EPOCH allocation: given a total training-token budget,
+    // split it across sources by the sqrt-damped UniMax-style rule
+    // (w_s = sqrt(tokens_s) — upweights small sources without letting a
+    // giant source swallow the budget) and report the implied epochs per
+    // source. Exact integer token counts; sqrt/divide are IEEE-identical
+    // cross-engine; each sqrt routes through a decimal cast before the
+    // order-free sum so the normalizer is engine-exact. One scan + one
+    // groupBy + a 1-row broadcast join.
+    "q_token_budget_epochs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          size(filter(split(col("text"), "\\s+"), w => w =!= lit("")))
+            .cast("bigint").as("n"))
+        .groupBy("source").agg(sum(col("n")).as("tokens"))
+      val sw = toks.agg(
+        sum(sqrt(col("tokens").cast("double")).cast("decimal(38,9)"))
+          .cast("double").as("sw"))
+      val quota = lit(3000000.0) * sqrt(col("tokens").cast("double")) / col("sw")
+      ord(toks.crossJoin(broadcast(sw))
+        .select(col("source"), col("tokens"),
+          round(quota, 3).as("quota_tokens"),
+          round(quota / col("tokens").cast("double"), 6).as("epochs")))
+    }),
+
+    // SQ8 top-k: the scalar-quantization rung of the ANN ladder (between
+    // float brute force and PQ) — 1-byte-per-dim codes, exact integer
+    // code-space L2 distances, zero training. See Similarity.knnSq8.
+    "q_knn_sq8" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      ord(graft.operators.Similarity.knnSq8(e, col("vec_id") < 5, k = 5))
+    }),
   )
 
   /** Shared multimodal input: the documents table's text bytes standing in
@@ -2575,5 +2679,72 @@ object Ext {
         |  CAST((octet_length(encode(text)) * 31) % 480 + 1 AS INT) AS height,
         |  'stub' AS codec
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_lm_buckets" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15) AS BIGINT) AS s
+        |  FROM ws, unnest(range(1, len(w))) AS u(i)),
+        |c AS (SELECT s, COUNT(*) AS tf FROM g GROUP BY s),
+        |sc AS (SELECT doc_id, round(CAST(SUM(tf) AS DOUBLE) / COUNT(*), 6) AS mean_tf
+        |       FROM g JOIN c USING (s) GROUP BY doc_id),
+        |b AS (SELECT doc_id, mean_tf,
+        |        ntile(3) OVER (ORDER BY mean_tf DESC, doc_id) AS b FROM sc)
+        |SELECT CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(min(mean_tf), 6) AS min_score,
+        |  round(max(mean_tf), 6) AS max_score,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM b GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_blocklist_filter" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  list_has_any(string_split_regex(lower(text), '\s+'),
+        |               ['slow', 'broken', 'spam']) AS blocked
+        |  FROM documents)
+        |SELECT source, blocked, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        |FROM d GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_shuffle_train_order" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS draw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY draw, doc_id) AS INT) AS train_pos
+        |FROM d ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_token_budget_epochs" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT CAST(SUM(CAST(SQRT(CAST(tokens AS DOUBLE)) AS DECIMAL(38,9))) AS DOUBLE)
+        |        AS sw FROM tk)
+        |SELECT source, tokens,
+        |  round(3000000.0 * SQRT(CAST(tokens AS DOUBLE)) / sw, 3) AS quota_tokens,
+        |  round(3000000.0 * SQRT(CAST(tokens AS DOUBLE)) / sw / CAST(tokens AS DOUBLE), 6)
+        |    AS epochs
+        |FROM tk, n ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_sq8" ->
+      """WITH dims AS (SELECT vec_id, d, v[d] AS x FROM (
+        |    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  unnest(range(1, len(v) + 1)) AS u(d)),
+        |stats AS (SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d),
+        |codes AS (SELECT vec_id, list(
+        |    CASE WHEN mx > mn THEN CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT) ELSE 0 END
+        |    ORDER BY d) AS cv
+        |  FROM dims JOIN stats USING (d) GROUP BY vec_id),
+        |qs AS (SELECT vec_id AS q_id, cv AS qv FROM codes WHERE vec_id < 5),
+        |pairs AS (SELECT q_id, vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(cv) + 1),
+        |      i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS BIGINT) AS d2
+        |  FROM codes, qs WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id AS neighbor, d2,
+        |        CAST(row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id) AS INT)
+        |          AS rk
+        |      FROM pairs)
+        |SELECT q_id, neighbor, d2, rk FROM r WHERE rk <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -107,9 +107,17 @@ class PlanCheckSpec extends SparkSpec {
     //  - q_compact_store: a single-row GLOBAL aggregate over the
     //    compacted store — only per-partition partials (counts, sums,
     //    min/max, distinct file names) cross the exchange, never rows.
+    //  - q_lm_buckets / q_shuffle_train_order: force the distributed
+    //    ntile / row_number path; the only serial exchanges are the
+    //    offsets windows over <= `partitions` per-bucket summary rows
+    //    (same contract as q_window_rank_global / q_pack_sequences).
+    //  - q_token_budget_epochs: the 1-row sqrt-sum normalizer finalizes
+    //    on one task, but only per-partition partial sums cross the
+    //    exchange — the q_sql_scalar_subquery shape.
     val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery",
       "q_window_rank_global", "q_window_pct_global", "q_pack_sequences",
-      "q_pack_bpe", "q_tfidf", "q_compact_store")
+      "q_pack_bpe", "q_tfidf", "q_compact_store",
+      "q_lm_buckets", "q_shuffle_train_order", "q_token_budget_epochs")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None

@@ -359,4 +359,34 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 2L, 3L), (1L, 3L, 3L)), s"got $out")
     graft.plans.Checkpoints.releaseAll(spark)
   }
+
+  test("knnSq8 ranks by the exact integer code-space L2 of uint8 codes") {
+    import spark.implicits._
+    // 1-D grid: codes are fully determined (mn=0 -> 0, mx=3 -> 255,
+    // 1 -> floor(85)=85, 2 -> floor(170)=170); integer distances exact
+    val vs = Seq(
+      (0L, Seq(0.0)), (1L, Seq(1.0)), (2L, Seq(2.0)), (3L, Seq(3.0)))
+      .toDF("vec_id", "v")
+    val out = Similarity.knnSq8(vs, col("vec_id") === 3, k = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // query code 255: d2 = (255-170)^2=7225, (255-85)^2=28900, 255^2=65025
+    assert(out.toSeq == Seq((2L, 7225L, 1), (1L, 28900L, 2), (0L, 65025L, 3)),
+      s"got ${out.toSeq}")
+  }
+
+  test("knnSq8 neighbor ranking tracks exact float L2 on real embeddings") {
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sq = Similarity.knnSq8(vecs, col("vec_id") < 5, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = sq.count { case (q, n) =>
+      val exact5 = raw.keys.filter(_ != q).toSeq
+        .sortBy(id => (l2(raw(q), raw(id)), id)).take(5).toSet
+      exact5.contains(n)
+    }
+    assert(hits >= 4, s"SQ8 top-1 in exact-L2 top-5 for only $hits/5 queries")
+  }
 }
