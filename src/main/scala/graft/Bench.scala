@@ -42,6 +42,7 @@ object Bench {
     * streaming-shape, annotation, dedup family, similarity). */
   val headline: Seq[String] = Seq(
     "q1_agg",
+    "q_stats_agg",
     "q_partitioned_write",
     "q_orc_roundtrip",
     "q_csv_roundtrip",
@@ -84,7 +85,10 @@ object Bench {
     "q_semdedup",
     "q_dedup_keep_best",
     "q_sample_by_quality",
+    "q_blocklist_filter",
+    "q_lm_buckets",
     "q_knn_bruteforce",
+    "q_knn_sq8",
     "q_knn_ivf_probed",
     "q_knn_ivf_trained",
     "q_knn_ivf_sampled",
@@ -103,11 +107,13 @@ object Bench {
     "q_mix_sources",
     "q_mix_lang_capped",
     "q_mix_cluster_capped",
+    "q_token_budget_epochs",
     "q_pack_sequences",
     "q_pack_bpe",
     "q_chunk_docs",
     "q_dedup_chunks",
     "q_split_train_test",
+    "q_shuffle_train_order",
     "q_quality_by_source",
     "q_datasheet",
     "q_hard_negatives",
