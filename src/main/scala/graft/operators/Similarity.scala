@@ -82,6 +82,42 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("d2"), col("rk"))
   }
 
+  /** Matryoshka (MRL) truncate-then-refine top-k: rank every candidate by
+    * cosine on the first `prefixDims` dimensions only, cut to the per-query
+    * `candidates` best, then re-rank the survivors by FULL-dimension cosine
+    * and keep top-k. Matryoshka-trained embeddings front-load information,
+    * so the prefix pass does `prefixDims/d` of the FLOPs while the refine
+    * restores full-precision ordering on `candidates/|corpus|` of the
+    * pairs — the MRL analogue of the ADC+refine ladder (and exact when
+    * `candidates` covers the corpus, like nprobe=cells for IVF). The full
+    * vector rides the scan next to its prefix, so the refine needs no
+    * second lookup; both passes stay inside the one broadcast-queries/
+    * one-corpus-scan plan with codegen'd `vec_dot` inner loops. */
+  def knnMrl(
+      vectors: DataFrame,
+      queryPred: Column,
+      prefixDims: Int,
+      candidates: Int,
+      k: Int): DataFrame = {
+    val pre = vectors.withColumn("pv", slice(col("v"), 1, prefixDims))
+    val n = pre.withColumn("nrm", vec_norm(col("v")))
+      .withColumn("pnrm", vec_norm(col("pv")))
+    val q = broadcast(n.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("pv").as("qpv"),
+        col("nrm").as("qn"), col("pnrm").as("qpn")))
+    val scored = n.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("pcos",
+        round(vec_dot(col("qpv"), col("pv")) / (col("qpn") * col("pnrm")), 4))
+    val wPre = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("vec_id"))
+    val cand = scored.withColumn("prk", row_number().over(wPre))
+      .filter(col("prk") <= candidates)
+    val full = cand.withColumn("cos",
+      round(vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    full.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cos"), col("rk"))
+  }
+
   private def rankedNeighbors(
       vectors: DataFrame, queryPred: Column, bucket: Option[Column]): DataFrame = {
     val b = vectors.withColumn("bucket", bucket.getOrElse(lit(0L)))

@@ -136,6 +136,34 @@ object TextDedup {
       .select(col("x"), explode(col("ds")).as("y"))
   }
 
+  /** Blocking + verify near-dup (the record-linkage contract): candidate
+    * pairs come from a cheap deterministic BLOCK key — md5 of the first
+    * `blockWords` words, i.e. shared document openings — and are then
+    * VERIFIED by exact Levenshtein edit distance ≤ `maxEdit`. The O(len²)
+    * verifier runs on within-block pairs only, never the corpus cross
+    * product; `maxBucket` caps degenerate blocks (boilerplate openings)
+    * with collection memory bounded at the cap, the same knob as the LSH
+    * families. One corpus scan: the block groupBy collects (id, text)
+    * per bucket and pairs explode in place (each document carries exactly
+    * one block key, so a pair can appear in at most one bucket). */
+  def blockedEditPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockWords: Int = 5,
+      maxEdit: Int = 50,
+      maxBucket: Int = 0): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= lit(""))
+    val keyed = docs.select(
+      md5(array_join(slice(words, 1, blockWords), " ")).as("bkey"),
+      col(idCol).as("doc_id"), col(textCol).as("text"))
+    bucketPairs(keyed, Seq(col("bkey")), struct(col("doc_id"), col("text")), maxBucket)
+      .filter(col("y.doc_id") > col("x.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        levenshtein(col("x.text"), col("y.text")).as("lev"))
+      .filter(col("lev") <= maxEdit)
+  }
+
   /** Exact n-gram Jaccard similar pairs over canonicalized docs:
     * (doc_a, doc_b, n_inter, jaccard) for jaccard >= `threshold`.
     * `maxDf`: drop shingles appearing in more than this many documents

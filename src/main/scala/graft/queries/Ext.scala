@@ -1450,6 +1450,30 @@ object Ext {
         col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.knnSq8(e, col("vec_id") < 5, k = 5))
     }),
+
+    // Matryoshka truncate-then-refine: prefix-dimension cosine cuts the
+    // candidate set at prefixDims/d of the FLOPs, full-dimension cosine
+    // re-ranks the survivors — the MRL analogue of ADC+refine. See
+    // Similarity.knnMrl.
+    "q_knn_mrl" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      ord(graft.operators.Similarity.knnMrl(
+        e, col("vec_id") < 5, prefixDims = 16, candidates = 20, k = 5))
+    }),
+
+    // blocking + VERIFY near-dup (record-linkage contract): cheap
+    // deterministic block key (md5 of the first 5 words — shared
+    // openings) generates candidates, exact Levenshtein ≤ 50 verifies
+    // them. The O(len²) verifier touches within-block pairs only; the
+    // maxBucket cap bounds degenerate blocks. See
+    // TextDedup.blockedEditPairs.
+    "q_dedup_blocked_edit" -> ((s, dir) => {
+      ord(graft.operators.TextDedup.blockedEditPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        blockWords = 5, maxEdit = 50,
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0))
+    }),
   )
 
   /** Shared multimodal input: the documents table's text bytes standing in
@@ -2745,6 +2769,42 @@ object Ext {
         |          AS rk
         |      FROM pairs)
         |SELECT q_id, neighbor, d2, rk FROM r WHERE rk <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_knn_mrl" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, v[1:16] AS pv,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |  sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS pnrm FROM v),
+        |q AS (SELECT vec_id AS q_id, v AS qv, pv AS qpv, nrm AS qn, pnrm AS qpn
+        |      FROM n WHERE vec_id < 5),
+        |pre AS (
+        |  SELECT q_id, vec_id, qv, v, qn, nrm,
+        |    round(list_sum(list_transform(range(1, 17), i -> qpv[i] * pv[i])) / (qpn * pnrm), 4)
+        |      AS pcos
+        |  FROM n JOIN q ON vec_id <> q_id),
+        |cand AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY pcos DESC, vec_id) AS prk
+        |  FROM pre),
+        |fc AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4)
+        |      AS cos
+        |  FROM cand WHERE prk <= 20),
+        |ranked AS (
+        |  SELECT q_id, vec_id AS neighbor, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM fc)
+        |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_blocked_edit" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  md5(array_to_string(
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1:5], ' ')) AS bkey
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS lev
+        |FROM w a JOIN w b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 50
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

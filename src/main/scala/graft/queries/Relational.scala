@@ -962,6 +962,79 @@ object Relational {
         array_join(array_remove(slice(words, 1, 8), "the"), " ").as("no_the8")))
     }),
 
+    // gap-based SESSIONIZATION: the batch form of session analytics —
+    // a new session starts when a user's inter-event gap exceeds 30
+    // minutes. One window pass per user partition (lag → flag → running
+    // sum), then one aggregate per (user, session); time arithmetic in
+    // exact integer microseconds (unix_micros/epoch_us agree across
+    // engines where second-level functions floor vs round). At scale
+    // this is one hash exchange on user_id reused by both the window
+    // and the aggregate.
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gap = col("us") - lag(col("us"), 1).over(byTime)
+      val flagged = ev.withColumn("new_s",
+        when(gap.isNull || gap > 1800000000L, 1L).otherwise(0L))
+      val sess = flagged.withColumn("session_id",
+        sum(col("new_s")).over(byTime
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ord(sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us")))
+    }),
+
+    // ordered FUNNEL per user: first 'view', first 'click' strictly
+    // after it, first 'purchase' strictly after that — the ordered-step
+    // conversion measure (a min-per-stage chain of aggregates on the
+    // same user_id key, so the shuffles reuse one partitioning). Stage
+    // times stay NULL where the funnel broke; per-user rows keep the
+    // output value-checkable without a serial global rollup.
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("t_view"))
+      val s2 = ev.join(s1, "user_id")
+        .filter(col("event_type") === "click" && col("us") > col("t_view"))
+        .groupBy("user_id").agg(min(col("us")).as("t_click"))
+      val s3 = ev.join(s2, "user_id")
+        .filter(col("event_type") === "purchase" && col("us") > col("t_click"))
+        .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
+      ord(s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left"))
+    }),
+
+    // COHORT RETENTION: users grouped by first-activity day, counted on
+    // each later activity day as an offset from their cohort — the
+    // retention triangle. Two groupBys on (user, day) keys; the output
+    // is cohorts × offsets, tiny at any corpus size.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      ord(ev.distinct().join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users")))
+    }),
+
+    // NOT IN with a nullable subquery: exercises the null-aware anti
+    // join (three-valued NOT IN semantics — one NULL in the subquery
+    // empties the result, so the planner cannot use a plain anti join;
+    // the nullif keeps the column nullable without producing one).
+    "q_sql_not_in" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_ni")
+      t(s, dir, "customer").createOrReplaceTempView("customer_ni")
+      ord(s.sql(
+        """SELECT o_orderkey, o_custkey FROM orders_ni
+          |WHERE o_custkey NOT IN
+          |  (SELECT nullif(c_custkey, -1) FROM customer_ni WHERE c_acctbal < 0)""".stripMargin))
+    }),
+
     // exact interpolated median (both engines: quantile_cont semantics)
     // plus a DETERMINISTIC mode: the native mode() aggregate ties
     // arbitrarily, so the portable form ranks (count DESC, value ASC)
@@ -1507,6 +1580,43 @@ object Relational {
         |  array_to_string(flatten([words[1:2], words[3:4]]), ' ') AS flat4,
         |  array_to_string(list_filter(words[1:8], x -> x <> 'the'), ' ') AS no_the8
         |FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS duration_us
+        |FROM s GROUP BY user_id, session_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t_view FROM ev
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT ev.user_id, min(us) AS t_click FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t_view GROUP BY ev.user_id),
+        |s3 AS (SELECT ev.user_id, min(us) AS t_purchase FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t_click GROUP BY ev.user_id)
+        |SELECT s1.user_id, t_view, t_click, t_purchase
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sql_not_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT nullif(c_custkey, -1) FROM customer WHERE c_acctbal < 0)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_median_mode" ->
       """WITH med AS (
         |  SELECT l_returnflag, ROUND(median(l_quantity), 6) AS median_qty

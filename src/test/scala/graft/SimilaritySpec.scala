@@ -389,4 +389,32 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(hits >= 4, s"SQ8 top-1 in exact-L2 top-5 for only $hits/5 queries")
   }
+
+  test("knnMrl with candidates covering the corpus equals brute-force knn") {
+    val n = vecs.count().toInt
+    val mrl = Similarity.knnMrl(vecs, col("vec_id") < 3, prefixDims = 16,
+        candidates = n, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val exact = Similarity.knn(vecs, col("vec_id") < 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(mrl == exact, "uncut refine must reproduce the exact top-k")
+  }
+
+  test("knnMrl refine recall is at least the prefix-only estimate's") {
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val exact = Similarity.knn(vecs, col("vec_id") < 5, k = 5).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val per = got.map { case (q, s) => (s intersect exact(q)).size / 5.0 }
+      per.sum / per.size
+    }
+    val refined = recall(Similarity.knnMrl(vecs, col("vec_id") < 5,
+      prefixDims = 16, candidates = 20, k = 5))
+    // prefix-only = cut to 5 directly on prefix cosine (candidates = k)
+    val prefixOnly = recall(Similarity.knnMrl(vecs, col("vec_id") < 5,
+      prefixDims = 16, candidates = 5, k = 5))
+    assert(refined >= prefixOnly - 1e-9,
+      f"refine must not lose recall: $refined%.3f vs $prefixOnly%.3f")
+  }
 }

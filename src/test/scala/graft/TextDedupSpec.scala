@@ -403,4 +403,25 @@ class TextDedupSpec extends SparkSpec {
       })
     assert(res.passed, res.status.toString)
   }
+
+  test("blockedEditPairs: same-opening docs verified by edit distance, cap drops big blocks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta eps one two three"),
+      (2L, "alpha beta gamma delta eps one two FOUR"),   // same block, lev small
+      (3L, "alpha beta gamma delta eps " + ("x " * 40).trim), // same block, lev large
+      (4L, "different opening words entirely here")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.blockedEditPairs(docs, "doc_id", "text",
+        blockWords = 5, maxEdit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // only (1,2) survives the verifier: (1,3)/(2,3) exceed maxEdit, 4 is
+    // in its own block
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got $pairs")
+    assert(pairs.head._3 == 5, s"lev('three' -> 'FOUR') is 5 edits in context: $pairs")
+    // cap 2: the 3-doc block is dropped whole
+    val capped = TextDedup.blockedEditPairs(docs, "doc_id", "text",
+      blockWords = 5, maxEdit = 100, maxBucket = 2).count()
+    assert(capped == 0, "over-cap block must be dropped whole")
+  }
 }
