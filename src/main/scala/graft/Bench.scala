@@ -59,6 +59,9 @@ object Bench {
     "q_window_sliding",
     "q_session_window",
     "q_stream_dedup",
+    "q_sessionize",
+    "q_funnel",
+    "q_cohort_retention",
     "q_window_lag_lead",
     "q_explode_tokens",
     "q_annotate_tokens",
@@ -76,6 +79,7 @@ object Bench {
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_containment",
+    "q_dedup_blocked_edit",
     "q_contamination",
     "q_decontaminate",
     "q_prep_pipeline",
@@ -89,6 +93,7 @@ object Bench {
     "q_lm_buckets",
     "q_knn_bruteforce",
     "q_knn_sq8",
+    "q_knn_mrl",
     "q_knn_ivf_probed",
     "q_knn_ivf_trained",
     "q_knn_ivf_sampled",
