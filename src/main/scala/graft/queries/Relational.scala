@@ -990,22 +990,33 @@ object Relational {
 
     // ordered FUNNEL per user: first 'view', first 'click' strictly
     // after it, first 'purchase' strictly after that — the ordered-step
-    // conversion measure (a min-per-stage chain of aggregates on the
-    // same user_id key, so the shuffles reuse one partitioning). Stage
+    // conversion measure in ONE scan and ONE exchange. Per user in time
+    // order, a running min of view-times validates each click (earliest
+    // view ≤ this row = the global first view whenever one precedes it),
+    // and a running min of validated click-times validates each
+    // purchase; the final groupBy reuses the same user_id partitioning.
+    // The naive min-per-stage chain of join+aggregate scans the fact
+    // table six times; this is the shape that survives 100 TB. Stage
     // times stay NULL where the funnel broke; per-user rows keep the
-    // output value-checkable without a serial global rollup.
+    // output value-checkable without a serial global rollup (the oracle
+    // recomputes via the independent three-stage formulation).
     "q_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"))
-      val s1 = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("us")).as("t_view"))
-      val s2 = ev.join(s1, "user_id")
-        .filter(col("event_type") === "click" && col("us") > col("t_view"))
-        .groupBy("user_id").agg(min(col("us")).as("t_click"))
-      val s3 = ev.join(s2, "user_id")
-        .filter(col("event_type") === "purchase" && col("us") > col("t_click"))
-        .groupBy("user_id").agg(min(col("us")).as("t_purchase"))
-      ord(s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mv = min(when(col("event_type") === "view", col("us"))).over(w)
+      val staged = ev.withColumn("click_ok",
+        when(col("event_type") === "click" && col("us") > mv, col("us")))
+      val mc = min(col("click_ok")).over(w)
+      val staged2 = staged.withColumn("purchase_ok",
+        when(col("event_type") === "purchase" && col("us") > mc, col("us")))
+      ord(staged2.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"),
+          min(col("click_ok")).as("t_click"),
+          min(col("purchase_ok")).as("t_purchase"))
+        .filter(col("t_view").isNotNull))
     }),
 
     // COHORT RETENTION: users grouped by first-activity day, counted on
