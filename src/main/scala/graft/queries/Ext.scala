@@ -1471,12 +1471,15 @@ object Ext {
     // blocking + VERIFY near-dup (record-linkage contract): cheap
     // deterministic block key (md5 of the first 5 words — shared
     // openings) generates candidates, exact Levenshtein ≤ 50 verifies
-    // them. The O(len²) verifier touches within-block pairs only; the
-    // maxBucket cap bounds degenerate blocks. See
-    // TextDedup.blockedEditPairs.
+    // them. Canonicalize FIRST like every near-dup operator — d exact
+    // copies per doc would put d²/2 Levenshtein calls on 1-2KB
+    // near-identical texts in every block (the 20x probe DNF'd without
+    // this; the verifier is O(len²) PER PAIR, far costlier than a
+    // shingle intersection). The maxBucket cap bounds what remains.
+    // See TextDedup.blockedEditPairs.
     "q_dedup_blocked_edit" -> ((s, dir) => {
       ord(graft.operators.TextDedup.blockedEditPairs(
-        t(s, dir, "documents"), "doc_id", "text",
+        canonicalDocs(s, dir), "doc_id", "text",
         blockWords = 5, maxEdit = 50,
         maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
@@ -2803,10 +2806,11 @@ object Ext {
         |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_blocked_edit" ->
-      """WITH w AS (SELECT doc_id, text,
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (SELECT doc_id, text,
         |  md5(array_to_string(
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1:5], ' ')) AS bkey
-        |  FROM documents)
+        |  FROM canon)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.text, b.text) AS INT) AS lev
         |FROM w a JOIN w b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
