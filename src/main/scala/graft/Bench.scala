@@ -62,6 +62,7 @@ object Bench {
     "q_sessionize",
     "q_funnel",
     "q_cohort_retention",
+    "q_window_time_range",
     "q_window_lag_lead",
     "q_explode_tokens",
     "q_annotate_tokens",
@@ -126,6 +127,7 @@ object Bench {
     "q_bpe_train",
     "q_bpe_tokenize",
     "q_fingerprint",
+    "q_mm_frame_dedup",
     "q_mm_decode")
 
   def main(args: Array[String]): Unit = {

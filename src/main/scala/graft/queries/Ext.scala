@@ -1338,6 +1338,21 @@ object Ext {
       ord(graft.operators.Multimodal.sampleFrames(
         mmPayloads(s, dir), frameLen = 64, stride = 128))
     }),
+    // cross-payload FRAME dedup: which sampled frames recur across
+    // media payloads (the video near-dup primitive — repeated intros,
+    // static cards, bit-identical segments). The q_mm_frames lineage
+    // grouped on the 8-byte rolling-hash fingerprint: frame bytes never
+    // shuffle, so cost is the frame count, not frame bytes — the
+    // chunk-dedup contract applied to media.
+    "q_mm_frame_dedup" -> ((s, dir) => {
+      ord(graft.operators.Multimodal.sampleFrames(
+          mmPayloads(s, dir), frameLen = 64, stride = 128)
+        .groupBy("frame_fp")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_frames") > 1))
+    }),
     // multimodal feature extraction: per-batch featurizer over the opaque
     // payload — the default 8-bin byte histogram stands in for an
     // image/audio feature extractor behind the Featurizer seam
@@ -2253,6 +2268,21 @@ object Ext {
          |SELECT doc_id, CAST(frame_no AS INT) AS frame_no, CAST(off AS INT) AS "offset",
          |  CAST(CASE WHEN fpu >= $M63 THEN fpu - $M64 ELSE fpu END AS BIGINT) AS frame_fp
          |FROM fp ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_mm_frame_dedup" ->
+      s"""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+         |bytes AS (SELECT doc_id, n, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(n)] AS bs FROM d),
+         |f AS (SELECT doc_id, bs, i * 128 AS off
+         |      FROM bytes, unnest(range((n - 64) // 128 + 1)) AS u(i)
+         |      WHERE n >= 64),
+         |fp AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(bs[off + 1 : off + 64], b -> CAST(b AS HUGEINT))),
+         |              (a, b) -> (a * 1000003 + b) % $M64) AS fpu
+         |  FROM f),
+         |sg AS (SELECT doc_id,
+         |  CAST(CASE WHEN fpu >= $M63 THEN fpu - $M64 ELSE fpu END AS BIGINT) AS frame_fp FROM fp)
+         |SELECT frame_fp, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+         |FROM sg GROUP BY frame_fp HAVING COUNT(*) > 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_features" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
         |bins AS (SELECT doc_id, nb,

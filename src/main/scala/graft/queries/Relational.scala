@@ -440,6 +440,20 @@ object Relational {
         """count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
           |RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1000""".stripMargin))
     }),
+    // time-INTERVAL range frame: trailing-hour moving aggregate per user
+    // — the time-series smoothing shape (RANGE frames over timestamps
+    // include ts-peers, so duplicate timestamps cannot make the result
+    // order-dependent).
+    "q_window_time_range" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events_tr")
+      ord(s.sql(
+        """SELECT user_id, event_id,
+          |  count(*) OVER w AS n_last_hour,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+          |FROM events_tr
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin))
+    }),
     "q_topk_pergroup" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1595,6 +1609,14 @@ object Relational {
         |  array_to_string(flatten([words[1:2], words[3:4]]), ' ') AS flat4,
         |  array_to_string(list_filter(words[1:8], x -> x <> 'the'), ' ') AS no_the8
         |FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_time_range" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_last_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |f AS (SELECT user_id, event_id, us,

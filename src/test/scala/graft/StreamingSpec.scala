@@ -283,6 +283,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed at-ingest prep: quality gate then segment dedup in one streaming query") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split => fsplit}
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    // doc 2 fails the gate (too short); doc 3 arrives a batch later and
+    // must dedup its boilerplate line against doc 1's state
+    val docs = Seq(
+      1L -> ("the shared header line for a site\n" +
+        "the first body is a long line of words for the gate to pass on"),
+      2L -> "tiny",
+      3L -> ("the shared header line for a site\n" +
+        "the third doc body is another long line of words for the gate"))
+    val ms = MemoryStream[(Long, String)]
+    // ONE streaming query: stateless gate -> segment explode -> keyed dedup
+    val gated = ms.toDS().toDF("doc_id", "text")
+      .filter(graft.functions.QualityGate.quality_gate(col("text"), stop, 2) === "ok")
+      .select(col("doc_id"), org.apache.spark.sql.functions.posexplode(
+        fsplit(col("text"), "\n")).as(Seq("pos", "seg")))
+      .as[(Long, Int, String)]
+    val q = graft.streaming.Streams.streamingSegmentDedup(gated)
+      .toDF("doc_id", "pos", "seg", "kept")
+      .writeStream.format("memory").queryName("prep_ingest").outputMode("append").start()
+    try {
+      ms.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("prep_ingest").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3)))
+      assert(!streamed.exists(_._1 == 2L), "gated-out doc must never reach dedup state")
+      val rebuilt = streamed.groupBy(_._1).map { case (id, rs) =>
+        id -> rs.filter(_._4).sortBy(_._2).map(_._3).mkString("\n") }
+      val batchGated = docs.toDF("doc_id", "text")
+        .filter(graft.functions.QualityGate.quality_gate(col("text"), stop, 2) === "ok")
+      val batch = graft.operators.TextDedup.dedupSegments(
+          batchGated.withColumn("segs", fsplit(col("text"), "\n")),
+          "doc_id", "segs", sep = "\n")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      assert(rebuilt == batch, s"streamed rebuilds $rebuilt must equal batch $batch")
+      assert(!rebuilt(3L).contains("shared header"),
+        "cross-batch boilerplate must be dropped at ingest")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dups match batch minhashPairs across batch splits") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
