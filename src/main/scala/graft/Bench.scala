@@ -43,6 +43,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg",
     "q_stats_agg",
+    "q_hll_union",
     "q_partitioned_write",
     "q_orc_roundtrip",
     "q_csv_roundtrip",

@@ -114,6 +114,28 @@ object Relational {
             col("exact_parts") * lit(0.05)).as("within_5pct")))
     }),
 
+    // re-aggregatable sketches: daily HLL user sketches UNIONED into a
+    // weekly distinct estimate — the pattern that replaces count-distinct
+    // re-scans at 100 TB (store tiny sketches per grain, merge across any
+    // rollup without touching raw data). Oracle contract mirrors
+    // q_agg_approx_distinct: the merged estimate must land within 5% of
+    // the exact weekly distinct (lgConfigK=12 → rsd ≈ 1.6%, ~3σ), and the
+    // DuckDB side recomputes the exact count and asserts `true`.
+    "q_hll_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .groupBy(weekofyear(col("ts")).as("wk"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val exact = ev.groupBy(weekofyear(col("ts")).as("wk"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      ord(daily.groupBy("wk")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .join(exact, Seq("wk"))
+        .select(col("wk"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05)
+            .as("within_5pct")))
+    }),
+
     // pivot: long-to-wide over a low-cardinality column (explicit value
     // list, so the plan is a single pass — no distinct-values pre-query)
     "q_pivot" -> ((s, dir) => {
@@ -1609,6 +1631,10 @@ object Relational {
         |  array_to_string(flatten([words[1:2], words[3:4]]), ' ') AS flat4,
         |  array_to_string(list_filter(words[1:8], x -> x <> 'the'), ' ') AS no_the8
         |FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_hll_union" ->
+      """SELECT CAST(weekofyear(ts) AS INT) AS wk,
+        |  COUNT(DISTINCT user_id) AS exact_users, true AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_window_time_range" ->
       """SELECT user_id, event_id,
         |  count(*) OVER w AS n_last_hour,
