@@ -1498,6 +1498,47 @@ object Ext {
         blockWords = 5, maxEdit = 50,
         maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
+
+    // DSIR-style hashed-ngram importance resampling (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling"):
+    // fit a raw and a target token distribution over 128 md5 hash
+    // buckets, score each document by its mean scaled bucket ratio
+    // (linear-domain variant), then keep docs by a deterministic md5
+    // Bernoulli draw with probability score/SCALE. The whole pipeline
+    // stays in exact BIGINT space (scaled floor-div ratios, integer
+    // draw compare), so the resample is bit-for-bit cross-engine —
+    // the q_split_train_test stability contract: re-runs and
+    // re-partitioning can never move a doc in or out of the sample.
+    // Scale shape: pass 1 folds the corpus into a 128-row distribution
+    // table (map-side partial agg — the shuffle is 128 rows *
+    // partitions regardless of corpus size); pass 2 re-scans tokens
+    // against the BROADCAST ratio table and reduces per doc. Two token
+    // scans, no token ever in a join build side, nothing collected.
+    "q_importance_resample" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .selectExpr("doc_id", "source", "explode(split(text, '\\\\s+')) AS w")
+        .filter(col("w") =!= "")
+        .withColumn("b",
+          conv(substring(md5(col("w")), 1, 7), 16, 10).cast("bigint") % 128)
+      val ratio = words.groupBy("b")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_tgt"))
+        .select(col("b"),
+          expr("((n_tgt + 1) * 1000000) div (n_raw + 1)").as("r"))
+      val scored = words.join(broadcast(ratio), Seq("b"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("sum_r"))
+        .withColumn("score", expr("sum_r div n_tokens"))
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+      ord(scored
+        .withColumn("keep", draw * lit(1000000L) < col("score") * lit(268435456L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"),
+          sum(col("score")).as("sum_score")))
+    }),
   )
 
   /** Shared multimodal input: the documents table's text bytes standing in
@@ -2846,5 +2887,29 @@ object Ext {
         |FROM w a JOIN w b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 50
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_importance_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) % 128 AS b
+        |  FROM documents,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS u(x)),
+        |rt AS (
+        |  SELECT b,
+        |    ((SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1) * 1000000)
+        |      // (COUNT(*) + 1) AS r
+        |  FROM w GROUP BY b),
+        |sc AS (
+        |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(r) AS BIGINT) AS sum_r
+        |  FROM w JOIN rt USING (b) GROUP BY doc_id, source),
+        |k AS (
+        |  SELECT source, doc_id, sum_r // n_tokens AS score,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS draw
+        |  FROM sc)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN draw * 1000000 < score * 268435456 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN draw * 1000000 < score * 268435456 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+        |  CAST(SUM(score) AS BIGINT) AS sum_score
+        |FROM k GROUP BY source ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }
