@@ -44,6 +44,7 @@ object Bench {
     "q1_agg",
     "q_stats_agg",
     "q_hll_union",
+    "q_cms_union",
     "q_partitioned_write",
     "q_orc_roundtrip",
     "q_csv_roundtrip",

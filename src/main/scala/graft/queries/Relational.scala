@@ -136,6 +136,33 @@ object Relational {
             .as("within_5pct")))
     }),
 
+    // count-min heavy hitters with re-aggregatable union — the frequency
+    // twin of q_hll_union: one sketch per day (Spark's built-in
+    // count_min_sketch aggregate), CmsSketch.cms_union folds the daily
+    // sketches into the week, and the top-20 exact heavy hitters probe
+    // the merged sketch. CMS guarantees est >= exact unconditionally and
+    // est <= exact + eps*N at the sketch confidence; both are asserted
+    // per key (the same bound-check oracle contract as q_hll_union). At
+    // 100 TB the rollup reads |days| 8-KB sketches, not rows.
+    "q_cms_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      val merged = daily.agg(
+        graft.functions.CmsSketch.cms_union(col("sk")).as("sk"))
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(20)
+      val est = graft.functions.CmsSketch
+        .cms_estimate_long(col("sk"), col("user_id"))
+      ord(top.crossJoin(merged).crossJoin(tot)
+        .withColumn("est", est)
+        .select(col("user_id"), col("exact_cnt"),
+          (col("est") >= col("exact_cnt")).as("never_under"),
+          (col("est") <= col("exact_cnt") +
+            ceil(col("n_total") * lit(0.001)).cast("long")).as("within_bound")))
+    }),
+
     // pivot: long-to-wide over a low-cardinality column (explicit value
     // list, so the plan is a single pass — no distinct-values pre-query)
     "q_pivot" -> ((s, dir) => {
@@ -1631,6 +1658,13 @@ object Relational {
         |  array_to_string(flatten([words[1:2], words[3:4]]), ' ') AS flat4,
         |  array_to_string(list_filter(words[1:8], x -> x <> 'the'), ' ') AS no_the8
         |FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_cms_union" ->
+      """SELECT user_id, exact_cnt, true AS never_under, true AS within_bound
+        |FROM (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY user_id
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 20)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_hll_union" ->
       """SELECT CAST(weekofyear(ts) AS INT) AS wk,
         |  COUNT(DISTINCT user_id) AS exact_users, true AS within_5pct
