@@ -53,6 +53,7 @@ object Bench {
     "q_join_broadcast",
     "q_join_bucketed",
     "q_join_skew_salted",
+    "q_join_bloom",
     "q_join_asof",
     "q_window_rank",
     "q_window_rank_global",

@@ -330,6 +330,37 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty")))
     }),
+    // RUNTIME BLOOM-FILTER pruned join (§4.2): Catalyst's
+    // InjectRuntimeFilter builds a bloom filter from the SELECTIVE
+    // dimension side (urgent orders) and pushes might_contain onto the
+    // fact scan, so fact rows that cannot join are dropped BEFORE the
+    // join's shuffle — at 100 TB that is the difference between
+    // shuffling the whole lineitem table and shuffling the ~20% that
+    // can match. Local test scale sits below the rule's production
+    // thresholds (application side > 10 GB), so the query pins the
+    // confs that force the same plan shape a large cluster would choose
+    // — on a CHILD SparkSession, so nothing leaks into the shared
+    // session (the returned frame plans lazily under the child's conf).
+    // Broadcast is disabled the same way: at real scale the filtered
+    // dimension overflows the broadcast threshold, and the bloom rule
+    // only serves shuffle joins. Result is row-identical to the plain
+    // join by construction — exactly what the oracle recomputes.
+    // Plan shape (bloom_filter_agg + BloomFilterMightContain on the
+    // fact scan) is asserted in PlanCheckSpec.
+    "q_join_bloom" -> ((s, dir) => {
+      val bs = s.newSession()
+      bs.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      bs.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      bs.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      bs.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val o = t(bs, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val l = t(bs, dir, "lineitem").select("l_orderkey", "l_quantity")
+      ord(l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty")))
+    }),
     // SALTED skew join in the checked catalog (§4.2): the hot-key
     // mitigation — big side salted 8 ways, small side replicated per
     // salt, join key becomes (key, salt) — with the result row-identical
@@ -1241,6 +1272,14 @@ object Relational {
       """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // recomputed as the plain join: the bloom filter must be purely an
+    // execution-side prune, never a row filter
+    "q_join_bloom" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_left" ->
       """SELECT o_orderkey, l_linenumber, l_quantity

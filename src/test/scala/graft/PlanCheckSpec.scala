@@ -55,6 +55,17 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "capped-sample rank prune missing")
   }
 
+  test("runtime bloom filter prunes the fact side before the join shuffle") {
+    // q_join_bloom builds on a child session with the production plan
+    // shape pinned: the selective dimension side must yield a
+    // bloom_filter_agg and the fact scan must carry might_contain
+    val p = plan("q_join_bloom")
+    assert(p.toLowerCase.contains("bloom_filter_agg"),
+      s"bloom filter creation missing:\n${p.take(1200)}")
+    assert(p.toLowerCase.contains("might_contain"),
+      s"bloom probe missing on the application side:\n${p.take(1200)}")
+  }
+
   test("big-big equi join falls back to sort-merge when broadcast is off") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
