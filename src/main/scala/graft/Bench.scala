@@ -55,6 +55,7 @@ object Bench {
     "q_join_skew_salted",
     "q_join_bloom",
     "q_join_asof",
+    "q_join_interval",
     "q_window_rank",
     "q_window_rank_global",
     "q_topk_pergroup",

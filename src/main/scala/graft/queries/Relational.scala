@@ -454,6 +454,53 @@ object Relational {
         .select("event_id", "user_id", "ts", "last_error_ts"))
     }),
 
+    // As-of join with TOLERANCE (pandas merge_asof(tolerance=...) / kdb
+    // wj semantics): the matched error must also lie within 1 hour
+    // before the purchase, else null. Same one-shuffle window
+    // formulation as q_join_asof — the tolerance is a post-filter on
+    // the matched timestamp (the latest error older than the bound
+    // implies ALL errors are), so the scalable shape is unchanged.
+    "q_join_asof_tol" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ord(e.withColumn("raw_ts",
+          last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("last_error_ts",
+          when(col("raw_ts") >= col("ts") - expr("INTERVAL 1 HOUR"), col("raw_ts")))
+        .select("event_id", "user_id", "ts", "last_error_ts"))
+    }),
+    // INTERVAL-OVERLAP join (genomics/temporal overlap shape): all
+    // (purchase-window, error-window) interval pairs that intersect,
+    // across users — a genuine non-equi interval join. The naive form is
+    // an O(|A|·|B|) nested loop; here each interval explodes to its
+    // covered HOUR BUCKETS and the join runs as an equi join on the
+    // bucket key + exact overlap predicate + distinct (any intersection
+    // point lies in an hour bucket both intervals cover, so candidates
+    // are complete; duplicates are bounded by interval_len/bucket per
+    // pair). At 100 TB the only corpus shuffle is on the 8-byte hour
+    // key — per-bucket products, never the full cross product. Overlap
+    // length reported in exact integer microseconds.
+    "q_join_interval" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("a_id"), col("ts").as("a_s"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("a_e"))
+      val b = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("b_id"), col("ts").as("b_s"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("b_e"))
+      def buckets(df: DataFrame, sc: String, ec: String): DataFrame =
+        df.withColumn("h", explode(sequence(
+          date_trunc("hour", col(sc)), date_trunc("hour", col(ec)),
+          expr("INTERVAL 1 HOUR"))))
+      ord(buckets(a, "a_s", "a_e").join(buckets(b, "b_s", "b_e"), Seq("h"))
+        .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+        .select(col("a_id"), col("b_id"),
+          (unix_micros(least(col("a_e"), col("b_e"))) -
+            unix_micros(greatest(col("a_s"), col("b_s")))).as("overlap_us"))
+        .distinct())
+    }),
+
     // ---- window functions ----
     "q_window_rank" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1322,6 +1369,23 @@ object Relational {
         |   WHERE e2.user_id = e.user_id AND e2.event_type = 'error'
         |     AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id))) AS last_error_ts
         |FROM events e WHERE event_type = 'purchase' ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_asof_tol" ->
+      """SELECT event_id, user_id, ts,
+        |  (SELECT max(e2.ts) FROM events e2
+        |   WHERE e2.user_id = e.user_id AND e2.event_type = 'error'
+        |     AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id))
+        |     AND e2.ts >= e.ts - INTERVAL 1 HOUR) AS last_error_ts
+        |FROM events e WHERE event_type = 'purchase' ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the naive theta form the bucketed equi join must reproduce
+    "q_join_interval" ->
+      """WITH a AS (SELECT event_id AS a_id, ts AS a_s, ts + INTERVAL 1 HOUR AS a_e
+        |           FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT event_id AS b_id, ts AS b_s, ts + INTERVAL 2 HOUR AS b_e
+        |      FROM events WHERE event_type = 'error')
+        |SELECT a_id, b_id,
+        |  epoch_us(least(a_e, b_e)) - epoch_us(greatest(a_s, b_s)) AS overlap_us
+        |FROM a, b WHERE a_s < b_e AND b_s < a_e
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn,
