@@ -52,6 +52,7 @@ object Bench {
     "q_join_inner",
     "q_join_broadcast",
     "q_join_bucketed",
+    "q_sql_tpch_q5",
     "q_join_skew_salted",
     "q_join_bloom",
     "q_join_asof",

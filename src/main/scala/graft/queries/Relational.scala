@@ -829,6 +829,46 @@ object Relational {
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin))
     }),
 
+    // TPC-H Q5 shape: the 6-table join Catalyst must ORDER well — the
+    // region/nation dimensions broadcast up the chain, the c↔s nation
+    // equality closes the cycle, and the one aggregate groups on the
+    // 25-value nation name. The optimizer workout complement to Q3
+    // (which is a 3-table chain): at 100 TB the plan that joins
+    // lineitem↔orders first and broadcasts everything else is the only
+    // survivable one, and that is exactly what the declarative form
+    // gives Catalyst the freedom to pick.
+    "q_sql_tpch_q5" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      ord(s.sql(
+        """SELECT n_name,
+          |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n_name""".stripMargin))
+    }),
+    // null-safe equi join (<=> / IS NOT DISTINCT FROM): null keys MATCH
+    // each other — still hashable, so this stays a plain shuffle/equi
+    // join plan, unlike an OR-of-IS-NULLs predicate which degenerates
+    // to a nested loop
+    "q_join_nullsafe" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderstatus") === "P", null).otherwise(col("o_orderstatus"))
+          .as("k"))
+      val d = t(s, dir, "orders").groupBy(
+          when(col("o_orderstatus") === "P", null).otherwise(col("o_orderstatus"))
+            .as("k"))
+        .agg(count(lit(1)).as("n_status"))
+      ord(o.join(d, o("k") <=> d("k"))
+        .select(o("o_orderkey"), o("k").as("status"), d("n_status")))
+    }),
+
     // correlated EXISTS subquery (decorrelated by Catalyst into a semi
     // join — the SQL surface of q_join_semi)
     "q_sql_exists" -> ((s, dir) => {
@@ -1598,6 +1638,28 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-06-01'
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k
+        |  FROM orders),
+        |d AS (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n_status
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderkey, o.k AS status, d.n_status
+        |FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
