@@ -91,6 +91,7 @@ object Bench {
     "q_prep_pipeline",
     "q_dedup_embedding_lsh",
     "q_embed_quantize",
+    "q_embed_pool",
     "q_dedup_semantic",
     "q_semdedup",
     "q_dedup_keep_best",

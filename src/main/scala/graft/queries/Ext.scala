@@ -1499,6 +1499,34 @@ object Ext {
         maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
 
+    // Chunk→document embedding MEAN POOLING in the distributed long
+    // form: posexplode to (doc, dim, value) rows, one partial+final
+    // aggregate keyed on (doc, dim), mean closed from the decimal-exact
+    // sum. Parallel across BOTH the document and dimension axes — at
+    // 100 TB with 4096-dim vectors nothing ever holds a whole pooled
+    // vector in an aggregation buffer, and map-side combine compacts
+    // each partition's chunks before the one shuffle. (The zip_with /
+    // aggregate lambda fold would be interpreted per element — the
+    // measured 12× trap — and caps parallelism at the doc axis.)
+    // Chunks are grouped 5-per-doc by vec_id; each chunk lands in its
+    // OWN slot aggregate (sum over exactly one non-null value = exact)
+    // and the mean closes in fixed left-to-right double addition, so
+    // the result is bit-identical cross-engine without decimal routing
+    // (double→DECIMAL casts round differently between engines — the
+    // first formulation here lost 2e-15 to exactly that).
+    "q_embed_pool" -> ((s, dir) => {
+      val chunks = t(s, dir, "embeddings")
+        .selectExpr("vec_id div 5 AS doc_id", "vec_id % 5 AS slot",
+          "posexplode(cast(embedding AS array<double>)) AS (pos, v)")
+      val slots = (0 to 4).map(k =>
+        sum(when(col("slot") === k, col("v"))).as(s"c$k"))
+      ord(chunks.groupBy("doc_id", "pos")
+        .agg(count(lit(1)).as("n_chunks"), slots: _*)
+        .select(col("doc_id"), col("pos"), col("n_chunks"),
+          ((0 to 4).map(k => coalesce(col(s"c$k"), lit(0.0)))
+            .reduceLeft(_ + _) / col("n_chunks")).as("mean_val")))
+    }),
+
     // DSIR-style hashed-ngram importance resampling (Xie et al. 2023,
     // "Data Selection for Language Models via Importance Resampling"):
     // fit a raw and a target token distribution over 128 md5 hash
@@ -2887,6 +2915,23 @@ object Ext {
         |FROM w a JOIN w b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 50
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_embed_pool" ->
+      """WITH ch AS (
+        |  SELECT vec_id // 5 AS doc_id, vec_id % 5 AS slot, CAST(i AS INT) AS pos,
+        |    CAST(embedding[i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+        |g AS (
+        |  SELECT doc_id, pos, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    SUM(CASE WHEN slot = 0 THEN v END) AS c0,
+        |    SUM(CASE WHEN slot = 1 THEN v END) AS c1,
+        |    SUM(CASE WHEN slot = 2 THEN v END) AS c2,
+        |    SUM(CASE WHEN slot = 3 THEN v END) AS c3,
+        |    SUM(CASE WHEN slot = 4 THEN v END) AS c4
+        |  FROM ch GROUP BY doc_id, pos)
+        |SELECT doc_id, pos, n_chunks,
+        |  ((((coalesce(c0, 0) + coalesce(c1, 0)) + coalesce(c2, 0))
+        |    + coalesce(c3, 0)) + coalesce(c4, 0)) / n_chunks AS mean_val
+        |FROM g ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_importance_resample" ->
       """WITH w AS (
         |  SELECT doc_id, source,
