@@ -477,10 +477,16 @@ object Relational {
     // covered HOUR BUCKETS and the join runs as an equi join on the
     // bucket key + exact overlap predicate + distinct (any intersection
     // point lies in an hour bucket both intervals cover, so candidates
-    // are complete; duplicates are bounded by interval_len/bucket per
-    // pair). At 100 TB the only corpus shuffle is on the 8-byte hour
-    // key — per-bucket products, never the full cross product. Overlap
-    // length reported in exact integer microseconds.
+    // are complete). A pair sharing several buckets is emitted ONLY in
+    // the bucket holding the overlap start — exact first-bucket dedup
+    // as a map-side filter, so there is NO distinct shuffle over the
+    // (quadratic-in-density) output. At 100 TB the only corpus shuffle
+    // is on the 8-byte hour key — per-bucket products, never the full
+    // cross product. Overlap length in exact integer microseconds.
+    // (10×-events probe, where the denser span genuinely implies ~100×
+    // output: the distinct() formulation paid 116 s re-shuffling ~150M
+    // result rows; first-bucket emission runs the same probe in 14.1 s
+    // — and sf0.1 drops 2.36 s → 0.81 s.)
     "q_join_interval" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val a = ev.filter(col("event_type") === "purchase")
@@ -494,11 +500,11 @@ object Relational {
           date_trunc("hour", col(sc)), date_trunc("hour", col(ec)),
           expr("INTERVAL 1 HOUR"))))
       ord(buckets(a, "a_s", "a_e").join(buckets(b, "b_s", "b_e"), Seq("h"))
-        .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+        .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+          col("h") === date_trunc("hour", greatest(col("a_s"), col("b_s"))))
         .select(col("a_id"), col("b_id"),
           (unix_micros(least(col("a_e"), col("b_e"))) -
-            unix_micros(greatest(col("a_s"), col("b_s")))).as("overlap_us"))
-        .distinct())
+            unix_micros(greatest(col("a_s"), col("b_s")))).as("overlap_us")))
     }),
 
     // ---- window functions ----
