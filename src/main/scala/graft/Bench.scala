@@ -103,6 +103,7 @@ object Bench {
     "q_knn_sq8",
     "q_knn_mrl",
     "q_knn_ivf_probed",
+    "q_ann_recall",
     "q_knn_ivf_trained",
     "q_knn_ivf_sampled",
     "q_pq_encode",

@@ -741,6 +741,36 @@ object Ext {
         assigned, cents, col("vec_id") < 10, k = 5, nprobe = 2))
     }),
 
+    // In-engine ANN QUALITY EVALUATION: recall@5 of the IVF-probed
+    // search against exact brute force, per query — the measurement a
+    // production vector pipeline runs before trusting an index (and
+    // re-runs on every reindex). Both arms are the existing one-scan
+    // operators; the corpus is scanned twice total (once per arm), the
+    // top-k frames that meet in the recall join are |queries|·k rows.
+    // Queries whose probed cells miss every true neighbor keep a row
+    // with recall 0 (left join from the exact arm). Fully
+    // deterministic, so the oracle replays BOTH arms and the exact
+    // integer match counts.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val exact = graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5)
+        .select(col("q_id"), col("neighbor"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+        .localCheckpoint(true)   // see q_knn_ivf_trained
+      val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
+      val approx = graft.operators.Similarity.knnIvfProbed(
+          assigned, cents, col("vec_id") < 10, k = 5, nprobe = 2)
+        .select(col("q_id"), col("neighbor"))
+      val m = exact.join(approx, Seq("q_id", "neighbor"))
+        .groupBy("q_id").agg(count(lit(1)).as("nm"))
+      val ks = exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      ord(ks.join(m, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("nm"), lit(0L)).as("n_match"),
+          (coalesce(col("nm"), lit(0L)).cast("double") / col("k")).as("recall")))
+    }),
+
     // the SAMPLE-TRAIN / FULL-ENCODE split that makes quantizer training
     // affordable at 100 TB (training cost is per-iteration corpus scans;
     // quality saturates at a few hundred points per centroid): Lloyd
@@ -1959,6 +1989,46 @@ object Ext {
          |ranked AS (SELECT q_id, vec_id AS neighbor, cos,
          |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk FROM scored)
          |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // both arms replayed: the IVF chain (identical to q_knn_ivf_probed)
+    // plus the brute-force arm over the same normalized frame, then the
+    // exact integer recall join
+    "q_ann_recall" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |n AS (SELECT vec_id, v, cid, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM fin),
+         |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q_id, qv, qn, cid AS qb FROM (
+         |    SELECT q.q_id, q.qv, q.qn, s.cid,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_sum([(q.qv[d] - s.cen[d]) * (q.qv[d] - s.cen[d]) FOR d IN range(1, len(q.qv) + 1)]), s.cid) AS rn
+         |    FROM q0 q, c2 s) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+         |  FROM n JOIN probes ON cid = qb AND vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id AS neighbor,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM scored),
+         |bscored AS (
+         |  SELECT q_id, vec_id,
+         |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+         |  FROM n JOIN q0 ON vec_id <> q_id),
+         |branked AS (SELECT q_id, vec_id AS neighbor,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM bscored),
+         |it AS (SELECT q_id, neighbor FROM ranked WHERE rk <= 5),
+         |bt AS (SELECT q_id, neighbor FROM branked WHERE rk <= 5),
+         |m AS (SELECT bt.q_id AS q_id, COUNT(*) AS nm
+         |      FROM bt JOIN it ON bt.q_id = it.q_id AND bt.neighbor = it.neighbor
+         |      GROUP BY bt.q_id)
+         |SELECT q0.q_id, CAST(coalesce(m.nm, 0) AS BIGINT) AS n_match,
+         |  CAST(coalesce(m.nm, 0) AS DOUBLE) / 5 AS recall
+         |FROM q0 LEFT JOIN m ON q0.q_id = m.q_id
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_ivf_sampled" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
