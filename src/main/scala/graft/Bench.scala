@@ -43,6 +43,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg",
     "q_stats_agg",
+    "q_profile",
+    "q_scd2",
     "q_hll_union",
     "q_cms_union",
     "q_partitioned_write",

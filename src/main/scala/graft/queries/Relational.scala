@@ -835,6 +835,46 @@ object Relational {
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin))
     }),
 
+    // ONE-PASS COLUMN PROFILER (the ANALYZE TABLE shape every warehouse
+    // runs before planning): per column — row count, null count, exact
+    // distinct count, min, max — in a single aggregate. Multiple exact
+    // COUNT(DISTINCT)s in one agg compile to Catalyst's Expand plan
+    // (one shuffle carrying cols× the rows, each tagged for its
+    // distinct), which is the distributable form; results unpivot to
+    // one row per column. min/max stringify for the uniform schema.
+    "q_profile" -> ((s, dir) => {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_shipdate")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"dst_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c")))
+      val one = t(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val rows = cols.map(c => struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+        col(s"dst_$c").as("n_distinct"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val")))
+      ord(one.select(explode(array(rows: _*)).as("r")).select("r.*"))
+    }),
+    // SCD TYPE-2 history build from a change log: consecutive repeats
+    // collapse (lag filter), each surviving change opens a validity
+    // interval closed by the next change's timestamp (lead), the open
+    // interval marks the current row. Two windows over ONE shuffle on
+    // user_id — the warehouse dimension-history shape, distributed by
+    // entity.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ord(t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("status"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current")))
+    }),
+
     // TPC-H Q5 shape: the 6-table join Catalyst must ORDER well — the
     // region/nation dimensions broadcast up the chain, the c↔s nation
     // equality closes the cycle, and the one aggregate groups on the
@@ -1645,6 +1685,36 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_profile" ->
+      """WITH s AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(l_returnflag) AS c1, COUNT(DISTINCT l_returnflag) AS d1,
+        |    CAST(MIN(l_returnflag) AS VARCHAR) AS mn1, CAST(MAX(l_returnflag) AS VARCHAR) AS mx1,
+        |  COUNT(l_linestatus) AS c2, COUNT(DISTINCT l_linestatus) AS d2,
+        |    CAST(MIN(l_linestatus) AS VARCHAR) AS mn2, CAST(MAX(l_linestatus) AS VARCHAR) AS mx2,
+        |  COUNT(l_orderkey) AS c3, COUNT(DISTINCT l_orderkey) AS d3,
+        |    CAST(MIN(l_orderkey) AS VARCHAR) AS mn3, CAST(MAX(l_orderkey) AS VARCHAR) AS mx3,
+        |  COUNT(l_shipdate) AS c4, COUNT(DISTINCT l_shipdate) AS d4,
+        |    CAST(MIN(l_shipdate) AS VARCHAR) AS mn4, CAST(MAX(l_shipdate) AS VARCHAR) AS mx4
+        |  FROM lineitem)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_val, max_val FROM (
+        |  SELECT 'l_returnflag' AS col_name, n_rows, n_rows - c1 AS n_null, d1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM s
+        |  UNION ALL
+        |  SELECT 'l_linestatus', n_rows, n_rows - c2, d2, mn2, mx2 FROM s
+        |  UNION ALL
+        |  SELECT 'l_orderkey', n_rows, n_rows - c3, d3, mn3, mx3 FROM s
+        |  UNION ALL
+        |  SELECT 'l_shipdate', n_rows, n_rows - c4, d4, mn4, mx4 FROM s)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS status, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM ch ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sql_tpch_q5" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
