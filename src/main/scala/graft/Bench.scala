@@ -71,6 +71,7 @@ object Bench {
     "q_cohort_retention",
     "q_window_time_range",
     "q_window_lag_lead",
+    "q_window_distinct_running",
     "q_explode_tokens",
     "q_annotate_tokens",
     "q_annotate_pos",

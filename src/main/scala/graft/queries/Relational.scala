@@ -835,6 +835,26 @@ object Relational {
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin))
     }),
 
+    // RUNNING DISTINCT COUNT per entity — COUNT(DISTINCT) OVER is
+    // unsupported in Spark (and most engines) because the naive form
+    // needs per-frame dedup state; the scalable rewrite is exact: flag
+    // each value's FIRST occurrence (row_number over (entity, value)),
+    // then running-sum the flags over time. Two windows, both on the
+    // SAME entity shuffle. The oracle recomputes through an independent
+    // correlated-subquery formulation.
+    "q_window_distinct_running" -> ((s, dir) => {
+      val byVal = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ord(t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("fs",
+          when(row_number().over(byVal) === 1, 1L).otherwise(0L))
+        .withColumn("n_distinct_types", sum(col("fs")).over(byTime))
+        .drop("fs"))
+    }),
+
     // ONE-PASS COLUMN PROFILER (the ANALYZE TABLE shape every warehouse
     // runs before planning): per column — row count, null count, exact
     // distinct count, min, max — in a single aggregate. Multiple exact
@@ -1692,6 +1712,13 @@ object Relational {
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_window_distinct_running" ->
+      """SELECT event_id, user_id, ts, event_type,
+        |  (SELECT COUNT(DISTINCT e2.event_type) FROM events e2
+        |   WHERE e2.user_id = e.user_id
+        |     AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id)))
+        |    AS n_distinct_types
+        |FROM events e ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_profile" ->
       """WITH s AS (SELECT COUNT(*) AS n_rows,
         |  COUNT(l_returnflag) AS c1, COUNT(DISTINCT l_returnflag) AS d1,
