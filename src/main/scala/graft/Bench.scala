@@ -48,6 +48,7 @@ object Bench {
     "q_hll_union",
     "q_cms_union",
     "q_partitioned_write",
+    "q_zorder_layout",
     "q_orc_roundtrip",
     "q_csv_roundtrip",
     "q_compact_store",

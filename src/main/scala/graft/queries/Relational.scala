@@ -284,6 +284,37 @@ object Relational {
           dsum(col("o_totalprice")).as("sum_price"),
           min(col("o_orderdate")).as("first_date")))
     }),
+    // Z-ORDER LAYOUT (the Delta/Iceberg OPTIMIZE ZORDER BY shape):
+    // lineitem staged once per session range-partitioned + sorted by
+    // the codegen'd Morton key over (l_partkey, l_suppkey) buckets, so
+    // BOTH dimensions cluster locally and parquet row-group min/max
+    // stats can prune a 2-D box predicate — a single-column sort only
+    // prunes its leading column. The layout is semantically invisible:
+    // the oracle runs the same box query over the ORIGINAL table, so
+    // any row lost/duplicated by the re-layout diverges. Both box
+    // predicates reach the staged scan as PushedFilters (asserted in
+    // PlanCheckSpec). ZOrderSpec quantifies the locality win on a grid.
+    "q_zorder_layout" -> ((s, dir) => {
+      val base = stagingDir(s, dir, "lineitem", "graft_zorder")
+      if (!new java.io.File(base, "_SUCCESS").isFile) {
+        val zk = graft.functions.ZOrderKey.zorder_key(
+          expr("l_partkey div 16"), expr("l_suppkey div 4"))
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity")
+          .withColumn("zk", zk)
+          .repartitionByRange(8, col("zk"))
+          .sortWithinPartitions("zk")
+          .drop("zk")
+          .write.mode("overwrite").parquet(base)
+      }
+      ord(s.read.parquet(base)
+        .filter(col("l_partkey").between(50, 150) &&
+          col("l_suppkey").between(2, 15))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity"))
+    }),
+
     // PARTITIONED write sink + partition-PRUNED read-back (§2c sinks):
     // documents staged once per session under lang=<v> directories
     // (`partitionBy("lang")`), then read back with a lang filter that
@@ -1408,6 +1439,13 @@ object Relational {
         |  min(o_orderdate) AS first_date
         |FROM orders WHERE o_totalprice > 200000
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // recomputed from the original table: the z-ordered staging must be
+    // a faithful re-layout or this diverges
+    "q_zorder_layout" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 15
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // recomputed from the original table: the partitioned staging must
     // be a faithful, correctly-bucketed-by-lang copy or this diverges
     "q_partitioned_write" ->

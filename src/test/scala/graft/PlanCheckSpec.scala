@@ -28,6 +28,13 @@ class PlanCheckSpec extends SparkSpec {
       s"lang filter must prune partition directories:\n${p.take(800)}")
   }
 
+  test("z-ordered staging read-back pushes BOTH box predicates to the scan") {
+    val p = plan("q_zorder_layout")
+    assert(p.contains("PushedFilters") && p.contains("l_partkey") &&
+      p.contains("l_suppkey"),
+      s"both box dimensions must reach the parquet scan:\n${p.take(800)}")
+  }
+
   test("dimension joins broadcast (no shuffle of the fact side)") {
     val p = plan("q_join_broadcast")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(800))
