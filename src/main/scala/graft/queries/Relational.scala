@@ -897,16 +897,28 @@ object Relational {
     // the form a 100-TB profiler actually runs (no Expand, one plain
     // pass; measured 4.4 s exact vs 0.5 s HLL at sf0.1) — same
     // contract as q_stats_agg's natural-double bench form.
+    // String min/max ride the order-isomorphic fixed-width pack
+    // (Ext.packLang) — a raw min(string) is a var-length aggregation
+    // buffer, which silently downgrades the whole aggregate to
+    // SortAggregate (the catalog-wide HashAggregate sweep caught
+    // exactly that on this query's first form).
     "q_profile" -> ((s, dir) => {
       val cols = Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_shipdate")
+      val strCols = Set("l_returnflag", "l_linestatus")
       def dst(c: String) =
         if (graft.Tables.benchMode) approx_count_distinct(col(c))
         else countDistinct(col(c))
+      def mn(c: String) =
+        if (strCols(c)) graft.queries.Ext.unpackLang(min(graft.queries.Ext.packLang(col(c))))
+        else min(col(c)).cast("string")
+      def mx(c: String) =
+        if (strCols(c)) graft.queries.Ext.unpackLang(max(graft.queries.Ext.packLang(col(c))))
+        else max(col(c)).cast("string")
       val aggs = cols.flatMap(c => Seq(
         count(col(c)).as(s"cnt_$c"),
         dst(c).as(s"dst_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c")))
+        mn(c).as(s"min_$c"),
+        mx(c).as(s"max_$c")))
       val one = t(s, dir, "lineitem")
         .agg(count(lit(1)).as("n_rows"), aggs: _*)
       val rows = cols.map(c => struct(lit(c).as("col_name"), col("n_rows"),

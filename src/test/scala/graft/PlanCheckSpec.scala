@@ -132,10 +132,18 @@ class PlanCheckSpec extends SparkSpec {
     //  - q_token_budget_epochs: the 1-row sqrt-sum normalizer finalizes
     //    on one task, but only per-partition partial sums cross the
     //    exchange — the q_sql_scalar_subquery shape.
+    //  - q_profile: single global aggregate BY DESIGN (the ANALYZE
+    //    shape); only per-partition partials (counts, HLL/expand
+    //    distinct partials, packed min/max) cross the exchange.
+    //  - q_cms_union / q_join_bloom: the sketch finalize — per-day CMS
+    //    sketches / per-partition bloom buffers union on one task;
+    //    rows crossing the exchange are bounded by days/partitions,
+    //    never the corpus.
     val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery",
       "q_window_rank_global", "q_window_pct_global", "q_pack_sequences",
       "q_pack_bpe", "q_tfidf", "q_compact_store",
-      "q_lm_buckets", "q_shuffle_train_order", "q_token_budget_epochs")
+      "q_lm_buckets", "q_shuffle_train_order", "q_token_budget_epochs",
+      "q_profile", "q_cms_union", "q_join_bloom")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
