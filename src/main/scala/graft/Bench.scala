@@ -93,6 +93,7 @@ object Bench {
     "q_contamination",
     "q_decontaminate",
     "q_prep_pipeline",
+    "q_curation_e2e",
     "q_dedup_embedding_lsh",
     "q_embed_quantize",
     "q_embed_pool",

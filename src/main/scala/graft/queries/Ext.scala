@@ -675,6 +675,38 @@ object Ext {
         .groupBy("lang").agg(count(lit(1)).as("n_docs")))
     }),
 
+    // THE FULL CURATION CHAIN in one declarative plan — quality gate →
+    // exact-dedup canonicalization → per-language UniMax cap →
+    // deterministic 80/10/10 split → audited release manifest (counts +
+    // id checksum per (split, lang)). Each stage is the operator
+    // verified on its own; this query verifies the chain at release
+    // shape: one corpus scan feeds the gate+dedup lineage, the lang cap
+    // compiles to WindowGroupLimit (selection exchange carries
+    // langs×cap×partitions rows, not the corpus), and every downstream
+    // decision is a deterministic function of doc_id — re-running the
+    // release reproduces it bit-for-bit.
+    "q_curation_e2e" -> ((s, dir) => {
+      val kept = t(s, dir, "documents")
+        .join(qualityReasons(s, dir).filter(col("reason") === "ok")
+          .select("doc_id"), "doc_id")
+      val canon = kept
+        .groupBy(md5(col("text")).as("__h"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min(packLang(col("lang"))).as("__lc"))
+        .select(col("doc_id"), unpackLang(col("__lc")).as("lang"))
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint")
+      val capped = canon
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(draw, col("doc_id"))))
+        .filter(col("rk") <= 100)
+      val split = when(draw % 100 < 80, "train")
+        .when(draw % 100 < 90, "valid").otherwise("test")
+      ord(capped.groupBy(split.as("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum")))
+    }),
+
     // random-hyperplane LSH ANN: bucket = 8 sign bits of fixed ±1
     // hyperplanes (see LshPlanes) — the classic cosine-LSH scale path;
     // candidates only within a bucket (~|corpus|/256 of the scan),
@@ -1910,6 +1942,34 @@ object Ext {
         |      WHERE r.reason = 'ok'),
         |c AS (SELECT min(lang) AS lang FROM k GROUP BY text)
         |SELECT lang, COUNT(*) AS n_docs FROM c GROUP BY lang
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_curation_e2e" ->
+      """WITH m AS (SELECT doc_id, length(text) AS n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\s')) AS ws_chars,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS n_stop,
+        |    len(regexp_extract_all(text, '\b\w{1,2}\b')) AS n_short
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN n_tokens < 10 THEN 'too_short'
+        |         WHEN (n_chars - ws_chars) / CAST(n_chars AS DOUBLE) < 0.7 THEN 'low_alpha'
+        |         WHEN n_short / CAST(n_tokens AS DOUBLE) > 0.4 THEN 'high_short'
+        |         WHEN n_stop / CAST(n_tokens AS DOUBLE) < 0.01 THEN 'no_stopwords'
+        |         ELSE 'ok' END AS reason
+        |  FROM m),
+        |k AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN r ON d.doc_id = r.doc_id
+        |      WHERE r.reason = 'ok'),
+        |c AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang FROM k GROUP BY text),
+        |w AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS draw
+        |  FROM c),
+        |cap AS (SELECT doc_id, lang, draw,
+        |    row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk
+        |  FROM w)
+        |SELECT CASE WHEN draw % 100 < 80 THEN 'train'
+        |            WHEN draw % 100 < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM cap WHERE rk <= 100 GROUP BY 1, 2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_fingerprint" ->
       s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
