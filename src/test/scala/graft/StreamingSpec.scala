@@ -106,6 +106,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionizer matches batch q_sessionize over the real events table") {
+    // the keyed-state sessionizer (flatMapGroupsWithState + event-time
+    // timeout) must compute the SAME sessions as the relational window
+    // form the catalog checks against DuckDB. Sentinel events far past
+    // the data advance the watermark so every real user's final session
+    // times out and closes — after that, parity is over the FULL
+    // session set (sentinel user excluded).
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val evts = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+    val maxTs = evts.map(_.ts.getTime).max
+    val sentinelUser = -1L
+    def sentinel(i: Int) = Event(-i.toLong, new Timestamp(
+      maxTs + i * 10L * 24 * 3600 * 1000), sentinelUser, "click", 0.0)
+    val ms = eventsOf(evts: _*)
+    val q = Streams.closedSessions(ms.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      ms.addData(sentinel(1)); q.processAllAvailable()
+      ms.addData(sentinel(2)); q.processAllAvailable()
+      // Timestamp.getTime is ms-only; micros live in getNanos
+      def micros(t: Timestamp): Long =
+        t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      val streamed = spark.table("sess_parity").as[Streams.ClosedSession]
+        .collect().filter(_.user_id != sentinelUser)
+        .map(s => (s.user_id, micros(s.start), s.n)).toSet
+      val batch = SparkEntry.queries("q_sessionize")(spark, "/root/testdata/sf0.001")
+        .select(col("user_id"), col("start_us"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("file stream over the driver events table: tumbling counts match the batch form") {
     import org.apache.spark.sql.functions._
     // normalize whatever physical ts the events parquet carries, exactly
