@@ -106,6 +106,7 @@ object Bench {
     "q_lm_buckets",
     "q_knn_bruteforce",
     "q_knn_sq8",
+    "q_knn_binary",
     "q_knn_mrl",
     "q_knn_ivf_probed",
     "q_ann_recall",

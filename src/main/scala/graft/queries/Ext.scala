@@ -1545,6 +1545,17 @@ object Ext {
         e, col("vec_id") < 5, prefixDims = 16, candidates = 20, k = 5))
     }),
 
+    // 1-bit binary-quantization ANN — the cheapest quantization rung:
+    // sign-bit signatures (64 dims in ONE BIGINT), codegen'd
+    // bit_count-xor Hamming cut, exact cosine re-rank. See
+    // Similarity.knnBinary.
+    "q_knn_binary" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      ord(graft.operators.Similarity.knnBinary(
+        e, col("vec_id") < 10, candidates = 20, k = 5))
+    }),
+
     // blocking + VERIFY near-dup (record-linkage contract): cheap
     // deterministic block key (md5 of the first 5 words — shared
     // openings) generates candidates, exact Levenshtein ≤ 50 verifies
@@ -3040,6 +3051,31 @@ object Ext {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk
         |  FROM fc)
         |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the packed-BIGINT Hamming equals the per-dim sign-disagreement
+    // count, so the oracle skips the packing entirely
+    "q_knn_binary" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+        |h AS (
+        |  SELECT q_id, vec_id, qv, v, qn, nrm,
+        |    CAST(list_sum([CASE WHEN (qv[i+1] > 0) <> (v[i+1] > 0) THEN 1 ELSE 0 END
+        |      FOR i IN range(64)]) AS INT) AS ham
+        |  FROM n JOIN q ON vec_id <> q_id),
+        |cand AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS prk
+        |  FROM h),
+        |fc AS (
+        |  SELECT q_id, vec_id, ham,
+        |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4)
+        |      AS cos
+        |  FROM cand WHERE prk <= 20),
+        |ranked AS (
+        |  SELECT q_id, vec_id AS neighbor, ham, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM fc)
+        |SELECT q_id, neighbor, ham, cos, rk FROM ranked WHERE rk <= 5
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_blocked_edit" ->
       """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),

@@ -65,6 +65,17 @@ class CodegenSpec extends SparkSpec {
       assert(mh(0).getSeq[Long](0).length == 8)
       assert(mh(1).isNullAt(0), "under 3 tokens must yield null")
 
+      import graft.functions.SignBits.sign_bits
+      val sb0 = Seq(Seq(1.0, -2.0, 0.0, 3.0), Seq(-1.0))
+        .toDF("v").select(sign_bits(col("v")).as("s")).collect()
+      // bits 0 and 3 set; all-negative packs to 0
+      assert(sb0(0).getLong(0) == 9L && sb0(1).getLong(0) == 0L)
+
+      import graft.functions.ZOrderKey.zorder_key
+      val zk = Seq((3L, 5L)).toDF("a", "b")
+        .select(zorder_key(col("a"), col("b")).as("z")).collect()
+      assert(zk.head.getLong(0) == graft.functions.ZOrderKey.interleave(3L, 5L))
+
       import graft.functions.WordScan.word_scan
       val ws = Seq("The cat and the dog, a big dog.")
         .toDF("text").select(word_scan(col("text"), Seq("the", "a", "dog"), 2).as("sc"))
