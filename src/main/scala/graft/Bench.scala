@@ -140,6 +140,7 @@ object Bench {
     "q_tfidf",
     "q_bpe_train",
     "q_bpe_tokenize",
+    "q_bpe_fertility",
     "q_fingerprint",
     "q_mm_frame_dedup",
     "q_mm_decode")

@@ -1016,6 +1016,32 @@ object Ext {
         .agg(count(lit(1)).as("n_words"),
           sum(col("n_syms").cast("bigint")).as("n_bpe_tokens")))
     }),
+    // tokenizer QUALITY AUDIT: per-source fertility (BPE tokens per
+    // word — the compression the tokenizer achieves on each slice of
+    // the mixture) plus the fragmentation count (words splitting into
+    // >4 subwords, the OOV-ish long tail). Fertility drift across
+    // sources is how a mismatched tokenizer shows up before training;
+    // same dictionary-replay shape as q_bpe_tokenize (merges applied
+    // once over DISTINCT words, never raw text).
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wf = graft.operators.BpeTrainer.wordFreq(docs, "text")
+        .localCheckpoint(true)
+      val merges = graft.operators.BpeTrainer.train(wf, steps = 5)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val dict = graft.operators.BpeTrainer.symbolize(wf.select("word"), merges)
+        .select(col("word"), size(split(col("syms"), " ")).as("n_syms"))
+      val words = docs.select(col("source"),
+        explode(filter(split(col("text"), "\\s+"), w => w =!= lit(""))).as("word"))
+      ord(words.join(dict, Seq("word"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms").cast("bigint")).as("n_bpe_tokens"),
+          sum(when(col("n_syms") > 4, 1L).otherwise(0L)).as("n_fragmented"))
+        .withColumn("fertility",
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)))
+    }),
     // source-weighted corpus MIXING: per-source sampling weights realized
     // as floor(w) whole copies plus one more with probability frac(w) —
     // the epoch/data-mixture step of corpus prep (upsample books, damp
@@ -1718,6 +1744,19 @@ object Ext {
        |FROM dw JOIN s$steps USING (word)
        |GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin
 
+  /** q_bpe_fertility: the tokenize replay aggregated per source. */
+  private def bpeFertilityOracle(steps: Int): String =
+    s"""WITH ${bpeCtes(steps)},
+       |dw AS (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(string_split(s$steps.s, ' '))) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(CASE WHEN len(string_split(s$steps.s, ' ')) > 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_fragmented,
+       |  round(CAST(SUM(len(string_split(s$steps.s, ' '))) AS DOUBLE) / COUNT(*), 6) AS fertility
+       |FROM dw JOIN s$steps USING (word)
+       |GROUP BY source ORDER BY ALL NULLS FIRST""".stripMargin
+
   /** q_pack_bpe: the tokenize replay feeding the running-sum packing. */
   private def bpePackOracle(steps: Int): String =
     s"""WITH ${bpeCtes(steps)},
@@ -2245,6 +2284,7 @@ object Ext {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_bpe_train" -> bpeOracle(5),
     "q_bpe_tokenize" -> bpeTokenizeOracle(5),
+    "q_bpe_fertility" -> bpeFertilityOracle(5),
     "q_pack_bpe" -> bpePackOracle(5),
     "q_ngram_counts" ->
       """SELECT bigram, tf FROM (
