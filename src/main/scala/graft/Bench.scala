@@ -87,6 +87,7 @@ object Bench {
     "q_dedup_clusters",
     "q_dedup_clusters_star",
     "q_dedup_minhash",
+    "q_minhash_est",
     "q_dedup_simhash",
     "q_dedup_containment",
     "q_dedup_blocked_edit",

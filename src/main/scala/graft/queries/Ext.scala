@@ -431,6 +431,31 @@ object Ext {
         // LSH analogue of maxDf); the oracle-checked path stays exact
         maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
+    // MinHash ESTIMATOR-QUALITY audit (the dedup twin of q_ann_recall):
+    // for every LSH candidate pair, the signature estimate
+    // (matching components / k) against the TRUE shingle Jaccard, with
+    // the absolute error — the measurement that justifies trusting the
+    // sketch before deleting data on its word. True side runs at
+    // threshold 0 so candidate pairs whose true similarity is LOW (the
+    // estimator's failure mode) stay in the audit instead of silently
+    // dropping out. Both arms are the existing single-scan operators.
+    "q_minhash_est" -> ((s, dir) => {
+      val canon = canonicalDocs(s, dir)
+      val est = graft.operators.TextDedup.minhashPairs(
+        canon, "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      val tru = graft.operators.TextDedup.jaccardPairs(
+        canon, "doc_id", "text", threshold = 0.0,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      ord(est.join(tru, Seq("doc_a", "doc_b"))
+        .withColumn("abs_err",
+          round(abs(col("est_jaccard") - col("jaccard")), 6)))
+    }),
+
     // SimHash: bit-vote signature packed into one BIGINT, oracle-checked
     // (60-bit md5-derived token hashes, same in both engines). Candidate
     // generation is BANDED (4 x 15-bit bands): two signatures within
@@ -1898,6 +1923,38 @@ object Ext {
          |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, n_match, round(CAST(n_match AS DOUBLE) / 32, 6) AS est_jaccard
          |FROM pairs WHERE round(CAST(n_match AS DOUBLE) / 32, 6) >= 0.2
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_minhash_est" ->
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM canon
+         |      WHERE len(string_split_regex(text, '\\s+')) >= 3),
+         |shs AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+         |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM shs),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tru AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
+         |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id),
+         |hb AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS base FROM shs),
+         |sig0 AS (SELECT doc_id,
+         |  $minhashMins
+         |  FROM hb GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $minhashArr AS sig FROM sig0),
+         |banded AS (SELECT doc_id, sig, b AS band, array_to_string(sig[b*4+1:b*4+4], '_') AS bkey
+         |           FROM sig, range(8) r(b)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(len([i FOR i IN range(1, 33) IF x.sig[i] = y.sig[i]]) AS INT) AS n_match
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |est AS (SELECT doc_a, doc_b, round(CAST(n_match AS DOUBLE) / 32, 6) AS est_jaccard
+         |        FROM pairs WHERE round(CAST(n_match AS DOUBLE) / 32, 6) >= 0.2)
+         |SELECT doc_a, doc_b, est_jaccard, jaccard,
+         |  round(abs(est_jaccard - jaccard), 6) AS abs_err
+         |FROM est JOIN tru USING (doc_a, doc_b)
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_simhash" ->
       """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
