@@ -60,6 +60,8 @@ object Bench {
     "q_join_bloom",
     "q_join_asof",
     "q_join_interval",
+    "q_join_pit",
+    "q_cdc_apply",
     "q_window_rank",
     "q_window_rank_global",
     "q_topk_pergroup",

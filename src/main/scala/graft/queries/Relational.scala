@@ -866,6 +866,60 @@ object Relational {
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin))
     }),
 
+    // POINT-IN-TIME join (feature-store correctness): each purchase
+    // reads the user's event-type status AS OF its own timestamp — no
+    // leakage from the future, no stale pre-history. Implemented as the
+    // one-shuffle union+last(ignoreNulls) window over interleaved
+    // status-change and fact rows (the scalable form); the oracle
+    // recomputes via the independent correlated max-subquery. The
+    // status history is exactly q_scd2's interval build, so this is the
+    // dimension-lookup those intervals exist for.
+    "q_join_pit" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ord(e
+        .withColumn("status_asof",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("status_asof")))
+    }),
+    // CDC MERGE apply (insert + update + DELETE in one pass): a change
+    // batch with an op column folds into the snapshot via one full
+    // outer join — matched+D drops the row, matched+U takes the new
+    // image, unmatched+I inserts, everything else keeps the snapshot
+    // row. The change batch is derived deterministically from the
+    // snapshot itself so the oracle can replay it; one shuffle per
+    // side, the MERGE INTO semantics warehouses run at scale.
+    "q_cdc_apply" -> ((s, dir) => {
+      val snap = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changes = t(s, dir, "orders").select(
+        when(col("o_orderkey") % 10 === 0, lit("D"))
+          .when(col("o_orderkey") % 10 === 1, lit("U"))
+          .otherwise(lit(null)).as("op"),
+        col("o_orderkey").as("c_orderkey"),
+        col("o_orderstatus").as("c_status"),
+        (col("o_totalprice") * 2).as("c_totalprice"))
+        .filter(col("op").isNotNull)
+        .unionByName(t(s, dir, "orders")
+          .filter(col("o_orderkey") % 10 === 2)
+          .select(lit("I").as("op"),
+            (col("o_orderkey") + 10000000L).as("c_orderkey"),
+            lit("N").as("c_status"),
+            col("o_totalprice").as("c_totalprice")))
+      ord(snap.join(changes, col("o_orderkey") === col("c_orderkey"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(
+          coalesce(col("o_orderkey"), col("c_orderkey")).as("orderkey"),
+          when(col("op") === "U" || col("op") === "I", col("c_status"))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("op") === "U" || col("op") === "I", col("c_totalprice"))
+            .otherwise(col("o_totalprice")).as("totalprice")))
+    }),
+
     // RUNNING DISTINCT COUNT per entity — COUNT(DISTINCT) OVER is
     // unsupported in Spark (and most engines) because the naive form
     // needs per-frame dedup state; the scalable rewrite is exact: flag
@@ -1761,6 +1815,32 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-06-01'
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_pit" ->
+      """SELECT event_id, user_id, ts,
+        |  (SELECT e2.event_type FROM events e2
+        |   WHERE e2.user_id = e.user_id AND e2.event_type <> 'purchase'
+        |     AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id))
+        |   ORDER BY e2.ts DESC, e2.event_id DESC LIMIT 1) AS status_asof
+        |FROM events e WHERE event_type = 'purchase'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_orderkey AS c_orderkey, o_orderstatus AS c_status,
+        |    o_totalprice * 2 AS c_totalprice
+        |  FROM orders WHERE o_orderkey % 10 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'I', o_orderkey + 10000000, 'N', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 2),
+        |m AS (
+        |  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+        |         c.op, c.c_orderkey, c.c_status, c.c_totalprice
+        |  FROM orders s FULL OUTER JOIN ch c ON s.o_orderkey = c.c_orderkey)
+        |SELECT coalesce(o_orderkey, c_orderkey) AS orderkey,
+        |  CASE WHEN op IN ('U', 'I') THEN c_status ELSE o_orderstatus END AS status,
+        |  CASE WHEN op IN ('U', 'I') THEN c_totalprice ELSE o_totalprice END AS totalprice
+        |FROM m WHERE coalesce(op, '') <> 'D'
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_window_distinct_running" ->
       """SELECT event_id, user_id, ts, event_type,
