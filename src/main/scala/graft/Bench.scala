@@ -58,6 +58,7 @@ object Bench {
     "q_sql_tpch_q5",
     "q_join_skew_salted",
     "q_join_bloom",
+    "q_join_dpp",
     "q_join_asof",
     "q_join_interval",
     "q_join_pit",

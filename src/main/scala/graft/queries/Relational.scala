@@ -334,6 +334,28 @@ object Relational {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")))
     }),
+    // DYNAMIC PARTITION PRUNING (the partition-level complement to
+    // q_join_bloom's row-level runtime filter): the fact side is the
+    // lang-partitioned store (same staging as q_partitioned_write) and
+    // the dimension side's lang set is derived AT RUNTIME (languages
+    // with >= 75 docs — not constant-foldable), so Catalyst inserts a
+    // dynamicpruning subquery into the scan's PartitionFilters and the
+    // fact scan reads only the surviving languages' directories. At
+    // 100 TB this is the difference between scanning the partitions the
+    // dimension selects and scanning the store. Plan-asserted in
+    // PlanCheckSpec; oracle recomputes from the original table.
+    "q_join_dpp" -> ((s, dir) => {
+      val base = stagingDir(s, dir, "documents", "graft_partitioned")
+      if (!new java.io.File(base, "_SUCCESS").isFile)
+        t(s, dir, "documents").select("doc_id", "n_chars", "source", "lang")
+          .write.mode("overwrite").partitionBy("lang").parquet(base)
+      val dim = t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_lang")).filter(col("n_lang") >= 75)
+      ord(s.read.parquet(base).join(dim, Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("n_lang")).as("n_lang")))
+    }),
     // CO-LOCATED (bucketed) fact-fact join — the §4.2 pay-the-shuffle-
     // once-at-ingest strategy in the checked catalog: lineitem and
     // orders staged ONCE per session as 8-bucket tables hash-partitioned
@@ -1514,6 +1536,13 @@ object Relational {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // recomputed from the original table: the partitioned staging must
     // be a faithful, correctly-bucketed-by-lang copy or this diverges
+    "q_join_dpp" ->
+      """WITH d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+        |           FROM documents GROUP BY lang HAVING COUNT(*) >= 75)
+        |SELECT f.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(f.n_chars) AS BIGINT) AS sum_chars, max(d.n_lang) AS n_lang
+        |FROM documents f JOIN d ON f.lang = d.lang
+        |GROUP BY f.lang ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_partitioned_write" ->
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars

@@ -28,6 +28,12 @@ class PlanCheckSpec extends SparkSpec {
       s"lang filter must prune partition directories:\n${p.take(800)}")
   }
 
+  test("runtime-derived dimension set becomes a dynamicpruning PartitionFilter") {
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition pruning subquery:\n${p.take(1200)}")
+  }
+
   test("z-ordered staging read-back pushes BOTH box predicates to the scan") {
     val p = plan("q_zorder_layout")
     assert(p.contains("PushedFilters") && p.contains("l_partkey") &&
