@@ -74,6 +74,7 @@ object Bench {
     "q_funnel",
     "q_cohort_retention",
     "q_window_time_range",
+    "q_time_weighted_avg",
     "q_window_lag_lead",
     "q_window_distinct_running",
     "q_explode_tokens",

@@ -888,6 +888,27 @@ object Relational {
           |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin))
     }),
 
+    // TIME-WEIGHTED AVERAGE over irregular samples (the IoT/finance
+    // integral: each observation holds until the next one, so the mean
+    // weights each value by its holding duration, not its sample count).
+    // One window shuffle computes holding intervals in exact integer
+    // microseconds; products ride DECIMAL so the aggregation is
+    // order-free exact, and the final division closes in double.
+    "q_time_weighted_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      ord(e.filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("value").cast("decimal(18,4)") * col("dt")).as("wsum"),
+          sum(col("dt")).as("dur_us"))
+        .select(col("user_id"), col("n_segments"),
+          round(col("wsum").cast("double") / col("dur_us"), 6).as("twa")))
+    }),
+
     // POINT-IN-TIME join (feature-store correctness): each purchase
     // reads the user's event-type status AS OF its own timestamp — no
     // leakage from the future, no stale pre-history. Implemented as the
@@ -1844,6 +1865,15 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-06-01'
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |d AS (SELECT user_id, us, value,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+        |  FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4)) * dt) AS DOUBLE) / SUM(dt), 6) AS twa
+        |FROM d WHERE dt IS NOT NULL GROUP BY user_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_pit" ->
       """SELECT event_id, user_id, ts,
