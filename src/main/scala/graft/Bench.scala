@@ -143,6 +143,7 @@ object Bench {
     "q_datasheet",
     "q_hard_negatives",
     "q_tfidf",
+    "q_bm25",
     "q_bpe_train",
     "q_bpe_tokenize",
     "q_bpe_fertility",

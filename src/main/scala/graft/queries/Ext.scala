@@ -1357,6 +1357,39 @@ object Ext {
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("w"), col("tfidf_micro"), col("rk")))
     }),
+    // BM25 retrieval scoring (Robertson-Spärck Jones, k1=1.2 b=0.75):
+    // rank the corpus for a keyword query — the retrieval scorer behind
+    // search-based curation (finding docs about a topic to up/downweight)
+    // and eval-set mining. Only query-term postings aggregate (the
+    // corpus-wide work is one token scan for doc lengths); df/idf come
+    // from the tiny per-term frame, broadcast back. Per-(doc,term)
+    // scores round to MICRO-UNITS before the integer sum — the q_tfidf
+    // log-portability contract: both engines compute the identical
+    // double expression tree, round once, and sum exact BIGINTs.
+    "q_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tl"))
+      val tfq = words.filter(col("w").isin("hash", "join", "scan"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfq = tfq.groupBy("w").agg(count(lit(1)).as("df"))
+      val avgLen = col("tl").cast("double") / col("nd")
+      val idf = log(((col("nd") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+      val denom = col("tf").cast("double") +
+        lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("len").cast("double") / avgLen))
+      val term = idf * ((col("tf").cast("double") * lit(2.2)) / denom)
+      val scored = tfq.join(broadcast(dfq), Seq("w"))
+        .join(lens, Seq("doc_id")).crossJoin(broadcast(stats))
+        .withColumn("term_micro", round(term * lit(1000000.0), 0).cast("bigint"))
+      ord(scored.groupBy("doc_id")
+        .agg(sum(col("term_micro")).as("bm25_micro"), count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10))
+    }),
+
     // document fingerprinting: custom codegen'd Catalyst expressions
     // (rolling polynomial hash + winnowing-style min-window hash)
     "q_fingerprint" -> ((s, dir) => {
@@ -2555,6 +2588,30 @@ object Ext {
         |      FROM s)
         |SELECT doc_id, w, tfidf_micro, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_bm25" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE w != ''),
+        |lens AS (SELECT doc_id, COUNT(*) AS len FROM words GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, CAST(SUM(len) AS BIGINT) AS tl FROM lens),
+        |tfq AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+        |        WHERE w IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tfq GROUP BY w),
+        |s AS (SELECT t.doc_id,
+        |    CAST(round(
+        |      ln((CAST(nd - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+        |      * ((CAST(tf AS DOUBLE) * 2.2e0) /
+        |         (CAST(tf AS DOUBLE) + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0
+        |           * (CAST(len AS DOUBLE) / (CAST(tl AS DOUBLE) / nd)))))
+        |      * 1000000.0e0) AS BIGINT) AS term_micro
+        |  FROM tfq t JOIN dfq USING (w) JOIN lens USING (doc_id), stats)
+        |SELECT doc_id, bm25_micro, n_terms FROM (
+        |  SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS bm25_micro,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM s GROUP BY doc_id
+        |  ORDER BY bm25_micro DESC, doc_id LIMIT 10)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_ws_tokens,
