@@ -144,6 +144,8 @@ object Bench {
     "q_hard_negatives",
     "q_tfidf",
     "q_bm25",
+    "q_skipgram_pairs",
+    "q_anomaly_zscore",
     "q_bpe_train",
     "q_bpe_tokenize",
     "q_bpe_fertility",

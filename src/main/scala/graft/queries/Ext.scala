@@ -1357,6 +1357,53 @@ object Ext {
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("w"), col("tfidf_micro"), col("rk")))
     }),
+    // SKIP-GRAM (word, context) pair extraction, window ±2 — the
+    // training-pair prep for word2vec-family embedding training over a
+    // corpus. lead() over the per-doc position window generates each
+    // ordered pair once at distance 1 and 2; both directions then
+    // materialize by symmetry (union of (w,c) and (c,w)) — one token
+    // shuffle total, top-100 pairs reported. At 100 TB this is the
+    // shape that feeds negative-sampling batches.
+    "q_skipgram_pairs" -> ((s, dir) => {
+      val byPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = t(s, dir, "documents")
+        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
+        .filter(col("w") =!= "")
+      val fwd = toks
+        .withColumn("c1", lead(col("w"), 1).over(byPos))
+        .withColumn("c2", lead(col("w"), 2).over(byPos))
+      val pairs = fwd.filter(col("c1").isNotNull)
+        .select(col("w"), col("c1").as("c"))
+        .unionAll(fwd.filter(col("c2").isNotNull)
+          .select(col("w"), col("c2").as("c")))
+      val sym = pairs.unionAll(pairs.select(col("c").as("w"), col("w").as("c")))
+      ord(sym.groupBy("w", "c").agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("w"), col("c")).limit(100))
+    }),
+    // per-entity Z-SCORE anomaly flags: mean/σ per user from EXACT
+    // decimal power sums (the q_stats_agg contract — identical doubles
+    // both engines), events beyond mean+3σ flagged; the monitoring
+    // sweep every event pipeline runs. One aggregate + one broadcast
+    // join back — the corpus is scanned twice, shuffled once.
+    "q_anomaly_zscore" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).as("s1"),
+        sum((col("value").cast("decimal(28,10)") *
+          col("value").cast("decimal(28,10)")).cast("decimal(38,10)")).as("s2"))
+        .withColumn("mean", col("s1").cast("double") / col("n"))
+        .withColumn("sd", sqrt(
+          (col("s2").cast("double") - col("s1").cast("double") *
+            col("s1").cast("double") / col("n")) / col("n")))
+      ord(ev.join(broadcast(stats.select("user_id", "n", "mean", "sd")), "user_id")
+        .groupBy("user_id")
+        .agg(max(col("n")).as("n_events"),
+          sum(when(col("value") > col("mean") + lit(3.0) * col("sd"), 1L)
+            .otherwise(0L)).as("n_outliers")))
+    }),
+
     // BM25 retrieval scoring (Robertson-Spärck Jones, k1=1.2 b=0.75):
     // rank the corpus for a keyword query — the retrieval scorer behind
     // search-based curation (finding docs about a topic to up/downweight)
@@ -2588,6 +2635,39 @@ object Ext {
         |      FROM s)
         |SELECT doc_id, w, tfidf_micro, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_skipgram_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i AS pos, ws[i + 1] AS w FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS ws
+        |    FROM documents), unnest(range(0, len(ws))) AS u(i)),
+        |fwd AS (SELECT doc_id, pos, w,
+        |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS c1,
+        |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c2
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT w, c1 AS c FROM fwd WHERE c1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT w, c2 AS c FROM fwd WHERE c2 IS NOT NULL),
+        |sym AS (SELECT w, c FROM pairs UNION ALL SELECT c AS w, w AS c FROM pairs)
+        |SELECT w, c, n_pairs FROM (
+        |  SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sym GROUP BY w, c
+        |  ORDER BY n_pairs DESC, w, c LIMIT 100)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH st AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(28,10))) AS s1,
+        |    SUM(CAST(CAST(value AS DECIMAL(28,10)) * CAST(value AS DECIMAL(28,10))
+        |        AS DECIMAL(38,10))) AS s2
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, n, CAST(s1 AS DOUBLE) / n AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n) AS sd
+        |  FROM st)
+        |SELECT e.user_id, CAST(max(m.n) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN e.value > m.mean + 3.0e0 * m.sd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM events e JOIN m ON e.user_id = m.user_id
+        |GROUP BY e.user_id ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_bm25" ->
       """WITH words AS (
         |  SELECT doc_id, w FROM (
