@@ -151,6 +151,7 @@ object Bench {
     "q_bpe_fertility",
     "q_fingerprint",
     "q_mm_frame_dedup",
+    "q_mm_phash",
     "q_mm_decode")
 
   def main(args: Array[String]): Unit = {

@@ -1496,6 +1496,58 @@ object Ext {
     // value-check dimensions, byte count and the (0,0) pixel's R,G,B
     // (the digest's first three bytes). A codec parse bug now fails
     // correctness, not just a ScalaTest.
+    // PERCEPTUAL image near-dup (dHash, Krawetz): decode → nearest-
+    // resample to 9×8 through the REAL PpmCodec path → BT.601 integer
+    // luminance → 64 horizontal-gradient bits packed into one BIGINT →
+    // 4×16-bit banded candidate pairs within Hamming ≤ 6. This is the
+    // visual-duplicate detector byte-exact dedup (q_mm_frame_dedup)
+    // cannot be: re-encoded/resized copies keep their gradient
+    // structure. Image dims derive from the payload's own first bytes,
+    // so byte-identical payloads land identical hashes. All integer
+    // arithmetic — the oracle replays decode, resample, luminance,
+    // gradient, banding, and Hamming from the md5-constructed pixels.
+    "q_mm_phash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val ph = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(Option(text).getOrElse("").getBytes("UTF-8"))
+          val w = ((md(0) & 0xff) % 31) + 1
+          val h = ((md(1) & 0xff) % 17) + 1
+          val payload = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+            Array.tabulate(w * h * 3)(i => md(i % 16))
+          val r = graft.operators.PpmCodec.resampleNearest(payload, 9, 8)
+          val (_, _, _, off) = graft.operators.PpmCodec.header(r)
+          def lum(x: Int, y: Int): Int = {
+            val p = off + (y * 9 + x) * 3
+            (299 * (r(p) & 0xff) + 587 * (r(p + 1) & 0xff) +
+              114 * (r(p + 2) & 0xff)) / 1000
+          }
+          var sig = 0L
+          var i = 0
+          while (i < 64) {
+            val x = i % 8; val y = i / 8
+            if (lum(x + 1, y) > lum(x, y)) sig |= (1L << i)
+            i += 1
+          }
+          (id, sig)
+        }).toDF("doc_id", "phash")
+        .localCheckpoint(true) // one decode pass; both join sides read it
+      val banded = ph.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bkey",
+          expr("shiftright(phash, cast(band * 16 as int)) & 65535"))
+      ord(banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("cast(bit_count(a.phash ^ b.phash) as int)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6))
+    }),
+
     "q_mm_decode_real" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -3173,6 +3225,34 @@ object Ext {
         |GROUP BY dc.source ORDER BY ALL NULLS FIRST""".stripMargin,
     // replicates the payload CONSTRUCTION arithmetic, while Spark's side
     // actually parses the bytes it built — a codec bug breaks the match
+    "q_mm_phash" ->
+      s"""WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+         |m AS (SELECT doc_id,
+         |    [CAST('0x' || substr(hx, 2*j + 1, 2) AS INT) FOR j IN range(16)] AS mb
+         |  FROM d),
+         |dim AS (SELECT doc_id, mb, mb[1] % 31 + 1 AS w, mb[2] % 17 + 1 AS h FROM m),
+         |lums AS (SELECT doc_id, [
+         |    (299 * mb[(((((i//9)*h//8)*w + ((i%9)*w//9))*3) % 16) + 1]
+         |   + 587 * mb[(((((i//9)*h//8)*w + ((i%9)*w//9))*3 + 1) % 16) + 1]
+         |   + 114 * mb[(((((i//9)*h//8)*w + ((i%9)*w//9))*3 + 2) % 16) + 1]) // 1000
+         |    FOR i IN range(72)] AS lg
+         |  FROM dim),
+         |ph0 AS (SELECT doc_id, list_sum([
+         |    CASE WHEN lg[(i//8)*9 + (i%8) + 2] > lg[(i//8)*9 + (i%8) + 1]
+         |         THEN (1::HUGEINT << i) ELSE 0::HUGEINT END
+         |    FOR i IN range(64)]) AS pu
+         |  FROM lums),
+         |ph AS (SELECT doc_id,
+         |    CAST(CASE WHEN pu >= $M63 THEN pu - $M64 ELSE pu END AS BIGINT) AS phash
+         |  FROM ph0),
+         |banded AS (SELECT doc_id, phash, b AS band, (phash >> (b*16)) & 65535 AS bkey
+         |           FROM ph, range(4) r(b)),
+         |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_decode_real" ->
       """SELECT doc_id,
         |  CAST(length('P6' || chr(10) || CAST(doc_id % 31 + 1 AS VARCHAR) || ' ' ||
