@@ -152,6 +152,7 @@ object Bench {
     "q_fingerprint",
     "q_mm_frame_dedup",
     "q_mm_phash",
+    "q_mm_audio",
     "q_mm_decode")
 
   def main(args: Array[String]): Unit = {

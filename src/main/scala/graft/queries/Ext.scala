@@ -1496,6 +1496,46 @@ object Ext {
     // value-check dimensions, byte count and the (0,0) pixel's R,G,B
     // (the digest's first three bytes). A codec parse bug now fails
     // correctness, not just a ScalaTest.
+    // AUDIO-style windowed energy analysis — the waveform third of the
+    // multimodal trio (image=q_mm_phash, video=q_mm_frames): treat the
+    // payload as 8-bit PCM, slide 64-sample windows at stride 32,
+    // compute exact integer energy Σ(s−128)² per window, and gate
+    // activity at a fixed threshold (the VAD-shaped primitive real
+    // audio curation runs to drop silence/noise-only clips). Per-doc
+    // output: sample/window counts, active windows, peak energy — all
+    // integers, so the oracle replays the whole window sweep from the
+    // md5-constructed samples. Batch shape: one narrow mapPartitions
+    // pass, no shuffle before the presentation sort.
+    "q_mm_audio" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      ord(t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(Option(text).getOrElse("").getBytes("UTF-8"))
+          val n = (md(0) & 0xff) * 16 + 256
+          def sample(i: Int): Int = md(i % 16) & 0xff
+          val nw = (n - 64) / 32 + 1
+          var active = 0L
+          var maxE = 0L
+          var k = 0
+          while (k < nw) {
+            var e = 0L
+            var j = 0
+            while (j < 64) {
+              val d = sample(k * 32 + j) - 128
+              e += d.toLong * d
+              j += 1
+            }
+            if (e > 350000L) active += 1
+            if (e > maxE) maxE = e
+            k += 1
+          }
+          (id, n.toLong, nw.toLong, active, maxE)
+        }).toDF("doc_id", "n_samples", "n_windows", "n_active", "max_energy"))
+    }),
+
     // PERCEPTUAL image near-dup (dHash, Krawetz): decode → nearest-
     // resample to 9×8 through the REAL PpmCodec path → BT.601 integer
     // luminance → 64 horizontal-gradient bits packed into one BIGINT →
@@ -3225,6 +3265,21 @@ object Ext {
         |GROUP BY dc.source ORDER BY ALL NULLS FIRST""".stripMargin,
     // replicates the payload CONSTRUCTION arithmetic, while Spark's side
     // actually parses the bytes it built — a codec bug breaks the match
+    "q_mm_audio" ->
+      """WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+        |m AS (SELECT doc_id,
+        |    [CAST('0x' || substr(hx, 2*j + 1, 2) AS INT) FOR j IN range(16)] AS mb
+        |  FROM d),
+        |par AS (SELECT doc_id, mb, mb[1] * 16 + 256 AS n FROM m),
+        |en AS (SELECT doc_id, n, (n - 64) // 32 + 1 AS nw,
+        |    [list_sum([(mb[((k*32 + j) % 16) + 1] - 128) * (mb[((k*32 + j) % 16) + 1] - 128)
+        |               FOR j IN range(64)])
+        |     FOR k IN range((n - 64) // 32 + 1)] AS es
+        |  FROM par)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, CAST(nw AS BIGINT) AS n_windows,
+        |  CAST(len([e FOR e IN es IF e > 350000]) AS BIGINT) AS n_active,
+        |  CAST(list_max(es) AS BIGINT) AS max_energy
+        |FROM en ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_phash" ->
       s"""WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
          |m AS (SELECT doc_id,
