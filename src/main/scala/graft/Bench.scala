@@ -136,6 +136,7 @@ object Bench {
     "q_pack_sequences",
     "q_pack_bpe",
     "q_chunk_docs",
+    "q_chunk_cdc",
     "q_dedup_chunks",
     "q_split_train_test",
     "q_shuffle_train_order",

@@ -105,6 +105,56 @@ object MinWindowHash {
   }
 }
 
+/** Content-defined chunking cut count (the rsync/FastCDC boundary rule
+  * without the length guards): a chunk boundary falls after every `w`-byte
+  * window whose rolling hash has its low 6 bits zero (expected chunk ≈ 64
+  * bytes at this mask). Boundaries depend only on LOCAL content, so an
+  * insertion reshapes at most the chunks it touches — the property that
+  * makes chunk-level dedup stable under edits, unlike fixed-stride
+  * chunking where one inserted byte shifts every later boundary. Returns
+  * the number of qualifying cut positions; chunks = cuts + 1. */
+case class CdcCuts(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, "window must be positive")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cdc_cuts"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      CdcCuts.evalCuts(input.asInstanceOf[UTF8String].getBytes, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcCuts.evalCuts($c.getBytes(), $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcCuts =
+    copy(child = newChild)
+}
+
+object CdcCuts {
+  /** Named `evalCuts`, not `eval` — see the MinWindowHash forwarder note. */
+  def evalCuts(bytes: Array[Byte], w: Int): Long = {
+    val n = bytes.length
+    if (n < w) return 0L
+    var pow = 1L
+    var i = 0
+    while (i < w - 1) { pow *= RollingHash.Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * RollingHash.Base + (bytes(i) & 0xffL); i += 1 }
+    var cuts = if ((h & 63L) == 0L) 1L else 0L
+    i = w
+    while (i < n) {
+      h = (h - (bytes(i - w) & 0xffL) * pow) * RollingHash.Base + (bytes(i) & 0xffL)
+      if ((h & 63L) == 0L) cuts += 1
+      i += 1
+    }
+    cuts
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def cdc_cuts(c: Column, w: Int): Column = column(CdcCuts(expression(c), w))
+}
+
 object RollingHash {
   final val Base = 1000003L
 

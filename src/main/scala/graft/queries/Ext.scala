@@ -1437,6 +1437,23 @@ object Ext {
         .orderBy(col("bm25_micro").desc, col("doc_id")).limit(10))
     }),
 
+    // CONTENT-DEFINED chunking audit (rsync/FastCDC boundary rule):
+    // chunk cuts fall where the 32-byte rolling window hash has its low
+    // 6 bits zero — boundaries depend only on LOCAL bytes, so an edit
+    // reshapes at most the chunks it touches, which is what makes
+    // chunk-level dedup stable under insertions (fixed-stride chunking
+    // shifts every boundary after one inserted byte; cf. q_chunk_docs'
+    // stride windows). One codegen'd cdc_cuts pass per doc, zero
+    // shuffles before the presentation sort; the oracle recomputes
+    // every window hash mod 2^64 from the document bytes.
+    "q_chunk_cdc" -> ((s, dir) => {
+      ord(t(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("bigint").as("n_bytes"),
+          graft.functions.CdcCuts.cdc_cuts(col("text"), 32).as("n_cuts"))
+        .withColumn("n_chunks", col("n_cuts") + 1))
+    }),
+
     // document fingerprinting: custom codegen'd Catalyst expressions
     // (rolling polynomial hash + winnowing-style min-window hash)
     "q_fingerprint" -> ((s, dir) => {
@@ -2250,6 +2267,22 @@ object Ext {
         |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM cap WHERE rk <= 100 GROUP BY 1, 2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_chunk_cdc" ->
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hxx, octet_length(encode(text)) AS nb FROM documents),
+         |bytes AS (SELECT doc_id, nb,
+         |    [CAST('0x' || substr(hxx, 2*i + 1, 2) AS BIGINT) FOR i IN range(nb)] AS bs
+         |  FROM h),
+         |cuts AS (SELECT doc_id, nb,
+         |    CASE WHEN nb < 32 THEN 0 ELSE
+         |      len([i FOR i IN range(nb - 31)
+         |           IF list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |                list_transform(bs[i+1:i+32], b -> CAST(b AS HUGEINT))),
+         |                (a, b) -> (a * 1000003 + b) % $M64) % 64 = 0])
+         |    END AS n_cuts
+         |  FROM bytes)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, CAST(n_cuts AS BIGINT) AS n_cuts,
+         |  CAST(n_cuts + 1 AS BIGINT) AS n_chunks
+         |FROM cuts ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_fingerprint" ->
       s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
          |bytes AS (SELECT doc_id, nb, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(nb)] AS bs FROM h),

@@ -76,6 +76,25 @@ class CodegenSpec extends SparkSpec {
         .select(zorder_key(col("a"), col("b")).as("z")).collect()
       assert(zk.head.getLong(0) == graft.functions.ZOrderKey.interleave(3L, 5L))
 
+      import graft.functions.CdcCuts.cdc_cuts
+      val cdcText = "the quick brown fox jumps over the lazy dog " * 20
+      val cdcDf = Seq(cdcText, "short").toDF("text")
+        .select(cdc_cuts(col("text"), 32).as("c")).collect()
+      // naive reference: hash every 32-byte window independently
+      def naiveCuts(s: String): Long = {
+        val b = s.getBytes("UTF-8")
+        (0 to b.length - 32).count { i =>
+          var h = 0L
+          (i until i + 32).foreach(j => h = h * 1000003L + (b(j) & 0xffL))
+          (h & 63L) == 0L
+        }.toLong
+      }
+      assert(cdcDf(0).getLong(0) == naiveCuts(cdcText))
+      assert(cdcDf(1).getLong(0) == 0L, "below one window -> no cuts")
+      // local-content stability: appending bytes never changes earlier cuts
+      assert(graft.functions.CdcCuts.evalCuts((cdcText + "APPENDED TAIL").getBytes("UTF-8"), 32)
+        >= graft.functions.CdcCuts.evalCuts(cdcText.getBytes("UTF-8"), 32))
+
       import graft.functions.WordScan.word_scan
       val ws = Seq("The cat and the dog, a big dog.")
         .toDF("text").select(word_scan(col("text"), Seq("the", "a", "dog"), 2).as("sc"))
