@@ -155,6 +155,70 @@ object CdcCuts {
   def cdc_cuts(c: Column, w: Int): Column = column(CdcCuts(expression(c), w))
 }
 
+/** Per-chunk hashes at content-defined boundaries: the payload is split
+  * after every `w`-byte window whose hash has its low 6 bits zero (the
+  * [[CdcCuts]] rule), and each resulting chunk gets the full polynomial
+  * rolling hash of its own bytes (the [[RollingHash]] family, wrapping
+  * 2^64). Texts shorter than one window are a single chunk. The array
+  * feeds chunk-level dedup: shared content between edited copies lands
+  * identical chunk hashes even when surrounding bytes moved. */
+case class CdcChunkHashes(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, "window must be positive")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunk_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      CdcChunkHashes.evalChunks(input.asInstanceOf[UTF8String].getBytes, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.CdcChunkHashes.evalChunks($c.getBytes(), $w));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkHashes =
+    copy(child = newChild)
+}
+
+object CdcChunkHashes {
+  /** Named `evalChunks`, not `eval` — see the MinWindowHash forwarder
+    * note. A cut closes the chunk at the LAST byte of the qualifying
+    * window; the trailing remainder (if non-empty) is the final chunk. */
+  def evalChunks(bytes: Array[Byte], w: Int): Array[Long] = {
+    val n = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def hashRange(from: Int, until: Int): Long = {
+      var h = 0L
+      var i = from
+      while (i < until) { h = h * RollingHash.Base + (bytes(i) & 0xffL); i += 1 }
+      h
+    }
+    if (n == 0) return Array(0L)
+    if (n < w) return Array(hashRange(0, n))
+    var pow = 1L
+    var i = 0
+    while (i < w - 1) { pow *= RollingHash.Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * RollingHash.Base + (bytes(i) & 0xffL); i += 1 }
+    var start = 0
+    if ((h & 63L) == 0L) { out += hashRange(start, w); start = w }
+    i = w
+    while (i < n) {
+      h = (h - (bytes(i - w) & 0xffL) * pow) * RollingHash.Base + (bytes(i) & 0xffL)
+      if ((h & 63L) == 0L) { out += hashRange(start, i + 1); start = i + 1 }
+      i += 1
+    }
+    if (start < n) out += hashRange(start, n)
+    out.toArray
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def cdc_chunk_hashes(c: Column, w: Int): Column =
+    column(CdcChunkHashes(expression(c), w))
+}
+
 object RollingHash {
   final val Base = 1000003L
 
