@@ -280,6 +280,57 @@ object Annotators {
   }
 
   // --------------------------------------------------------------------
+  // NER-EXT: the reference's extended-NER variant view — same service
+  // contract as "ner" but a RICHER TYPE ONTOLOGY, stored under the
+  // distinct view name "ner-ext" alongside the base view
+  // (`CuratorClient.java:1022-1058`: provide("ner-ext", ...) then reads
+  // record.getLabelViews().get("ner-ext") next to "ner"). Registered
+  // through the open registry (AnnotationEngine.withOperator), exactly
+  // how a deployment hosts any extra view. Deterministic shape rules so
+  // the DuckDB oracle replays them:
+  //   capitalized runs: month-led -> DATE, multi-token -> ORG,
+  //                     single token -> PERSON;
+  //   numeric tokens:   19xx/20xx -> DATE, >= 7 digits -> ID,
+  //                     otherwise CARDINAL.
+  // --------------------------------------------------------------------
+  object NerExtTagger extends ViewOperator {
+    val mode = AnnotationMode.NER
+    val version = "1.0-ext" // distinct source: never reads as a fresh "ner"
+    private val Months = Set("january", "february", "march", "april", "may",
+      "june", "july", "august", "september", "october", "november", "december")
+    private val YearPattern = java.util.regex.Pattern.compile("(19|20)[0-9][0-9]")
+    private val IdPattern = java.util.regex.Pattern.compile("[0-9]{7,}")
+    def apply(r: Record): Record = {
+      val base = NerTagger(r) // the base view rides along, like the reference
+      val toks = base.labelViews.get("tokens").map(_.labels)
+        .getOrElse(tokenSpans(base.rawText, source))
+      val out = Vector.newBuilder[Span]
+      var i = 0
+      while (i < toks.size) {
+        val t = toks(i)
+        if (t.label.nonEmpty && t.label.head.isUpper) {
+          var j = i + 1
+          while (j < toks.size && toks(j).label.nonEmpty && toks(j).label.head.isUpper) j += 1
+          val lab =
+            if (Months(t.label.toLowerCase)) "DATE"
+            else if (j - i >= 2) "ORG"
+            else "PERSON"
+          out += Span(t.start, toks(j - 1).ending, lab, 1.0, source, Map.empty)
+          i = j
+        } else if (NerTagger.CardinalPattern.matcher(t.label).matches()) {
+          val lab =
+            if (YearPattern.matcher(t.label).matches()) "DATE"
+            else if (IdPattern.matcher(t.label).matches()) "ID"
+            else "CARDINAL"
+          out += Span(t.start, t.ending, lab, 1.0, source, Map.empty)
+          i += 1
+        } else i += 1
+      }
+      addLabel(base, "ner-ext", Labeling(out.result(), source, 1.0))
+    }
+  }
+
+  // --------------------------------------------------------------------
   // PARSE ("charniak"): deterministic shallow constituency tree per
   // sentence: S -> chunk nodes -> token leaves. Nodes stored preorder,
   // `top` = root index, children edges unlabeled (constituency).

@@ -145,6 +145,27 @@ object Annotation {
         expr("size(filter(labelViews['ner'].labels, x -> x.label = 'MISC'))").as("n_entities"),
         expr("size(filter(labelViews['ner'].labels, x -> x.label = 'CARDINAL'))").as("n_cardinals")))
     }),
+    // NER-EXT: the reference's extended-NER variant view
+    // (`CuratorClient.java:1022-1058`) hosted through the OPEN registry —
+    // the dynamic-view path a deployment uses for any extra annotator.
+    // The corpus is a deterministic composite sentence per customer so
+    // all five extended types actually occur (bare c_name exercises only
+    // PERSON + ID); the oracle replays the run/number classification
+    // rules in SQL and counts per type.
+    "q_annotate_ner_ext" -> ((s, dir) => {
+      val txt = t(s, dir, "customer").select(concat(col("c_name"),
+        lit(" met Acme Corp in January 1995 buying "),
+        (col("c_custkey") % 50).cast("string"), lit(" units")).as("text"))
+      val engExt = eng.withOperator(graft.operators.Annotators.NerExtTagger)
+      val ann = engExt.annotate(Sources.fromTextColumn(txt, "text"), M.NER)
+      def n(lab: String) =
+        expr(s"size(filter(labelViews['ner-ext'].labels, x -> x.label = '$lab'))")
+      ord(ann.toDF.select(
+        md5(col("rawText")).as("h"),
+        n("PERSON").as("n_person"), n("ORG").as("n_org"),
+        n("DATE").as("n_date"), n("ID").as("n_id"),
+        n("CARDINAL").as("n_cardinal")))
+    }),
     // WIKI: entity linking summary (title/url attributes)
     "q_annotate_wiki" -> ((s, dir) => {
       val ann = eng.annotate(corpus(s, dir, "customer", "c_name"), M.WIKI)
@@ -312,6 +333,39 @@ object Annotation {
          |FROM toks
          |LEFT JOIN (SELECT h, count(DISTINCT grp) AS n FROM caps GROUP BY h) c ON toks.h = c.h
          |LEFT JOIN nums ON toks.h = nums.h
+         |GROUP BY toks.h
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_annotate_ner_ext" ->
+      s"""WITH base AS (SELECT DISTINCT c_name || ' met Acme Corp in January 1995 buying '
+         |    || CAST(c_custkey % 50 AS VARCHAR) || ' units' AS text
+         |  FROM customer WHERE length(c_name) > 0),
+         |toks AS (SELECT md5(text) AS h, regexp_extract_all(text, $tokRegexSql) AS l FROM base),
+         |tk AS (SELECT h, i, l[i] AS tok,
+         |    CASE WHEN regexp_matches(l[i], '^[A-Z]') THEN 'CAP'
+         |         WHEN regexp_matches(l[i], '^[0-9]+([.,][0-9]+)?$$') THEN 'NUM'
+         |         ELSE 'O' END AS kind
+         |  FROM toks, unnest(generate_series(1, len(l))) AS u(i)),
+         |runs AS (SELECT h, grp, count(*) AS n_toks, min(i) AS fi FROM (
+         |    SELECT h, i, i - row_number() OVER (PARTITION BY h ORDER BY i) AS grp
+         |    FROM tk WHERE kind = 'CAP') GROUP BY h, grp),
+         |rl AS (SELECT r.h,
+         |    CASE WHEN lower(t.tok) IN ('january','february','march','april','may','june',
+         |           'july','august','september','october','november','december') THEN 'DATE'
+         |         WHEN r.n_toks >= 2 THEN 'ORG' ELSE 'PERSON' END AS lab
+         |  FROM runs r JOIN tk t ON t.h = r.h AND t.i = r.fi),
+         |nl AS (SELECT h,
+         |    CASE WHEN regexp_matches(tok, '^(19|20)[0-9][0-9]$$') THEN 'DATE'
+         |         WHEN regexp_matches(tok, '^[0-9]{7,}$$') THEN 'ID'
+         |         ELSE 'CARDINAL' END AS lab
+         |  FROM tk WHERE kind = 'NUM'),
+         |lab AS (SELECT h, lab FROM rl UNION ALL SELECT h, lab FROM nl)
+         |SELECT toks.h,
+         |  CAST(coalesce(SUM(CASE WHEN lab.lab = 'PERSON' THEN 1 END), 0) AS INT) AS n_person,
+         |  CAST(coalesce(SUM(CASE WHEN lab.lab = 'ORG' THEN 1 END), 0) AS INT) AS n_org,
+         |  CAST(coalesce(SUM(CASE WHEN lab.lab = 'DATE' THEN 1 END), 0) AS INT) AS n_date,
+         |  CAST(coalesce(SUM(CASE WHEN lab.lab = 'ID' THEN 1 END), 0) AS INT) AS n_id,
+         |  CAST(coalesce(SUM(CASE WHEN lab.lab = 'CARDINAL' THEN 1 END), 0) AS INT) AS n_cardinal
+         |FROM toks LEFT JOIN lab ON lab.h = toks.h
          |GROUP BY toks.h
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_annotate_stanford" ->

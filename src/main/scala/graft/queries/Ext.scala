@@ -1453,6 +1453,26 @@ object Ext {
           graft.functions.CdcCuts.cdc_cuts(col("text"), 32).as("n_cuts"))
         .withColumn("n_chunks", col("n_cuts") + 1))
     }),
+    // CDC-boundary chunk dedup — q_dedup_chunks with CONTENT-DEFINED
+    // chunks instead of fixed 64-word strides: each doc splits at the
+    // q_chunk_cdc cut rule and every chunk gets the full polynomial
+    // rolling hash of its own bytes (codegen'd cdc_chunk_hashes, one
+    // map-side pass). Shared content between edited copies lands
+    // identical chunk hashes even when surrounding bytes moved — the
+    // property fixed-stride chunking loses after one insertion. Only
+    // the 8-byte chunk keys shuffle (groupBy), never chunk text.
+    "q_dedup_chunks_cdc" -> ((s, dir) => {
+      import graft.functions.CdcChunkHashes.cdc_chunk_hashes
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(cdc_chunk_hashes(col("text"), 32))
+            .as(Seq("chunk_idx", "chunk_key")))
+      ord(chunks.groupBy("chunk_key")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1))
+    }),
 
     // document fingerprinting: custom codegen'd Catalyst expressions
     // (rolling polynomial hash + winnowing-style min-window hash)
@@ -1506,13 +1526,6 @@ object Ext {
         .groupBy(md5(col("payload")).as("h"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper")))
     }),
-    // the REAL codec through the driver gate: synthesize a valid P6
-    // payload per document (dims from doc_id, plane bytes cycling the
-    // text's md5 digest), decode it with PpmCodec — actual header
-    // parsing and plane indexing, not a stub — and let the oracle
-    // value-check dimensions, byte count and the (0,0) pixel's R,G,B
-    // (the digest's first three bytes). A codec parse bug now fails
-    // correctness, not just a ScalaTest.
     // AUDIO-style windowed energy analysis — the waveform third of the
     // multimodal trio (image=q_mm_phash, video=q_mm_frames): treat the
     // payload as 8-bit PCM, slide 64-sample windows at stride 32,
@@ -1605,6 +1618,13 @@ object Ext {
         .filter(col("hamming") <= 6))
     }),
 
+    // the REAL codec through the driver gate: synthesize a valid P6
+    // payload per document (dims from doc_id, plane bytes cycling the
+    // text's md5 digest), decode it with PpmCodec — actual header
+    // parsing and plane indexing, not a stub — and let the oracle
+    // value-check dimensions, byte count and the (0,0) pixel's R,G,B
+    // (the digest's first three bytes). A codec parse bug now fails
+    // correctness, not just a ScalaTest.
     "q_mm_decode_real" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -2283,6 +2303,36 @@ object Ext {
          |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, CAST(n_cuts AS BIGINT) AS n_cuts,
          |  CAST(n_cuts + 1 AS BIGINT) AS n_chunks
          |FROM cuts ORDER BY ALL NULLS FIRST""".stripMargin,
+    // replays every cut position (window hash mod 2^64, low 6 bits
+    // zero), splits the byte list at the cuts (+ trailing remainder),
+    // re-hashes each chunk with the same polynomial, and groups on the
+    // signed 64-bit chunk key exactly like the Spark side
+    "q_dedup_chunks_cdc" ->
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
+         |bytes AS (SELECT doc_id, nb, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(nb)] AS bs FROM h),
+         |cuts AS (SELECT doc_id, nb, bs,
+         |    [i + 32 FOR i IN range(nb - 31)
+         |     IF list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |          list_transform(bs[i+1:i+32], b -> CAST(b AS HUGEINT))),
+         |          (a, b) -> (a * 1000003 + b) % $M64) % 64 = 0] AS cs
+         |  FROM bytes),
+         |bounds AS (SELECT doc_id, bs,
+         |    list_concat(list_prepend(0, cs),
+         |      CASE WHEN len(cs) = 0 THEN [nb]
+         |           WHEN cs[len(cs)] < nb THEN [nb]
+         |           ELSE [] END) AS bd
+         |  FROM cuts),
+         |ch AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      list_transform(bs[bd[ci+1]+1 : bd[ci+2]], b -> CAST(b AS HUGEINT))),
+         |      (a, b) -> (a * 1000003 + b) % $M64) AS hu
+         |  FROM bounds, unnest(range(len(bd) - 1)) AS u(ci))
+         |SELECT CAST(CASE WHEN hu >= $M63 THEN hu - $M64 ELSE hu END AS BIGINT) AS chunk_key,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc
+         |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_fingerprint" ->
       s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
          |bytes AS (SELECT doc_id, nb, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(nb)] AS bs FROM h),

@@ -141,9 +141,13 @@ object Relational {
     // count_min_sketch aggregate), CmsSketch.cms_union folds the daily
     // sketches into the week, and the top-20 exact heavy hitters probe
     // the merged sketch. CMS guarantees est >= exact unconditionally and
-    // est <= exact + eps*N at the sketch confidence; both are asserted
-    // per key (the same bound-check oracle contract as q_hll_union). At
-    // 100 TB the rollup reads |days| 8-KB sketches, not rows.
+    // est <= exact + eps*N with probability 1-delta PER PROBE; 20
+    // probed keys make a single-tail miss plausible on another dataset,
+    // so the asserted bound is the looser 2*eps*N (a valid sketch
+    // essentially never misses it; a broken union still trips it by
+    // orders of magnitude). Both asserted per key (the same bound-check
+    // oracle contract as q_hll_union). At 100 TB the rollup reads
+    // |days| 8-KB sketches, not rows.
     "q_cms_union" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val daily = ev.groupBy(to_date(col("ts")).as("day"))
@@ -160,7 +164,7 @@ object Relational {
         .select(col("user_id"), col("exact_cnt"),
           (col("est") >= col("exact_cnt")).as("never_under"),
           (col("est") <= col("exact_cnt") +
-            ceil(col("n_total") * lit(0.001)).cast("long")).as("within_bound")))
+            ceil(col("n_total") * lit(0.002)).cast("long")).as("within_bound")))
     }),
 
     // pivot: long-to-wide over a low-cardinality column (explicit value
@@ -949,8 +953,12 @@ object Relational {
         .filter(col("op").isNotNull)
         .unionByName(t(s, dir, "orders")
           .filter(col("o_orderkey") % 10 === 2)
+          // insert keys NEGATED, not offset: orderkeys are positive at
+          // every SF, so -k can never collide with a snapshot key (an
+          // additive offset silently turns inserts into updates once
+          // real keys pass it — at SF>=2 they exceed 10M)
           .select(lit("I").as("op"),
-            (col("o_orderkey") + 10000000L).as("c_orderkey"),
+            (-col("o_orderkey")).as("c_orderkey"),
             lit("N").as("c_status"),
             col("o_totalprice").as("c_totalprice")))
       ord(snap.join(changes, col("o_orderkey") === col("c_orderkey"), "full_outer")
@@ -1890,7 +1898,7 @@ object Relational {
         |    o_totalprice * 2 AS c_totalprice
         |  FROM orders WHERE o_orderkey % 10 IN (0, 1)
         |  UNION ALL
-        |  SELECT 'I', o_orderkey + 10000000, 'N', o_totalprice
+        |  SELECT 'I', -o_orderkey, 'N', o_totalprice
         |  FROM orders WHERE o_orderkey % 10 = 2),
         |m AS (
         |  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,

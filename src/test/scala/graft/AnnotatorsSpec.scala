@@ -86,6 +86,22 @@ class AnnotatorsSpec extends AnyFunSuite {
     assert(ner.exists(s => s.label == "CARDINAL" && text.substring(s.start, s.ending) == "2"))
   }
 
+  test("ner-ext: extended ontology rides next to the base view") {
+    val t2 = "Alice met Acme Corp in January 1995 buying 7 units id 12345678"
+    val r = graft.operators.Annotators.NerExtTagger(Record.fresh(t2))
+    assert(r.labelViews.contains("ner"), "base view must ride along")
+    val ext = r.labelViews("ner-ext").labels
+    def surf(s: graft.model.Span) = t2.substring(s.start, s.ending)
+    assert(ext.exists(s => s.label == "PERSON" && surf(s) == "Alice"))
+    assert(ext.exists(s => s.label == "ORG" && surf(s) == "Acme Corp"))
+    assert(ext.exists(s => s.label == "DATE" && surf(s) == "January"))
+    assert(ext.exists(s => s.label == "DATE" && surf(s) == "1995"))
+    assert(ext.exists(s => s.label == "CARDINAL" && surf(s) == "7"))
+    assert(ext.exists(s => s.label == "ID" && surf(s) == "12345678"))
+    // distinct source: never mistaken for a fresh base "ner"
+    assert(r.viewSource("ner-ext") != r.viewSource("ner"))
+  }
+
   test("parse: one tree per sentence, valid top and child indices") {
     val r = annotated(M.PARSE)
     val forest = r.parseViews("charniak")

@@ -95,6 +95,41 @@ class CodegenSpec extends SparkSpec {
       assert(graft.functions.CdcCuts.evalCuts((cdcText + "APPENDED TAIL").getBytes("UTF-8"), 32)
         >= graft.functions.CdcCuts.evalCuts(cdcText.getBytes("UTF-8"), 32))
 
+      import graft.functions.CdcChunkHashes.cdc_chunk_hashes
+      // naive independent reference: find every cut (window hash low 6
+      // bits zero, each window hashed from scratch), split at the cuts,
+      // fold each chunk's bytes separately
+      def naiveChunks(s: String): Seq[Long] = {
+        val b = s.getBytes("UTF-8")
+        def rangeHash(from: Int, until: Int): Long = {
+          var h = 0L
+          (from until until).foreach(j => h = h * 1000003L + (b(j) & 0xffL))
+          h
+        }
+        if (b.isEmpty) Seq(0L)
+        else {
+          val cutEnds = (0 to b.length - 32).filter { i =>
+            (rangeHash(i, i + 32) & 63L) == 0L
+          }.map(_ + 32)
+          val bounds = (0 +: cutEnds) :+ b.length
+          bounds.zip(bounds.tail).collect {
+            case (s0, e0) if e0 > s0 => rangeHash(s0, e0)
+          }
+        }
+      }
+      val chDf = Seq(cdcText, "short", "").toDF("text")
+        .select(cdc_chunk_hashes(col("text"), 32).as("c")).collect()
+      assert(chDf(0).getSeq[Long](0) == naiveChunks(cdcText), "chunk hashes at cuts")
+      assert(chDf(1).getSeq[Long](0) == naiveChunks("short"),
+        "below one window -> single whole-text chunk")
+      assert(chDf(2).getSeq[Long](0) == Seq(0L), "empty text -> single zero chunk")
+      // edit locality: chunks strictly before an appended tail are shared
+      val before = graft.functions.CdcChunkHashes.evalChunks(cdcText.getBytes("UTF-8"), 32)
+      val after = graft.functions.CdcChunkHashes
+        .evalChunks((cdcText + "APPENDED TAIL").getBytes("UTF-8"), 32)
+      assert(before.dropRight(1).sameElements(after.take(before.length - 1)),
+        "appending bytes must not reshape earlier chunks")
+
       import graft.functions.WordScan.word_scan
       val ws = Seq("The cat and the dog, a big dog.")
         .toDF("text").select(word_scan(col("text"), Seq("the", "a", "dog"), 2).as("sc"))
