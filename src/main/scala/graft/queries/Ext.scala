@@ -208,20 +208,9 @@ object Ext {
     // back, and a per-doc aggregate — the standard inverted-index shape
     // that scales linearly in corpus size.
     "q_boilerplate" -> ((s, dir) => {
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val toks = t(s, dir, "documents")
-        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
-        .filter(col("w") =!= "")
-      val grams = toks
-        .withColumn("w2", lead(col("w"), 1).over(byPos))
-        .withColumn("w3", lead(col("w"), 2).over(byPos))
-        .withColumn("w4", lead(col("w"), 3).over(byPos))
-        .withColumn("w5", lead(col("w"), 4).over(byPos))
-        .filter(col("w5").isNotNull)
-        .select(col("doc_id"),
-          conv(substring(md5(concat_ws(" ", col("w"), col("w2"), col("w3"),
-            col("w4"), col("w5"))), 1, 15), 16, 10).cast("bigint").as("s"))
+      import graft.functions.GramHashes.gram_hashes
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), explode(gram_hashes(col("text"), 5)).as("s"))
       val tf = grams.groupBy("s").agg(count(lit(1)).as("tf"))
       ord(grams.join(tf, Seq("s"))
         .groupBy("doc_id")
@@ -233,36 +222,29 @@ object Ext {
     // boilerplate span REMOVAL (the C4 rule q_boilerplate only scores):
     // every token covered by any corpus-repeated 5-gram instance is
     // dropped and documents are rebuilt from the survivors in order.
-    // Plan: the same inverted-index gram join as q_boilerplate (hash
-    // keys corpus-wide), span coverage exploded to (doc, pos) pairs, an
-    // anti-join back onto the token stream, and the per-doc ordered
-    // rebuild (buffer bounded by one document).
+    // Plan: positional gram hashes and the filtered token stream each
+    // come from ONE codegen'd map-side pass (gram_hashes / split_words +
+    // posexplode — no per-doc sort window, no re-rank row_number; the
+    // former form cost two corpus-wide exchanges+sorts just to line up
+    // lead() offsets), then the inverted-index tf join on 60-bit hash
+    // keys, span coverage exploded to (doc, pos) pairs, an anti-join
+    // back onto the token stream, and the per-doc ordered rebuild
+    // (buffer bounded by one document).
     "q_strip_boiler" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
-        .filter(col("w") =!= "")
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      // re-rank positions over the EMPTY-FILTERED stream so gram spans
-      // and coverage offsets agree with the oracle's filtered word list
-      val rt = toks.withColumn("p", row_number().over(byPos) - 1)
-        .select(col("doc_id"), col("p"), col("w"))
-      val byP = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("p"))
-      val grams = rt
-        .withColumn("w2", lead(col("w"), 1).over(byP))
-        .withColumn("w3", lead(col("w"), 2).over(byP))
-        .withColumn("w4", lead(col("w"), 3).over(byP))
-        .withColumn("w5", lead(col("w"), 4).over(byP))
-        .filter(col("w5").isNotNull)
-        .select(col("doc_id"), col("p"),
-          conv(substring(md5(concat_ws(" ", col("w"), col("w2"), col("w3"),
-            col("w4"), col("w5"))), 1, 15), 16, 10).cast("bigint").as("g"))
+      import graft.functions.GramHashes.gram_hashes
+      import graft.functions.SplitWords.split_words
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val rt = docs.select(col("doc_id"),
+        posexplode(split_words(col("text"))).as(Seq("p", "w")))
+      val grams = docs.select(col("doc_id"),
+        posexplode(gram_hashes(col("text"), 5)).as(Seq("p", "g")))
       val tf = grams.groupBy("g").agg(count(lit(1)).as("tf"))
+      // no distinct on coverage: left_anti ignores right-side duplicates,
+      // and the dedup aggregation cost more than the <=5x duplicate rows
+      // it saved from the join exchange (measured at sf0.1)
       val covered = grams.join(tf, Seq("g")).filter(col("tf") >= 2)
         .select(col("doc_id"),
           explode(sequence(col("p"), col("p") + 4)).as("p"))
-        .distinct()
       ord(rt.join(covered, Seq("doc_id", "p"), "left_anti")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"),
@@ -276,16 +258,9 @@ object Ext {
     // across engines), mean rounded last. Same inverted-index shape as
     // q_boilerplate on 2-gram postings.
     "q_lm_score" -> ((s, dir) => {
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val toks = t(s, dir, "documents")
-        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
-        .filter(col("w") =!= "")
-      val bi = toks.withColumn("w2", lead(col("w"), 1).over(byPos))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"),
-          conv(substring(md5(concat_ws(" ", col("w"), col("w2"))), 1, 15), 16, 10)
-            .cast("bigint").as("s"))
+      import graft.functions.GramHashes.gram_hashes
+      val bi = t(s, dir, "documents")
+        .select(col("doc_id"), explode(gram_hashes(col("text"), 2)).as("s"))
       val tf = bi.groupBy("s").agg(count(lit(1)).as("tf"))
       ord(bi.join(tf, Seq("s"))
         .groupBy("doc_id")

@@ -130,6 +130,30 @@ class CodegenSpec extends SparkSpec {
       assert(before.dropRight(1).sameElements(after.take(before.length - 1)),
         "appending bytes must not reshape earlier chunks")
 
+      import graft.functions.GramHashes.gram_hashes
+      import graft.functions.SplitWords.split_words
+      // equivalence oracle: same 60-bit md5 prefix Spark's own builtins
+      // compute over the filtered token stream
+      val gtext = "  the quick  brown fox jumps over the quick brown fox "
+      val gref = {
+        val w = gtext.split("\\s+", -1).filter(_.nonEmpty)
+        w.sliding(5).map { g =>
+          java.lang.Long.parseLong(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(g.mkString(" ").getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString.take(15), 16)
+        }.toSeq
+      }
+      val gh = Seq(gtext, "a b c d", "").toDF("text")
+        .select(gram_hashes(col("text"), 5).as("g")).collect()
+      assert(gh(0).getSeq[Long](0) == gref, "positional 5-gram hashes")
+      assert(gh(1).getSeq[Long](0).isEmpty, "under n tokens -> empty array")
+      assert(gh(2).getSeq[Long](0).isEmpty)
+      val sw = Seq(gtext, " \t ", "").toDF("text")
+        .select(split_words(col("text")).as("w")).collect()
+      assert(sw(0).getSeq[String](0) == gtext.split("\\s+", -1).filter(_.nonEmpty).toSeq)
+      assert(sw(1).getSeq[String](0).isEmpty && sw(2).getSeq[String](0).isEmpty)
+
       import graft.functions.WordScan.word_scan
       val ws = Seq("The cat and the dog, a big dog.")
         .toDF("text").select(word_scan(col("text"), Seq("the", "a", "dog"), 2).as("sc"))
