@@ -749,11 +749,12 @@ object Ext {
     "q_knn_ivf_trained" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      // materialize the k trained centroids before fanning them into
-      // multiple consumers: each lazy reference replays the whole Lloyd
-      // training (the round-4 plan audit counted 8 corpus scans here)
+      // trainIvf on a file-backed corpus is memoized and returns a
+      // literal-backed k-row frame, so fanning it into multiple consumers
+      // replays NO training (the round-4 plan audit counted 8 corpus
+      // scans here under lazy lineage; the round-12 memo also dedups the
+      // training across the whole catalog sweep)
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
-        .localCheckpoint(true)
       val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
       ord(graft.operators.Similarity.knn(
         assigned, col("vec_id") < 10, k = 5, bucket = Some(col("cid"))))
@@ -767,7 +768,6 @@ object Ext {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
-        .localCheckpoint(true)   // see q_knn_ivf_trained
       val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
       ord(graft.operators.Similarity.knnIvfProbed(
         assigned, cents, col("vec_id") < 10, k = 5, nprobe = 2))
@@ -789,7 +789,6 @@ object Ext {
       val exact = graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5)
         .select(col("q_id"), col("neighbor"))
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
-        .localCheckpoint(true)   // see q_knn_ivf_trained
       val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
       val approx = graft.operators.Similarity.knnIvfProbed(
           assigned, cents, col("vec_id") < 10, k = 5, nprobe = 2)
@@ -813,7 +812,6 @@ object Ext {
         col("embedding").cast("array<double>").as("v"))
       val cents = graft.operators.Similarity.trainIvf(
           e.filter(pmod(col("vec_id"), lit(4)) === 0), k = 8, iters = 2)
-        .localCheckpoint(true)   // see q_knn_ivf_trained
       val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
       ord(graft.operators.Similarity.knnIvfProbed(
         assigned, cents, col("vec_id") < 10, k = 5, nprobe = 2))
@@ -864,7 +862,6 @@ object Ext {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
-        .localCheckpoint(true)   // see q_knn_ivf_trained
       val cb = graft.operators.Similarity.trainPq(e, m = 4, ksub = 8, iters = 2)
       ord(graft.operators.Similarity.knnIvfPq(
         e, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2))
@@ -878,15 +875,14 @@ object Ext {
     "q_knn_ivfpq_residual" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
+      // trainIvf on a file-backed corpus returns a literal-backed frame
+      // (quantizer memo) — NO localCheckpoint here: the residual frame
+      // below must stay (file scan ⋈ LocalRelation) so trainPq's memo can
+      // fingerprint it; a checkpointed LogicalRDD leaf would force the
+      // residual codebook to re-train on every catalog pass
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
-        .localCheckpoint(true)   // see q_knn_ivf_trained
-      // residual frame fans into seed collect + 2 Lloyd scans inside
-      // trainPq: checkpoint once, release after training (trainPq runs
-      // eagerly and returns a literal-backed frame)
       val res = graft.operators.Similarity.residuals(e, cents)
-        .localCheckpoint(true)
       val cb = graft.operators.Similarity.trainPq(res, m = 4, ksub = 8, iters = 2)
-      graft.plans.Checkpoints.release(res)
       ord(graft.operators.Similarity.knnIvfPqResidual(
         e, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2))
     }),
@@ -897,11 +893,8 @@ object Ext {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
-        .localCheckpoint(true)   // see q_knn_ivf_trained
-      val res = graft.operators.Similarity.residuals(e, cents)
-        .localCheckpoint(true)   // see q_knn_ivfpq_residual
+      val res = graft.operators.Similarity.residuals(e, cents)  // see q_knn_ivfpq_residual
       val cb = graft.operators.Similarity.trainPq(res, m = 4, ksub = 8, iters = 2)
-      graft.plans.Checkpoints.release(res)
       ord(graft.operators.Similarity.knnIvfPqResidualRefined(
         e, cents, cb, col("vec_id") < 10, k = 5, nprobe = 2, rerank = 15))
     }),
@@ -1096,7 +1089,6 @@ object Ext {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
-        .localCheckpoint(true)   // see q_knn_ivf_trained
       val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
       val draw = conv(substring(md5(col("vec_id").cast("string")), 1, 7), 16, 10)
         .cast("bigint")

@@ -417,4 +417,56 @@ class SimilaritySpec extends SparkSpec {
     assert(refined >= prefixOnly - 1e-9,
       f"refine must not lose recall: $refined%.3f vs $prefixOnly%.3f")
   }
+
+  test("quantizer memo: repeat training hits the cache with identical rows") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    val c1 = rows(Similarity.trainIvf(vecs, k = 4, iters = 2))
+    val hits0 = Similarity.memoHits.get
+    val c2 = rows(Similarity.trainIvf(vecs, k = 4, iters = 2))
+    assert(c2 == c1, "memo replay must be bit-identical")
+    assert(Similarity.memoHits.get > hits0,
+      "second identical training must hit the memo, not re-train")
+    // ground truth: an IN-MEMORY copy of the same vectors has no input
+    // files, so it trains UNCACHED — the memoized result must match it
+    val localRows = java.util.Arrays.asList(vecs.collect(): _*)
+    val local = spark.createDataFrame(localRows, vecs.schema)
+    assert(local.inputFiles.isEmpty, "local twin must be memo-exempt")
+    val misses0 = Similarity.memoMisses.get
+    val hits1 = Similarity.memoHits.get
+    val c3 = rows(Similarity.trainIvf(local, k = 4, iters = 2))
+    assert(Similarity.memoMisses.get == misses0 && Similarity.memoHits.get == hits1,
+      "in-memory frames must bypass the memo entirely")
+    assert(c3 == c1, "uncached training must equal the memoized result")
+  }
+
+  test("quantizer memo fingerprints LocalRelation leaves: residual " +
+    "codebooks memoize, distinct literal centroids never alias") {
+    import org.apache.spark.sql.functions._
+    def codebook(df: org.apache.spark.sql.DataFrame) =
+      Similarity.trainPq(df, m = 2, ksub = 2, iters = 1).collect()
+        .map(_.toString).sorted.toSeq
+    // cents is literal-backed (memo replay of file-backed training), so
+    // residuals = file scan ⋈ LocalRelation — fingerprintable
+    val cents = Similarity.trainIvf(vecs, k = 4, iters = 1)
+    val cb1 = codebook(Similarity.residuals(vecs, cents))
+    val hits0 = Similarity.memoHits.get
+    val cb2 = codebook(Similarity.residuals(vecs, cents))
+    assert(cb2 == cb1, "memoized residual codebook must replay identically")
+    assert(Similarity.memoHits.get > hits0,
+      "repeat residual training must hit the memo")
+    // same schema, same corpus files, DIFFERENT literal centroid DATA
+    // (identical canonicalized plans — only the leaf content digest can
+    // separate these keys): must train fresh, not alias cb1's entry
+    val shiftedRows = cents.collect().map(r => org.apache.spark.sql.Row(
+      r.getLong(0), r.getSeq[Double](1).map(_ + 7.5)))
+    val shifted = spark.createDataFrame(
+      java.util.Arrays.asList(shiftedRows: _*), cents.schema)
+    val misses0 = Similarity.memoMisses.get
+    val cbShift = codebook(Similarity.residuals(vecs, shifted))
+    assert(Similarity.memoMisses.get > misses0,
+      "shifted centroids must miss (distinct key), not bypass or alias")
+    assert(cbShift != cb1,
+      "distinct literal centroid frames must not alias one memo key")
+  }
 }
