@@ -48,4 +48,29 @@ object BenchGuard {
     val implausible = ok.nonEmpty && reported > plausibilityRatio * ok.min
     gateTripped || unstable || postProbeHot || implausible
   }
+
+  // ---- cross-round regression gate ----------------------------------------
+  // A checked-in best-calm-times file (bench_best.<sf>.json, updated only
+  // via Bench --regen-best) records each query's best measured time; a run
+  // where a query exceeds 1.5x its recorded best — outside burst-guard
+  // conditions — exits non-zero, so a bad plan change cannot hide inside a
+  // 100+-entry headline. The minimum absolute delta keeps the sub-second
+  // tail out of the gate: sub-2s queries sit in a documented ±20-50%
+  // host-noise band where a pure ratio test would false-alarm weekly.
+
+  val regressionRatio = 1.5
+  val regressionMinDeltaSec = 0.4
+
+  /** @param best          the recorded best calm time (<=0 = no record, no gate)
+    * @param reported      the value this run reports (negative = failed run,
+    *                      reported through `failed`, not as a regression)
+    * @param burstEvidence the run carries burst evidence for this query
+    *                      (gate trip or hot post-probe) — timing is
+    *                      untrustworthy, so the gate abstains rather than
+    *                      fail the round on host noise
+    */
+  def regression(best: Double, reported: Double, burstEvidence: Boolean): Boolean =
+    !burstEvidence && reported >= 0 && best > 0 &&
+      reported > regressionRatio * best &&
+      reported - best > regressionMinDeltaSec
 }

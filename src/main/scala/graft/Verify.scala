@@ -47,6 +47,10 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // provenance rides in the output dir so the CORRECTNESS artifact built
+    // from it is traceable to the exact commit (round-9 advisory)
+    Files.writeString(Paths.get(s"$outDir/provenance.json"),
+      s"""{"sha":"${Provenance.gitSha()}","ts":"${Provenance.nowIso}","sf":${q(sfDir)}}""")
     errors.toMap
   }
 

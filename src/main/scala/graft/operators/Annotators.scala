@@ -258,6 +258,10 @@ object Annotators {
     val version = "1.0"
     private[operators] val CardinalPattern =
       java.util.regex.Pattern.compile("[0-9]+([.,][0-9]+)?")
+    /** Explicitly ASCII (not Char.isUpper): the DuckDB oracle matches
+      * '^[A-Z]', and full-Unicode uppercase ('École') would diverge. */
+    private[operators] def capInitial(s: String): Boolean =
+      s.nonEmpty && s.head >= 'A' && s.head <= 'Z'
     def apply(r: Record): Record = {
       val toks = r.labelViews.get("tokens").map(_.labels)
         .getOrElse(tokenSpans(r.rawText, source))
@@ -265,9 +269,9 @@ object Annotators {
       var i = 0
       while (i < toks.size) {
         val t = toks(i)
-        if (t.label.nonEmpty && t.label.head.isUpper) {
+        if (NerTagger.capInitial(t.label)) {
           var j = i + 1
-          while (j < toks.size && toks(j).label.nonEmpty && toks(j).label.head.isUpper) j += 1
+          while (j < toks.size && NerTagger.capInitial(toks(j).label)) j += 1
           out += Span(t.start, toks(j - 1).ending, "MISC", 1.0, source, Map.empty)
           i = j
         } else if (NerTagger.CardinalPattern.matcher(t.label).matches()) {
@@ -308,9 +312,9 @@ object Annotators {
       var i = 0
       while (i < toks.size) {
         val t = toks(i)
-        if (t.label.nonEmpty && t.label.head.isUpper) {
+        if (NerTagger.capInitial(t.label)) {
           var j = i + 1
-          while (j < toks.size && toks(j).label.nonEmpty && toks(j).label.head.isUpper) j += 1
+          while (j < toks.size && NerTagger.capInitial(toks(j).label)) j += 1
           val lab =
             if (Months(t.label.toLowerCase)) "DATE"
             else if (j - i >= 2) "ORG"

@@ -241,18 +241,42 @@ object Similarity {
     * Frames with no file-backed leaf at all train uncached (spec-sized
     * in-memory corpora), as does any frame with a leaf that cannot be
     * content-fingerprinted (e.g. a checkpointed LogicalRDD). */
-  private val quantizerMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
+  /** Entry cap: each entry is a bounded frame (k centroid rows or m·ksub
+    * codebook rows) so 64 of them is a few MB, but a long-lived
+    * multi-tenant session training over ever-changing inputs would
+    * otherwise accrete entries without bound. Access-ordered LRU: a hit
+    * refreshes the entry, the eldest is evicted past the cap. */
+  private[graft] var memoMaxEntries = 64 // var: the eviction spec shrinks it
+  private val quantizerMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
+      ): Boolean = size() > memoMaxEntries
+    })
   private[graft] val memoHits = new java.util.concurrent.atomic.AtomicLong
   private[graft] val memoMisses = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def memoSize: Int = quantizerMemo.size()
+  /** Drop every cached quantizer (results are unaffected — consumers
+    * re-train deterministically). For harness runs that regenerate input
+    * files in place and for the eviction spec. */
+  private[graft] def memoClear(): Unit = quantizerMemo.clear()
 
   private def memoized(df: DataFrame, tag: String)(train: => DataFrame): DataFrame = {
     val files = df.inputFiles
-    val digest = if (files.isEmpty) None else localLeafDigest(df)
+    val digest = if (files.isEmpty) None else leafDigest(df)
     digest match {
       case None => train
       case Some(leaves) =>
-        val plan = df.queryExecution.analyzed.canonicalized.toString
+        // treeString with maxFields = MaxValue: the default toString
+        // truncates wide field lists ("... N more fields") via
+        // spark.sql.debug.maxToStringFields, which would alias two plans
+        // differing only inside the truncated tail.
+        val plan = df.queryExecution.analyzed.canonicalized
+          .treeString(verbose = false, addSuffix = false,
+            maxFields = Int.MaxValue, printOperatorId = false)
         val key = java.util.HexFormat.of().formatHex(
           java.security.MessageDigest.getInstance("MD5").digest(
             (files.sorted.mkString("\n") + "\u0000" + plan + "\u0000" +
@@ -262,24 +286,34 @@ object Similarity {
           memoMisses.incrementAndGet()
           val t = train
           cached = (t.schema, t.collect())
-          quantizerMemo.putIfAbsent(key, cached)
+          quantizerMemo.put(key, cached)
         } else memoHits.incrementAndGet()
         df.sparkSession.createDataFrame(
           java.util.Arrays.asList(cached._2: _*), cached._1)
     }
   }
 
-  /** Content digest of the plan's LocalRelation leaves (rows rendered via
-    * UnsafeProjection, so equal content digests equal regardless of the
-    * backing InternalRow representation). None — train uncached — if any
-    * leaf is neither a file scan nor a LocalRelation: a checkpointed
-    * LogicalRDD's content is not cheaply hashable, and skipping it would
-    * let two different checkpoints alias one key. */
-  private def localLeafDigest(df: DataFrame): Option[String] = {
+  /** Content digest of the plan's leaves. LocalRelations hash their rows
+    * (rendered via UnsafeProjection, so equal content digests equal
+    * regardless of the backing InternalRow representation); file-backed
+    * leaves hash every file's path + length + modification time — paths
+    * alone would replay stale centroids after a file is rewritten in
+    * place within the JVM lifetime (data regenerated into the same dir).
+    * None — train uncached — for any other leaf: a checkpointed
+    * LogicalRDD's content is not cheaply hashable, and a non-file V2
+    * source (e.g. a stream) contributes no inputFiles, so skipping either
+    * would let two different datasets alias one key. */
+  private def leafDigest(df: DataFrame): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation}
-    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
     val md = java.security.MessageDigest.getInstance("MD5")
+    def foldFiles(index: org.apache.spark.sql.execution.datasources.FileIndex): Unit =
+      index.listFiles(Nil, Nil).flatMap(_.files)
+        .map(f => s"${f.getPath}|${f.getLen}|${f.getModificationTime}")
+        .sorted
+        .foreach(s => md.update(s.getBytes("UTF-8")))
     var ok = true
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: LocalRelation =>
@@ -287,8 +321,14 @@ object Similarity {
         val proj = UnsafeProjection.create(l.schema)
         l.data.foreach(r => md.update(proj(r).getBytes))
       case _: OneRowRelation => md.update('1'.toByte)
-      case _: LogicalRelation => ()  // file-backed: keyed via inputFiles
-      case l if l.getClass.getSimpleName == "DataSourceV2Relation" => ()
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => foldFiles(fs.location)
+        case _ => ok = false // non-file V1 relation (e.g. JDBC): not hashable
+      }
+      case l: DataSourceV2Relation => l.table match {
+        case ft: FileTable => foldFiles(ft.fileIndex)
+        case _ => ok = false // non-file V2 source: contributes no inputFiles
+      }
       case _ => ok = false
     }
     if (ok) Some(java.util.HexFormat.of().formatHex(md.digest())) else None

@@ -442,6 +442,24 @@ object Ext {
         portable = !graft.Tables.benchMode,
         maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
+
+    // STREAMING REPLAYS: a real micro-batch StreamingQuery over a fixed
+    // batch schedule, emitted rows hash-checked by the DuckDB oracle — the
+    // hard correctness signal for the keyed-state operators that the
+    // parity specs alone can't provide. With an uncapped bucket / a
+    // sentinel watermark flush, each emitted set is a property of the
+    // DATA, not the schedule (see Streams.replay* docs), which is what
+    // makes a batch-SQL oracle exact.
+    "q_stream_neardup_replay" -> ((s, dir) => {
+      ord(graft.streaming.Streams.replayNearDups(
+        canonicalDocs(s, dir), maxHamming = 3, portable = true))
+    }),
+    "q_stream_session_replay" -> ((s, dir) => {
+      ord(graft.streaming.Streams.replayClosedSessions(
+        t(s, dir, "events"), gapMs = 15 * 60 * 1000L)
+        .select(col("user_id"), expr("unix_micros(start)").as("start_us"),
+          col("n")))
+    }),
     // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
     // q_dedup_embedding_lsh below is the scale path)
     // embedding STORAGE quantization (uint8): per-dimension corpus
@@ -2145,6 +2163,36 @@ object Ext {
         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // streaming replay of the same SimHash pigeonhole dedup: one row per
+    // (pair, shared band) — the banded join WITHOUT the pair-level
+    // DISTINCT, since the stream emits once per shared band by contract
+    "q_stream_neardup_replay" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |d AS (SELECT doc_id, list_transform(list_filter(string_split_regex(text, '\s+'), w -> w != ''),
+        |        w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs FROM canon),
+        |sig AS (SELECT doc_id, CAST(list_sum([CASE WHEN 2 * len([h FOR h IN hs IF (h >> b) & 1 = 1]) > len(hs)
+        |        THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(60)]) AS BIGINT) AS simhash FROM d),
+        |banded AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) & 32767 AS bkey
+        |           FROM sig, range(4) r(b)),
+        |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(x.band AS INT) AS band,
+        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, band, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // streaming replay of gap sessionization (15-min gap; the sentinel
+    // flush makes the emitted set the full gaps-and-islands result)
+    "q_stream_session_replay" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 900000000
+        |       THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(us) AS start_us, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_lsh" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |b AS (SELECT vec_id, v,

@@ -772,4 +772,84 @@ object Streams {
     df.writeStream.outputMode(mode)
       .option("checkpointLocation", checkpoint)
       .format("parquet").option("path", path)
+
+  // ---- deterministic batch replay (the driver-checked harness) ------------
+  // The stateful operators above are parity-proved against their batch
+  // twins in StreamingSpec, but specs are a soft signal: these replays run
+  // a REAL micro-batch StreamingQuery over a fixed batch schedule and
+  // return its emitted rows as a plain DataFrame, so the DuckDB oracle can
+  // hash-check the streaming engine path itself. The driver-side collect
+  // is the replay harness feeding the source, not the operator (which
+  // stays keyed-state, partitioned, watermarked); production feeds come
+  // from readStream sources.
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong
+
+  private def runReplay[T](
+      spark: org.apache.spark.sql.SparkSession,
+      chunks: Iterator[Seq[T]])(
+      build: Dataset[T] => DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[T]
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = build(ms.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Replay `events` (event_id, ts, user_id, event_type, value) through
+    * [[closedSessions]] in `batches` event-time-ordered micro-batches,
+    * then a far-future sentinel event (user_id -1, filtered out) that
+    * advances the watermark past every open session so the event-time
+    * timeout flushes them. With the sentinel, the emitted set equals the
+    * batch gaps-and-islands sessionization of the whole feed — a property
+    * of the data, not the batch schedule — which is exactly what lets a
+    * DuckDB oracle replay it. */
+  def replayClosedSessions(
+      events: DataFrame,
+      gapMs: Long = 15 * 60 * 1000L,
+      batches: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "replay needs at least one event")
+    val flushTs = new java.sql.Timestamp(
+      rows.last.ts.getTime + gapMs + 24L * 3600 * 1000)
+    val sentinel = Seq(Event(-1L, flushTs, -1L, "flush", 0.0))
+    val chunkSize = math.max(1, (rows.length + batches - 1) / batches)
+    val feed = rows.toSeq.grouped(chunkSize) ++ Iterator(sentinel)
+    runReplay(spark, feed)(ds => closedSessions(ds, gapMs).toDF())
+      .filter(col("user_id") >= 0)
+  }
+
+  /** Replay `docs` (doc_id, text) through [[streamingNearDups]] in
+    * `batches` doc_id-ordered micro-batches with an uncapped bucket and no
+    * TTL: the emitted banded pair set then equals the batch SimHash
+    * pigeonhole join on the same corpus regardless of the schedule
+    * (admission order only matters at a bucket cap), so the batch
+    * operator's DuckDB oracle checks the streaming engine path. */
+  def replayNearDups(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      portable: Boolean = true,
+      batches: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val chunkSize = math.max(1, (rows.length + batches - 1) / batches)
+    runReplay(spark, rows.toSeq.grouped(chunkSize)) { ds =>
+      streamingNearDups(ds, maxHamming, maxBucket = Int.MaxValue,
+        portable = portable, idleTtl = None)
+        .toDF("doc_a", "doc_b", "band", "hamming")
+    }
+  }
 }

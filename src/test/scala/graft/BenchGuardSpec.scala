@@ -60,4 +60,35 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.suspect(Seq(-1.0, -1.0), gateTripped = true,
       postProbeHot = true, reported = -1.0))
   }
+
+  // ---- cross-round regression gate ----------------------------------------
+
+  test("regression gate: an intentionally-slowed query trips it") {
+    // recorded best 2.0s, a plan change makes it 4.0s: 2.0x > 1.5x ratio
+    // and 2.0s > 0.4s delta — the gate must fire (this is the exact shape
+    // the gate exists for: one bad rewrite hiding in a 100-entry headline)
+    assert(BenchGuard.regression(best = 2.0, reported = 4.0, burstEvidence = false))
+    // just over the ratio with a real absolute delta also fires
+    assert(BenchGuard.regression(best = 2.0, reported = 3.5, burstEvidence = false))
+  }
+
+  test("regression gate: within-ratio, sub-delta, and unrecorded queries pass") {
+    // within the 1.5x ratio: normal round-to-round noise
+    assert(!BenchGuard.regression(best = 2.0, reported = 2.9, burstEvidence = false))
+    // ratio exceeded but absolute delta under 0.4s: the sub-second tail
+    // lives in a documented ±20-50% host-noise band — no gate
+    assert(!BenchGuard.regression(best = 0.15, reported = 0.40, burstEvidence = false))
+    // no recorded best (new query) => no gate
+    assert(!BenchGuard.regression(best = -1.0, reported = 10.0, burstEvidence = false))
+    assert(!BenchGuard.regression(best = 0.0, reported = 10.0, burstEvidence = false))
+  }
+
+  test("regression gate: abstains on burst evidence and on failed runs") {
+    // a 5x blowup measured with a tripped gate or hot post-probe is host
+    // noise until proven otherwise — exit-nonzero on it would fail rounds
+    // on the build host's own background load
+    assert(!BenchGuard.regression(best = 2.0, reported = 10.0, burstEvidence = true))
+    // failed runs report through `failed`, not as regressions
+    assert(!BenchGuard.regression(best = 2.0, reported = -1.0, burstEvidence = false))
+  }
 }

@@ -469,4 +469,71 @@ class SimilaritySpec extends SparkSpec {
     assert(cbShift != cb1,
       "distinct literal centroid frames must not alias one memo key")
   }
+
+  test("quantizer memo: LRU cap evicts the eldest entry, hits refresh") {
+    val oldCap = Similarity.memoMaxEntries
+    Similarity.memoClear()
+    Similarity.memoMaxEntries = 4
+    try {
+      // tiny file-backed frame: iters=0 training is one trivial job, so
+      // six distinct keys (distinct k => distinct knob tag) stay cheap
+      val dir = java.nio.file.Files.createTempDirectory("graft_memo_cap").toString
+      spark.range(0, 8).selectExpr("id AS vec_id",
+        "array(cast(id AS double), 1.0D) AS v")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val tiny = spark.read.parquet(dir)
+      (1 to 6).foreach(k => Similarity.trainIvf(tiny, k = k, iters = 0).collect())
+      assert(Similarity.memoSize <= 4,
+        s"cap 4 exceeded: memoSize = ${Similarity.memoSize}")
+      // k=1 and k=2 were evicted (eldest-first): re-training k=1 must MISS
+      val misses0 = Similarity.memoMisses.get
+      Similarity.trainIvf(tiny, k = 1, iters = 0).collect()
+      assert(Similarity.memoMisses.get > misses0,
+        "evicted entry must re-train (miss), not silently hit")
+      // the most recent entry (k=6) survived: HIT
+      val hits0 = Similarity.memoHits.get
+      Similarity.trainIvf(tiny, k = 6, iters = 0).collect()
+      assert(Similarity.memoHits.get > hits0,
+        "recent entry must still be cached after evictions")
+    } finally {
+      Similarity.memoMaxEntries = oldCap
+      Similarity.memoClear()
+    }
+  }
+
+  test("quantizer memo keys file CONTENT, not paths: an in-place rewrite " +
+    "at the IDENTICAL path must re-train, not replay stale centroids") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    val dir = Files.createTempDirectory("graft_memo_rewrite").toString
+    // rewrite the SAME file path (dir/data.parquet) with shifted content —
+    // the exact scenario path-only keying replays stale centroids on. The
+    // refreshByPath is what any real pipeline rewriting files in place
+    // must do anyway (Spark's own FileStatusCache would otherwise serve a
+    // stale listing to the scan itself, not just to the memo).
+    def writeShift(shift: Double): Unit = {
+      val tmp = Files.createTempDirectory("graft_memo_tmp").toString
+      spark.range(0, 8).selectExpr("id AS vec_id",
+        s"array(cast(id AS double) + $shift, 1.0D) AS v")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Thread.sleep(20) // ms-granularity modtime must tick between writes
+      Files.copy(part.toPath, Paths.get(dir, "data.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      spark.catalog.refreshByPath(dir)
+    }
+    writeShift(0.0)
+    val first = spark.read.parquet(dir)
+    assert(first.inputFiles.toSeq.map(_.replace("file:///", "file:/")) ==
+      Seq(s"file:$dir/data.parquet"))
+    val c1 = rows(Similarity.trainIvf(first, k = 2, iters = 1))
+    writeShift(100.0) // same path, new bytes — data regenerated in place
+    val misses0 = Similarity.memoMisses.get
+    val c2 = rows(Similarity.trainIvf(spark.read.parquet(dir), k = 2, iters = 1))
+    assert(Similarity.memoMisses.get > misses0,
+      "rewritten input at the same path must be a memo MISS")
+    assert(c2 != c1, "replaying stale centroids after an in-place rewrite")
+  }
 }
