@@ -151,6 +151,114 @@ object GramHashes {
   def gram_hashes(c: Column, n: Int): Column = column(GramHashes(expression(c), n))
 }
 
+/** POSITIONAL n-gram TEXTS (space-joined) in one narrow codegen'd pass —
+  * [[GramHashes]] for consumers that need the gram string itself (top-k
+  * bigram reports), replacing the per-doc lead() window (a corpus-wide
+  * exchange + sort over the exploded token stream) with a map-side
+  * projection. Documents under n tokens yield an EMPTY array. */
+case class GramTexts(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "gram width must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gram_texts"
+
+  override def nullSafeEval(input: Any): Any =
+    GramTexts.evalGramTexts(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramTexts.evalGramTexts($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramTexts =
+    copy(child = newChild)
+}
+
+object GramTexts {
+  /** Named `evalGramTexts`, not `eval` — static-forwarder collision note
+    * in [[MinWindowHash]]. */
+  def evalGramTexts(text: UTF8String, n: Int): GenericArrayData = {
+    val w = SplitWords.words(text)
+    if (w.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](w.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n - 1 < w.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def gram_texts(c: Column, n: Int): Column = column(GramTexts(expression(c), n))
+}
+
+/** Forward SKIP-GRAM (word, context) pairs at token distances 1..maxDist
+  * in one codegen'd pass: for non-empty tokens w(0..L-1), emits
+  * struct(w(i), w(i+d)) for every i and d <= maxDist with i+d < L — the
+  * word2vec training-pair generator. The per-doc lead()-window form of
+  * this pays a corpus-wide exchange + sort over the exploded token
+  * stream; this is a map-side projection (the symmetric reverse
+  * direction stays a cheap union in the caller, NOT baked in, so callers
+  * can weight directions independently). */
+case class SkipGramPairs(child: Expression, maxDist: Int) extends UnaryExpression {
+  require(maxDist > 0, "skip-gram window must be positive")
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("c", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "skipgram_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    SkipGramPairs.evalPairs(input.asInstanceOf[UTF8String], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SkipGramPairs.evalPairs($c, $maxDist);")
+
+  override protected def withNewChildInternal(newChild: Expression): SkipGramPairs =
+    copy(child = newChild)
+}
+
+object SkipGramPairs {
+  /** Named `evalPairs`, not `eval` — static-forwarder collision note in
+    * [[MinWindowHash]]. */
+  def evalPairs(text: UTF8String, maxDist: Int): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val w = SplitWords.words(text)
+    var total = 0
+    var d = 1
+    while (d <= maxDist) { if (w.length > d) total += w.length - d; d += 1 }
+    val out = new Array[Any](total)
+    val u = new Array[UTF8String](w.length)
+    var i = 0
+    while (i < w.length) { u(i) = UTF8String.fromString(w(i)); i += 1 }
+    var k = 0
+    i = 0
+    while (i < w.length) {
+      d = 1
+      while (d <= maxDist && i + d < w.length) {
+        out(k) = new GenericInternalRow(Array[Any](u(i), u(i + d)))
+        k += 1
+        d += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def skipgram_pairs(c: Column, maxDist: Int): Column =
+    column(SkipGramPairs(expression(c), maxDist))
+}
+
 /** Whitespace tokenization with empty-token drop as ONE codegen'd
   * expression — the `filter(split(text, '\\s+'), w -> w != '')` idiom
   * without the interpreted higher-order lambda (see the verify-skill perf

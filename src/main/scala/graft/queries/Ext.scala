@@ -979,19 +979,16 @@ object Ext {
         .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
         .orderBy(col("tf").desc, col("w")).limit(100))
     }),
-    // bigram counts for LM data prep: adjacent-token pairs via a per-doc
-    // window (partitioned by doc — no global exchange), then the same
-    // map-side-combined count. Ties at the k-boundary broken by the
-    // bigram text, so the top-k cut is deterministic.
+    // bigram counts for LM data prep: adjacent-token pairs from the
+    // codegen'd gram_texts generator (one map-side projection — no
+    // per-doc window, so no corpus-wide exchange + sort over the
+    // exploded token stream), then the map-side-combined count. Ties at
+    // the k-boundary broken by the bigram text, so the top-k cut is
+    // deterministic.
     "q_ngram_counts" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
-        .filter(col("w") =!= "")
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val bi = toks.withColumn("w2", lead(col("w"), 1).over(byPos))
-        .filter(col("w2").isNotNull)
-        .select(concat_ws(" ", col("w"), col("w2")).as("bigram"))
+      import graft.functions.GramTexts.gram_texts
+      val bi = t(s, dir, "documents")
+        .select(explode(gram_texts(col("text"), 2)).as("bigram"))
       ord(bi.groupBy("bigram").agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("bigram")).limit(100))
     }),
@@ -1349,20 +1346,16 @@ object Ext {
     // materialize by symmetry (union of (w,c) and (c,w)) — one token
     // shuffle total, top-100 pairs reported. At 100 TB this is the
     // shape that feeds negative-sampling batches.
+    // The codegen'd skipgram_pairs generator emits each ordered pair
+    // once at distance 1 and 2 MAP-SIDE — no per-doc lead() window, so
+    // no corpus-wide exchange + sort over the exploded token stream; the
+    // only shuffle left is the final pair count.
     "q_skipgram_pairs" -> ((s, dir) => {
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val toks = t(s, dir, "documents")
-        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
-        .filter(col("w") =!= "")
-      val fwd = toks
-        .withColumn("c1", lead(col("w"), 1).over(byPos))
-        .withColumn("c2", lead(col("w"), 2).over(byPos))
-      val pairs = fwd.filter(col("c1").isNotNull)
-        .select(col("w"), col("c1").as("c"))
-        .unionAll(fwd.filter(col("c2").isNotNull)
-          .select(col("w"), col("c2").as("c")))
-      val sym = pairs.unionAll(pairs.select(col("c").as("w"), col("w").as("c")))
+      import graft.functions.SkipGramPairs.skipgram_pairs
+      val fwd = t(s, dir, "documents")
+        .select(explode(skipgram_pairs(col("text"), 2)).as("p"))
+        .select(col("p.w").as("w"), col("p.c").as("c"))
+      val sym = fwd.unionAll(fwd.select(col("c").as("w"), col("w").as("c")))
       ord(sym.groupBy("w", "c").agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("n_pairs").desc, col("w"), col("c")).limit(100))
     }),
@@ -1681,16 +1674,13 @@ object Ext {
     // per-bucket with an id checksum so the assignment itself is
     // value-checked, not just the counts.
     "q_lm_buckets" -> ((s, dir) => {
-      val byPos = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-      val toks = t(s, dir, "documents")
-        .selectExpr("doc_id", "posexplode(split(text, '\\\\s+')) AS (pos, w)")
-        .filter(col("w") =!= "")
-      val bi = toks.withColumn("w2", lead(col("w"), 1).over(byPos))
-        .filter(col("w2").isNotNull)
+      // bigram hashes from the codegen'd generator (identical md5-prefix
+      // values to the old conv(substring(md5(...))) build) — one map-side
+      // projection instead of the per-doc lead() window's corpus-wide
+      // exchange + sort (the q_strip_boiler fusion, applied here)
+      val bi = t(s, dir, "documents")
         .select(col("doc_id"),
-          conv(substring(md5(concat_ws(" ", col("w"), col("w2"))), 1, 15), 16, 10)
-            .cast("bigint").as("s"))
+          explode(graft.functions.GramHashes.gram_hashes(col("text"), 2)).as("s"))
       val tf = bi.groupBy("s").agg(count(lit(1)).as("tf"))
       val scored = bi.join(tf, Seq("s"))
         .groupBy("doc_id")

@@ -154,6 +154,23 @@ class CodegenSpec extends SparkSpec {
       assert(sw(0).getSeq[String](0) == gtext.split("\\s+", -1).filter(_.nonEmpty).toSeq)
       assert(sw(1).getSeq[String](0).isEmpty && sw(2).getSeq[String](0).isEmpty)
 
+      import graft.functions.GramTexts.gram_texts
+      val gt = Seq(gtext, "a b", "").toDF("text")
+        .select(gram_texts(col("text"), 3).as("g")).collect()
+      assert(gt(0).getSeq[String](0) ==
+        gtext.split("\\s+", -1).filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSeq,
+        "positional 3-gram texts over the filtered token stream")
+      assert(gt(1).getSeq[String](0).isEmpty && gt(2).getSeq[String](0).isEmpty)
+
+      import graft.functions.SkipGramPairs.skipgram_pairs
+      val sg = Seq("a  b c d", "x y", "lone", "").toDF("text")
+        .select(skipgram_pairs(col("text"), 2).as("p")).collect()
+        .map(_.getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1))))
+      // forward pairs at distance 1 then 2 per anchor, anchors in order
+      assert(sg(0) == Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")),
+        s"skip-gram window 2: got ${sg(0)}")
+      assert(sg(1) == Seq(("x", "y")) && sg(2).isEmpty && sg(3).isEmpty)
+
       import graft.functions.WordScan.word_scan
       val ws = Seq("The cat and the dog, a big dog.")
         .toDF("text").select(word_scan(col("text"), Seq("the", "a", "dog"), 2).as("sc"))
