@@ -460,6 +460,11 @@ object Ext {
         .select(col("user_id"), expr("unix_micros(start)").as("start_us"),
           col("n")))
     }),
+    "q_stream_tumbling_replay" -> ((s, dir) => {
+      ord(graft.streaming.Streams.replayTumblingCounts(t(s, dir, "events"))
+        .select(expr("unix_micros(wstart)").as("wstart_us"), col("event_type"),
+          col("n"), col("sum_value").cast("double").as("sum_value")))
+    }),
     // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
     // q_dedup_embedding_lsh below is the scale path)
     // embedding STORAGE quantization (uint8): per-dimension corpus
@@ -1557,7 +1562,11 @@ object Ext {
     "q_mm_phash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      val ph = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // canonicalize FIRST (the q_dedup_* contract): identical payloads
+      // collapse to one min-doc_id representative before banding — with d
+      // exact copies the band self-join otherwise pays d² per bucket
+      // (measured: 129x wall at 20x-duplicated data; 1.7x after)
+      val ph = canonicalDocs(s, dir).select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val md = java.security.MessageDigest.getInstance("MD5")
@@ -2183,6 +2192,12 @@ object Ext {
         |  FROM f)
         |SELECT user_id, min(us) AS start_us, CAST(count(*) AS BIGINT) AS n
         |FROM s GROUP BY user_id, sid ORDER BY ALL NULLS FIRST""".stripMargin,
+    // streaming replay of the tumbling windowed aggregation (sentinel
+    // flush closes every window; decimal-routed sum = exact cross-engine)
+    "q_stream_tumbling_replay" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS wstart_us, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_lsh" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |b AS (SELECT vec_id, v,
@@ -3369,7 +3384,8 @@ object Ext {
         |  CAST(list_max(es) AS BIGINT) AS max_energy
         |FROM en ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_phash" ->
-      s"""WITH d AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |d AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM canon),
          |m AS (SELECT doc_id,
          |    [CAST('0x' || substr(hx, 2*j + 1, 2) AS INT) FOR j IN range(16)] AS mb
          |  FROM d),

@@ -830,6 +830,31 @@ object Streams {
       .filter(col("user_id") >= 0)
   }
 
+  /** Replay `events` through [[tumblingCounts]] (watermarked windowed
+    * aggregation state) in `batches` event-time-ordered micro-batches plus
+    * the sentinel flush, so every real window closes and emits. `value` is
+    * decimal-routed BEFORE the aggregation: the incremental cross-batch
+    * sum is then exact, and the DuckDB oracle's decimal sum matches
+    * bit-for-bit (the q_stats_agg contract, applied to streaming state). */
+  def replayTumblingCounts(events: DataFrame, batches: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "replay needs at least one event")
+    val flushTs = new java.sql.Timestamp(rows.last.ts.getTime + 48L * 3600 * 1000)
+    val sentinel = Seq(Event(-1L, flushTs, -1L, "flush", 0.0))
+    val chunkSize = math.max(1, (rows.length + batches - 1) / batches)
+    val feed = rows.toSeq.grouped(chunkSize) ++ Iterator(sentinel)
+    runReplay(spark, feed) { ds =>
+      tumblingCounts(ds.toDF()
+        .withColumn("value", col("value").cast("decimal(18,4)")))
+    }.filter(col("event_type") =!= "flush")
+  }
+
   /** Replay `docs` (doc_id, text) through [[streamingNearDups]] in
     * `batches` doc_id-ordered micro-batches with an uncapped bucket and no
     * TTL: the emitted banded pair set then equals the batch SimHash
