@@ -415,6 +415,13 @@ object Ext {
     // estimator's failure mode) stay in the audit instead of silently
     // dropping out. Both arms are the existing single-scan operators.
     "q_minhash_est" -> ((s, dir) => {
+      // Round-13 measurement: checkpointing `canon` so the two arms share
+      // one canonicalization did NOT move the needle (1.39 s either way —
+      // the cost is the pair work, not the md5 groupBy), so the frame
+      // stays lazy: materializing a corpus-sized frame with no measured
+      // win is a scale-negative trade. At corpus scale run this audit
+      // over a SAMPLE of candidate pairs — the estimator-vs-truth
+      // measurement needs statistical coverage, not the full pair set.
       val canon = canonicalDocs(s, dir)
       val est = graft.operators.TextDedup.minhashPairs(
         canon, "doc_id", "text", threshold = 0.2,
@@ -464,6 +471,13 @@ object Ext {
       ord(graft.streaming.Streams.replayTumblingCounts(t(s, dir, "events"))
         .select(expr("unix_micros(wstart)").as("wstart_us"), col("event_type"),
           col("n"), col("sum_value").cast("double").as("sum_value")))
+    }),
+    "q_stream_join_replay" -> ((s, dir) => {
+      ord(graft.streaming.Streams.replayStreamJoin(
+        t(s, dir, "events"), leftType = "view", rightType = "click")
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          expr("unix_micros(l_ts)").as("l_ts_us"),
+          expr("unix_micros(r_ts)").as("r_ts_us")))
     }),
     // embedding near-dup: cosine >= threshold pairs (brute force at test SF;
     // q_dedup_embedding_lsh below is the scale path)
@@ -2198,6 +2212,16 @@ object Ext {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS wstart_us, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // streaming replay of the watermarked interval stream-stream join:
+    // under no-late-data the emitted set equals the batch interval join
+    "q_stream_join_replay" ->
+      """SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+        |  epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts
+        | AND r.ts <= l.ts + INTERVAL '10 minutes'
+        |WHERE l.event_type = 'view' AND r.event_type = 'click'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_lsh" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |b AS (SELECT vec_id, v,

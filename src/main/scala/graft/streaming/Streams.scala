@@ -855,6 +855,44 @@ object Streams {
     }.filter(col("event_type") =!= "flush")
   }
 
+  /** Replay two event-type slices of `events` through
+    * [[streamStreamJoin]] (watermarked interval stream-stream join) in
+    * lockstep event-time-ordered micro-batches: per chunk, the left slice
+    * and the right slice of the SAME global time range are added before
+    * the trigger, so the two-sided watermark advances together and no row
+    * is late. An inner interval join under no-late-data emits every
+    * qualifying pair exactly once — a left row's state is evicted only
+    * once the watermark proves no future right row can match it — so the
+    * emitted set equals the batch interval join, whatever the schedule.
+    * No sentinel needed: inner-join output never waits on a timeout. */
+  def replayStreamJoin(
+      events: DataFrame,
+      leftType: String,
+      rightType: String,
+      batches: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = events
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val msL = MemoryStream[Event]
+    val msR = MemoryStream[Event]
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = streamStreamJoin(msL.toDF(), msR.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    val chunkSize = math.max(1, (rows.length + batches - 1) / batches)
+    try rows.toSeq.grouped(chunkSize).foreach { c =>
+      msL.addData(c.filter(_.event_type == leftType))
+      msR.addData(c.filter(_.event_type == rightType))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
   /** Replay `docs` (doc_id, text) through [[streamingNearDups]] in
     * `batches` doc_id-ordered micro-batches with an uncapped bucket and no
     * TTL: the emitted banded pair set then equals the batch SimHash
