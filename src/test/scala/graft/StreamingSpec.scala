@@ -846,4 +846,46 @@ class StreamingSpec extends SparkSpec {
       assert(rows3.forall(r => kept((3L, r._2))), "fresh chunks must keep")
     } finally q.stop()
   }
+
+  test("replay harnesses are schedule-independent: emitted sets are a " +
+    "property of the data, not the batch split") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // sessions: 3 users, gaps straddling the 15-min default
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(5), 1L, "click", 1.0),
+      (3L, ts(30), 1L, "view", 1.0), // user 1: gap 25 min => 2 sessions
+      (4L, ts(2), 2L, "view", 1.0), (5L, ts(3), 2L, "purchase", 1.0),
+      (6L, ts(50), 3L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    def sess(b: Int) = Streams.replayClosedSessions(ev, batches = b)
+      .select("user_id", "start", "n").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val s1 = sess(1)
+    assert(s1 == sess(3) && s1 == sess(6), "session replay must not depend on batching")
+    assert(s1 == Set((1L, ts(0), 2L), (1L, ts(30), 1L),
+      (2L, ts(2), 2L), (3L, ts(50), 1L)), s"sessions: $s1")
+
+    // near-dups: two identical docs + one distinct
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi")).toDF("doc_id", "text")
+    def nd(b: Int) = Streams.replayNearDups(docs, batches = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val n1 = nd(1)
+    assert(n1 == nd(2) && n1 == nd(3), "near-dup replay must not depend on batching")
+    assert(n1.map(p => (p._1, p._2)) == Set((1L, 2L)) && n1.size == 4,
+      s"identical docs pair in all 4 bands: $n1")
+
+    // interval join: view->click within 10 min, same user only
+    val jev = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(5), 1L, "click", 1.0),
+      (3L, ts(20), 1L, "click", 1.0), // 20 min after the view: out of range
+      (4L, ts(1), 2L, "click", 1.0)   // other user: no matching view
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    def jn(b: Int) = Streams.replayStreamJoin(jev, "view", "click", batches = b)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val j1 = jn(1)
+    assert(j1 == jn(2) && j1 == jn(4), "join replay must not depend on batching")
+    assert(j1 == Set((1L, 2L)), s"pairs: $j1")
+  }
 }
