@@ -397,13 +397,21 @@ object Bench {
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     if (regenBest) {
-      // Regenerate the best-times file from this run: measured values win,
-      // except queries with burst evidence (or failures) keep their old
-      // entry — a regen inside a burst must not poison the baseline.
+      // Regenerate the best-times file: MIN-merge of the recorded best and
+      // this run's measurement (burst-evidence and failed measurements
+      // contribute nothing). Never raises an entry — a noisy regen can
+      // only tighten or keep the gate, and legitimizing a slower time
+      // after an intentional algorithm change means hand-editing the
+      // entry, which is exactly the reviewed-diff path it should take.
       val merged = (best.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { n =>
         val measured = results.collectFirst {
           case (q, t) if q == n && t >= 0 && !burstEvidence(n) => t }
-        measured.orElse(best.get(n)).map(t => "\"" + n + "\":" + num(t))
+        (measured, best.get(n)) match {
+          case (Some(m), Some(b)) => Some("\"" + n + "\":" + num(math.min(m, b)))
+          case (Some(m), None) => Some("\"" + n + "\":" + num(m))
+          case (None, Some(b)) => Some("\"" + n + "\":" + num(b))
+          case (None, None) => None
+        }
       }
       java.nio.file.Files.writeString(bestPath, merged.mkString("{", ",", "}"))
       System.err.println(s"[bench] regenerated $bestPath (${merged.size} entries)")
