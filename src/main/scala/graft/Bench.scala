@@ -93,6 +93,7 @@ object Bench {
     "q_dedup_minhash",
     "q_minhash_est",
     "q_dedup_simhash",
+    "q_dedup_substrings",
     "q_dedup_containment",
     "q_dedup_blocked_edit",
     "q_contamination",

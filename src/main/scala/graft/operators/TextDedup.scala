@@ -683,4 +683,57 @@ object TextDedup {
           "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, seg) END)), p -> p.seg)"),
           sep).as("text_deduped"))
   }
+
+  /** EXACT duplicated-substring detection with keep-first-occurrence
+    * semantics (the suffix-array dedup rule from the training-data
+    * literature, re-expressed as a distributed inverted index): a
+    * duplicated substring of >= `minLen` tokens necessarily contains a
+    * duplicated `minLen`-token window, so the union of the NON-KEEPER
+    * duplicated window instances is exactly the token set a keep-first
+    * substring dedup removes. Keeper per window hash = the globally first
+    * instance, min (id, position) — computed as `row_number() > 1` over a
+    * hash-partitioned window, the same shape `dedupSegments` settled on:
+    * rn > 1 already implies the hash is duplicated, so ONE exchange+sort
+    * on the 60-bit key replaces the groupBy+join-back form (whose
+    * min(struct) buffer falls to SortAggregate and which scans the
+    * posting stream twice). Merged maximal spans and the exact
+    * removed-token union length come from the sorted-starts lag trick
+    * (first start contributes `minLen`; each subsequent start
+    * min(minLen, gap)); windows there are partitioned by document, never
+    * corpus-wide. Adjacent/overlapping windows merge into one span.
+    * Linear in corpus size; at extreme scale prune ubiquitous window
+    * hashes first, exactly as `jaccardPairs` does with `maxDf`.
+    * Returns (`idCol`, n_dup_windows, n_spans, n_dup_tokens, dup_ratio)
+    * for documents with at least one removed window. */
+  def substringDups(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 8): DataFrame = {
+    import graft.functions.GramHashes.gram_hashes
+    import graft.functions.SplitWords.split_words
+    val base = docs.select(col(idCol), col(textCol).as("__text"))
+    val grams = base.select(col(idCol),
+      posexplode(gram_hashes(col("__text"), minLen)).as(Seq("p", "g")))
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col(idCol), col("p"))
+    val dup = grams
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") > 1)
+      .select(col(idCol), col("p"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("p")
+    val perDoc = dup.withColumn("prev", lag(col("p"), 1).over(byDoc))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_dup_windows"),
+        sum(when(col("prev").isNull || col("p") - col("prev") > minLen, 1L)
+          .otherwise(0L)).as("n_spans"),
+        sum(when(col("prev").isNull, lit(minLen))
+          .otherwise(least(lit(minLen), col("p") - col("prev"))).cast("long"))
+          .as("n_dup_tokens"))
+    val nTok = base.select(col(idCol),
+      size(split_words(col("__text"))).as("__n_tokens"))
+    perDoc.join(nTok, Seq(idCol))
+      .withColumn("dup_ratio",
+        round(col("n_dup_tokens").cast("double") / col("__n_tokens"), 6))
+      .drop("__n_tokens")
+  }
 }

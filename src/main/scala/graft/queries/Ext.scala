@@ -449,6 +449,27 @@ object Ext {
         portable = !graft.Tables.benchMode,
         maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
+    // EXACT duplicated-SUBSTRING dedup (the suffix-array rule from the
+    // training-data dedup literature, keep-first-occurrence): any
+    // duplicated substring of >= L tokens contains a duplicated L-token
+    // window, so the union of non-keeper duplicated L-window instances IS
+    // the exact set of tokens a keep-first substring dedup removes.
+    // Unlike q_strip_boiler (C4 rule: drop EVERY instance of a repeated
+    // gram), this keeps the globally-first instance — min (doc_id, p) per
+    // window hash — and reports, per affected doc, the removed windows,
+    // the MERGED maximal spans, and the exact removed-token count (union
+    // length via the sorted-starts lag trick: first start contributes L,
+    // each next start min(L, gap)). Plan: one codegen'd positional-gram
+    // pass, one groupBy(hash) carrying (tf, argmin instance) — so keeper
+    // selection rides the same shuffle as the frequency count — an
+    // equi-join back on the 60-bit key, and per-doc windows partitioned
+    // by doc_id (never corpus-wide). Linear in corpus size; at 100 TB add
+    // document-frequency pruning of ubiquitous windows exactly as the
+    // Jaccard index does with maxDf.
+    "q_dedup_substrings" -> ((s, dir) => {
+      ord(graft.operators.TextDedup.substringDups(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 8))
+    }),
 
     // STREAMING REPLAYS: a real micro-batch StreamingQuery over a fixed
     // batch schedule, emitted rows hash-checked by the DuckDB oracle — the
@@ -3132,6 +3153,27 @@ object Ext {
         |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(CAST(n_inter AS DOUBLE) / least(ca.n, cb.n), 6) >= 0.3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_substrings" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS p,
+        |        CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT) AS s
+        |      FROM ws, unnest(range(1, len(w) - 6)) AS u(i)),
+        |inst AS (SELECT doc_id, p,
+        |           COUNT(*) OVER (PARTITION BY s) AS tf,
+        |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+        |         FROM g),
+        |dup AS (SELECT doc_id, p FROM inst WHERE tf >= 2 AND rn > 1),
+        |m AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dup),
+        |agg AS (SELECT doc_id,
+        |          CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+        |          CAST(SUM(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |          CAST(SUM(CASE WHEN prev IS NULL THEN 8 ELSE least(8, p - prev) END) AS BIGINT) AS n_dup_tokens
+        |        FROM m GROUP BY doc_id)
+        |SELECT a.doc_id, n_dup_windows, n_spans, n_dup_tokens,
+        |  round(n_dup_tokens / CAST(len(w) AS DOUBLE), 6) AS dup_ratio
+        |FROM agg a JOIN ws USING (doc_id) ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_fingerprint" ->
       s"""WITH canon AS (
          |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),

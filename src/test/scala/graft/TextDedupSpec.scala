@@ -424,4 +424,44 @@ class TextDedupSpec extends SparkSpec {
       blockWords = 5, maxEdit = 100, maxBucket = 2).count()
     assert(capped == 0, "over-cap block must be dropped whole")
   }
+
+  test("substringDups: keep-first, span merge, and exact union token count") {
+    import spark.implicits._
+    // doc 1 is the keeper (lowest id): a 10-token run "c1..c10" that doc 2
+    // copies verbatim in the middle of unique filler, plus doc 3 copies
+    // "c1..c8" (exactly one window) at its start. With minLen = 4:
+    //  - doc 1 contributes only keeper instances -> absent from output;
+    //  - doc 2 has 7 dup windows (starts 5..11 of its 20 tokens) merging
+    //    into ONE span whose union is 10 tokens (the whole copied run);
+    //  - doc 3 has 5 dup windows (starts 0..4) -> one span, 8 tokens.
+    val run10 = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, "k1 k2 " + run10 + " k3 k4"),
+      (2L, "u1 u2 u3 u4 u5 " + run10 + " u6 u7 u8 u9 u10"),
+      (3L, (1 to 8).map(i => s"c$i").mkString(" ") + " z1 z2 z3 z4")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.substringDups(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(!got.contains(1L), s"keeper doc must not be reported: $got")
+    assert(got(2L) == ((7L, 1L, 10L, 0.5)), s"doc 2: $got")
+    assert(got(3L) == ((5L, 1L, 8L, round8(8.0 / 12))), s"doc 3: $got")
+  }
+
+  test("substringDups: disjoint duplicated regions stay separate spans") {
+    import spark.implicits._
+    // doc 2 copies two NON-adjacent 4-token runs from doc 1, separated by
+    // >= minLen unique tokens -> two spans of 4 tokens each, union 8.
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 x1 x2 x3 x4 x5 b1 b2 b3 b4"),
+      (2L, "a1 a2 a3 a4 y1 y2 y3 y4 y5 b1 b2 b3 b4")
+    ).toDF("doc_id", "text")
+    val got = TextDedup.substringDups(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(2L -> ((2L, 2L, 8L))), s"got $got")
+  }
+
+  private def round8(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
