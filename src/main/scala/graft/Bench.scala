@@ -94,6 +94,7 @@ object Bench {
     "q_minhash_est",
     "q_dedup_simhash",
     "q_dedup_substrings",
+    "q_bitext_mine",
     "q_dedup_containment",
     "q_dedup_blocked_edit",
     "q_contamination",

@@ -927,4 +927,65 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     dim / m
   }
+
+  /** MARGIN-BASED BITEXT MINING (the parallel-pair miner of the
+    * cross-lingual training-data literature): candidate pairs across two
+    * embedding pools score by the RATIO margin — cos(x, y) over the mean
+    * of each endpoint's average top-`k` cross-pool cosine — so a pair
+    * only wins when the two vectors are much closer to EACH OTHER than
+    * to their respective neighborhoods (raw cosine thresholds fail under
+    * hubness: a generically-central vector scores high against
+    * everything; dividing by its neighborhood average cancels exactly
+    * that). A pair is emitted only when it is the RECIPROCAL margin-best
+    * (x's best target AND y's best source) and clears `minMargin`.
+    *
+    * `sideA` partitions the input: rows where it is true form pool A
+    * (src), the rest pool B (tgt). All scoring derives from ONE cross
+    * lineage with the codegen'd `vec_dot` inner loop; per-endpoint
+    * neighborhood averages and the two argmax passes are vec_id-keyed
+    * window functions (never corpus-global). This exact form scans
+    * |A|x|B| pairs — the audit/oracle tier; at corpus scale feed pools
+    * restricted to shared IVF cells (exactly [[semDedup]]'s bucketing)
+    * so the cross product is per-cell-bounded, and mine cell-by-cell.
+    * Cosines round to 4 decimals (ties break by vec_id) before any
+    * ranking, so cross-engine replay is exact.
+    * Returns (src_id, tgt_id, cos, margin), margin rounded to 6. */
+  def bitextMine(
+      vectors: DataFrame,
+      sideA: Column,
+      k: Int,
+      minMargin: Double): DataFrame = {
+    val n = vectors.withColumn("nrm", vec_norm(col("v")))
+    val a = n.filter(sideA)
+      .select(col("vec_id").as("src_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = n.filter(!sideA)
+      .select(col("vec_id").as("tgt_id"), col("v").as("bv"), col("nrm").as("bn"))
+    val cross = a.join(broadcast(b), col("src_id").isNotNull)
+      .withColumn("cos",
+        round(vec_dot(col("av"), col("bv")) / (col("an") * col("bn")), 4))
+      .select(col("src_id"), col("tgt_id"), col("cos"))
+    val byA = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id"))
+    val byB = Window.partitionBy("tgt_id").orderBy(col("cos").desc, col("src_id"))
+    // neighborhood means route through dsum (decimal accumulation): a
+    // natural double avg sums in partition order, and the margin ratio
+    // would inherit that nondeterminism across engines
+    val avgA = cross.withColumn("rk", row_number().over(byA))
+      .filter(col("rk") <= k)
+      .groupBy("src_id")
+      .agg((graft.Tables.dsum(col("cos")) / count(lit(1))).as("nbh_a"))
+    val avgB = cross.withColumn("rk", row_number().over(byB))
+      .filter(col("rk") <= k)
+      .groupBy("tgt_id")
+      .agg((graft.Tables.dsum(col("cos")) / count(lit(1))).as("nbh_b"))
+    val scored = cross.join(avgA, Seq("src_id")).join(avgB, Seq("tgt_id"))
+      .withColumn("margin",
+        round(col("cos") * 2 / (col("nbh_a") + col("nbh_b")), 6))
+    val bestF = Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id"))
+    val bestB = Window.partitionBy("tgt_id").orderBy(col("margin").desc, col("src_id"))
+    scored
+      .withColumn("rf", row_number().over(bestF))
+      .withColumn("rb", row_number().over(bestB))
+      .filter(col("rf") === 1 && col("rb") === 1 && col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
+  }
 }

@@ -687,6 +687,21 @@ object Ext {
         col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.knnBand(e, col("vec_id") < 10, skip = 5, k = 5))
     }),
+    // margin-based BITEXT MINING (cross-lingual parallel-pair mining):
+    // English-pool vs rest-pool over the embeddings (lang rides in from
+    // documents on the shared id), ratio margin over top-4 neighborhood
+    // averages, reciprocal-best pairs above 1.0 — the hubness-robust
+    // criterion raw cosine thresholds lack. See Similarity.bitextMine
+    // for the per-IVF-cell contract at corpus scale.
+    "q_bitext_mine" -> ((s, dir) => {
+      val lang = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+        .join(lang, Seq("vec_id"))
+      ord(graft.operators.Similarity.bitextMine(
+        e, col("lang") === "en", k = 4, minMargin = 1.0))
+    }),
     // LSH-bucketed ANN: deterministic sign-sketch buckets (scale path,
     // engine-specific hashing -> rows-only)
     "q_knn_ivf" -> ((s, dir) => {
@@ -3361,6 +3376,30 @@ object Ext {
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk
         |  FROM scored)
         |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk > 5 AND rk <= 10
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_bitext_mine" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, lang
+        |  FROM embeddings JOIN documents ON vec_id = doc_id),
+        |n AS (SELECT vec_id, v, lang, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |cross_p AS (
+        |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+        |    round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
+        |  FROM n a JOIN n b ON a.lang = 'en' AND b.lang <> 'en'),
+        |ra AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rk FROM cross_p),
+        |avg_a AS (SELECT src_id, CAST(SUM(CAST(cos AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS nbh_a
+        |          FROM ra WHERE rk <= 4 GROUP BY src_id),
+        |rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rk FROM cross_p),
+        |avg_b AS (SELECT tgt_id, CAST(SUM(CAST(cos AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS nbh_b
+        |          FROM rb WHERE rk <= 4 GROUP BY tgt_id),
+        |scored AS (
+        |  SELECT src_id, tgt_id, cos, round(cos * 2 / (nbh_a + nbh_b), 6) AS margin
+        |  FROM cross_p JOIN avg_a USING (src_id) JOIN avg_b USING (tgt_id)),
+        |m AS (SELECT *,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rf,
+        |  row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rb
+        |  FROM scored)
+        |SELECT src_id, tgt_id, cos, margin FROM m WHERE rf = 1 AND rb = 1 AND margin >= 1.0
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

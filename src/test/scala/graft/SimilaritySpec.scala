@@ -536,4 +536,36 @@ class SimilaritySpec extends SparkSpec {
       "rewritten input at the same path must be a memo MISS")
     assert(c2 != c1, "replaying stale centroids after an in-place rewrite")
   }
+
+  test("bitextMine: reciprocal margin-best survives; hub pairs and " +
+    "non-reciprocal forward-bests are rejected") {
+    import spark.implicits._
+    // 2-D unit vectors by angle. Pool A: a1 = 0deg (id 1), a2 = 10deg
+    // (id 2). Pool B: b1 = 5deg (id 11), b2 = 90deg (id 12), hub = 45deg
+    // (id 13). Hand-computed margins (k = 2): a1-b1 1.078 (reciprocal
+    // best both ways), a2-b1 1.046 (forward best but b1 prefers a1 ->
+    // dropped), a2-hub 0.98 — raw cosine 0.819 would PASS a 0.8 cosine
+    // threshold, but the hub's high neighborhood average pushes the
+    // margin under 1.0: the exact failure mode the ratio margin exists
+    // to reject.
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    val vecs = Seq(
+      (1L, v(0)), (2L, v(10)),
+      (11L, v(5)), (12L, v(90)), (13L, v(45))
+    ).toDF("vec_id", "v")
+    val got = Similarity.bitextMine(vecs, col("vec_id") <= 2, k = 2, minMargin = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 11L)),
+      s"only the reciprocal margin-best pair may survive: ${got.toSeq}")
+    val (_, _, cos, margin) = got.head
+    assert(cos == 0.9962 && margin > 1.07 && margin < 1.09,
+      s"hand-computed cos/margin for (a1, b1): cos=$cos margin=$margin")
+    // (a2, b1) is dropped by RECIPROCITY, not by the threshold: its
+    // margin (1.046) clears minMargin = 0, yet the pair still vanishes
+    // because b1's backward best is a1
+    val all = Similarity.bitextMine(vecs, col("vec_id") <= 2, k = 2, minMargin = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 11L)),
+      s"reciprocal filter must drop (a2, b1) even with no threshold: $all")
+  }
 }
