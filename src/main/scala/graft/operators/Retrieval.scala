@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: the sparse (lexical) arm, and the rank-level fusion
+  * that combines it with the dense (embedding) arm — the retrieval stack
+  * behind search-based corpus curation (find documents about a topic to
+  * up/down-weight, mine eval sets, build contrastive pairs). Sparse and
+  * dense retrieval fail differently (vocabulary mismatch vs semantic
+  * drift); reciprocal-rank fusion combines them WITHOUT score
+  * calibration, which is what makes it the default hybrid combiner — the
+  * two arms' scores (BM25 sums vs cosines) are never comparable, their
+  * RANKS always are.
+  *
+  * Determinism contract (both operators): every ranking orders by an
+  * exact integer score with `doc_id` as the tiebreaker, so cross-engine
+  * replay is bit-for-bit (the q_tfidf micro-rounding convention: both
+  * engines evaluate the identical double expression tree, round ONCE to
+  * integer units, and all downstream arithmetic is exact BIGINT).
+  */
+object Retrieval {
+
+  /** BM25 "more-like-this": for each query document (rows matching
+    * `queryPred`), rank the rest of the corpus by BM25 where the query's
+    * TERM SET is the document's distinct whitespace tokens (Robertson-
+    * Spärck Jones, k1 = 1.2, b = 0.75 — the q_bm25 scorer generalized
+    * from one literal term list to per-query-doc term frames).
+    *
+    * Plan shape: the corpus tokenizes ONCE (one scan feeds tf, lens and
+    * df); the tiny (q_id, term) frame broadcasts into the postings join,
+    * so only query-term postings ever aggregate. Per-(q, doc, term)
+    * scores round to micro-units before the exact integer sum. At 100 TB
+    * df/idf and doc lengths come from a precomputed term-statistics
+    * table maintained at ingest (they are corpus properties, not query
+    * properties); the per-query work is only the postings of its terms.
+    *
+    * Returns (q_id, doc_id, bm25_micro, rk) with rk <= topK, ranked by
+    * (bm25_micro DESC, doc_id); the query document itself is excluded.
+    */
+  def bm25MoreLikeThis(docs: DataFrame, queryPred: Column, topK: Int): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val lens = words.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"),
+      sum(col("len")).as("tl"))
+    val qterms = words.filter(queryPred)
+      .select(col("doc_id").as("q_id"), col("w")).distinct()
+    // corpus document frequency of the query terms only: semi-join the
+    // token stream down to query-term postings before the distinct
+    val dfq = words.join(broadcast(qterms.select("w").distinct()), Seq("w"))
+      .select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val tfq = words.join(broadcast(qterms), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val avgLen = col("tl").cast("double") / col("nd")
+    val idf = log(((col("nd") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * (col("len").cast("double") / avgLen))
+    val term = idf * ((col("tf").cast("double") * lit(2.2)) / denom)
+    val scored = tfq.join(broadcast(dfq), Seq("w"))
+      .join(lens, Seq("doc_id")).crossJoin(broadcast(stats))
+      .withColumn("term_micro", round(term * lit(1000000.0), 0).cast("bigint"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("term_micro")).as("bm25_micro"))
+    val w = Window.partitionBy("q_id").orderBy(col("bm25_micro").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("q_id"), col("doc_id"), col("bm25_micro"), col("rk"))
+  }
+
+  /** Reciprocal-rank fusion of per-query ranked lists: each arm
+    * contributes round(1e9 / (`kRrf` + rank)) "nano-units" per (q, doc)
+    * it ranked (zero when the doc is outside that arm's list — the
+    * standard RRF treatment of non-retrieved documents); arms fuse by
+    * exact BIGINT addition, re-rank by (fused DESC, doc_id), keep
+    * `topK`. kRrf = 60 is the constant from the original RRF evaluation;
+    * larger values flatten the rank discount.
+    *
+    * Each input must carry (q_id, doc_id, rk). The fusion itself is a
+    * union + one groupBy on (q_id, doc_id) + a per-query window — the
+    * frames are already top-K-per-query sized (bounded by queries·K
+    * rows), so this stage is never corpus-sized regardless of corpus
+    * scale; all the heavy lifting stays in the arms. */
+  def rrfFuse(arms: Seq[DataFrame], kRrf: Int, topK: Int): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one ranked arm")
+    val contrib = arms.map(_.select(col("q_id"), col("doc_id"),
+      round(lit(1.0e9) / (lit(kRrf).cast("double") + col("rk").cast("double")), 0)
+        .cast("bigint").as("nano")))
+    val fused = contrib.reduce(_ unionByName _)
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("nano")).as("rrf_nano"), count(lit(1)).as("n_arms"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf_nano").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= topK)
+      .select(col("q_id"), col("doc_id"), col("rrf_nano"), col("n_arms"), col("rk"))
+  }
+}

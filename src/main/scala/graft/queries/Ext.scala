@@ -702,6 +702,24 @@ object Ext {
       ord(graft.operators.Similarity.bitextMine(
         e, col("lang") === "en", k = 4, minMargin = 1.0))
     }),
+    // HYBRID retrieval via RECIPROCAL-RANK FUSION: per query doc
+    // (doc_id < 5), the BM25 more-like-this arm (query = the doc's
+    // distinct tokens) and the dense cosine arm (its embedding) each
+    // rank top-20; ranks fuse as exact 1e9/(60+rk) nano-units — no
+    // score calibration, the property that makes RRF the default
+    // hybrid combiner. Arms fail differently (vocabulary mismatch vs
+    // semantic drift); the fused list is what search-based curation
+    // actually consumes. See Retrieval.scala for the 100 TB contract.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val sparse = graft.operators.Retrieval.bm25MoreLikeThis(
+        t(s, dir, "documents"), col("doc_id") < 5, topK = 20)
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val dense = graft.operators.Similarity.knn(e, col("vec_id") < 5, k = 20)
+        .select(col("q_id"), col("neighbor").as("doc_id"), col("rk"))
+      ord(graft.operators.Retrieval.rrfFuse(
+        Seq(sparse.select("q_id", "doc_id", "rk"), dense), kRrf = 60, topK = 10))
+    }),
     // LSH-bucketed ANN: deterministic sign-sketch buckets (scale path,
     // engine-specific hashing -> rows-only)
     "q_knn_ivf" -> ((s, dir) => {
@@ -3400,6 +3418,55 @@ object Ext {
         |  row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rb
         |  FROM scored)
         |SELECT src_id, tgt_id, cos, margin FROM m WHERE rf = 1 AND rb = 1 AND margin >= 1.0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_rrf_fusion" ->
+      """WITH words AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE w != ''),
+        |lens AS (SELECT doc_id, COUNT(*) AS len FROM words GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd, CAST(SUM(len) AS BIGINT) AS tl FROM lens),
+        |qterms AS (SELECT DISTINCT doc_id AS q_id, w FROM words WHERE doc_id < 5),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, w FROM words
+        |  WHERE w IN (SELECT DISTINCT w FROM qterms)) GROUP BY w),
+        |tfq AS (SELECT q.q_id, d.doc_id, d.w, COUNT(*) AS tf
+        |        FROM words d JOIN qterms q USING (w)
+        |        WHERE d.doc_id <> q.q_id GROUP BY 1, 2, 3),
+        |sparse AS (
+        |  SELECT q_id, doc_id, CAST(SUM(term_micro) AS BIGINT) AS bm25_micro FROM (
+        |    SELECT t.q_id, t.doc_id,
+        |      CAST(round(
+        |        ln((CAST(nd - df AS DOUBLE) + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+        |        * ((CAST(tf AS DOUBLE) * 2.2e0) /
+        |           (CAST(tf AS DOUBLE) + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0
+        |             * (CAST(len AS DOUBLE) / (CAST(tl AS DOUBLE) / nd)))))
+        |        * 1000000.0e0) AS BIGINT) AS term_micro
+        |    FROM tfq t JOIN dfq USING (w) JOIN lens USING (doc_id), stats)
+        |  GROUP BY 1, 2),
+        |sr AS (SELECT q_id, doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY bm25_micro DESC, doc_id) AS rk
+        |  FROM sparse),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |dense0 AS (
+        |  SELECT q.vec_id AS q_id, d.vec_id AS doc_id,
+        |    round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * d.v[i])) / (q.nrm * d.nrm), 4) AS cos
+        |  FROM n q JOIN n d ON q.vec_id < 5 AND d.vec_id <> q.vec_id),
+        |dr AS (SELECT q_id, doc_id,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rk
+        |  FROM dense0),
+        |contrib AS (
+        |  SELECT q_id, doc_id, CAST(round(1.0e9 / (60.0e0 + rk), 0) AS BIGINT) AS nano
+        |  FROM sr WHERE rk <= 20
+        |  UNION ALL
+        |  SELECT q_id, doc_id, CAST(round(1.0e9 / (60.0e0 + rk), 0) AS BIGINT) AS nano
+        |  FROM dr WHERE rk <= 20),
+        |fused AS (SELECT q_id, doc_id, CAST(SUM(nano) AS BIGINT) AS rrf_nano,
+        |            CAST(COUNT(*) AS BIGINT) AS n_arms
+        |          FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_nano DESC, doc_id) AS INT) AS rk FROM fused)
+        |SELECT q_id, doc_id, rrf_nano, n_arms, rk FROM r WHERE rk <= 10
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -145,14 +145,15 @@ class PlanCheckSpec extends SparkSpec {
     //    sketches / per-partition bloom buffers union on one task;
     //    rows crossing the exchange are bounded by days/partitions,
     //    never the corpus.
-    //  - q_bm25: the 1-row corpus-stats frame (doc count + total len)
+    //  - q_bm25 / q_rrf_fusion: the 1-row corpus-stats frame (doc count
+    //    + total len, inside the BM25 scorer both queries share)
     //    finalizes on one task from per-partition partial sums, then
     //    broadcasts — the q_sql_scalar_subquery shape again.
     val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery",
       "q_window_rank_global", "q_window_pct_global", "q_pack_sequences",
       "q_pack_bpe", "q_tfidf", "q_compact_store",
       "q_lm_buckets", "q_shuffle_train_order", "q_token_budget_epochs",
-      "q_profile", "q_cms_union", "q_join_bloom", "q_bm25")
+      "q_profile", "q_cms_union", "q_join_bloom", "q_bm25", "q_rrf_fusion")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
