@@ -96,6 +96,7 @@ object Bench {
     "q_dedup_substrings",
     "q_bitext_mine",
     "q_rrf_fusion",
+    "q_pagerank",
     "q_dedup_containment",
     "q_dedup_blocked_edit",
     "q_contamination",

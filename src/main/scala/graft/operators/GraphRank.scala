@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over candidate-pair graphs (the near-dup graph, a
+  * citation/link graph) — the signal that upgrades duplicate-cluster
+  * handling from "keep lowest id" to "keep the most central member", and
+  * the classic iterative-join workload of a distributed engine.
+  *
+  * PageRank here is FIXED-ITERATION and FIXED-POINT-ARITHMETIC so the
+  * result is deterministic run-to-run AND engine-to-engine (the DuckDB
+  * oracle replays every iteration bit-for-bit):
+  *   - ranks live as BIGINT nano-units (1e9 = probability 1), never
+  *     doubles — double summation order varies across partitions;
+  *   - every division is integral (`div`): contribution = pr div deg,
+  *     damping = (dampingPct * sum) div 100 — exact in both engines for
+  *     the all-positive values here;
+  *   - the iteration count is a parameter, not a convergence test, so
+  *     both engines run the identical number of rounds.
+  * The quantization error is bounded by deg truncations of < 1 nano-unit
+  * per round — irrelevant at ranking granularity and, crucially,
+  * IDENTICAL in both engines.
+  */
+object GraphRank {
+
+  /** PageRank over an undirected pair graph: nodes are the ids appearing
+    * in `pairs`, each undirected pair contributes both directed edges,
+    * teleport mass spreads uniformly over the graph's nodes (isolated
+    * documents never enter — rank is relative centrality among the
+    * connected). Returns (member, deg, pr_nano).
+    *
+    * Plan: the edge list materializes ONCE (localCheckpoint — pairs are
+    * usually a whole dedup pipeline; leaving them lazy re-runs that
+    * pipeline every round, the [[TextDedup.propagateCore]] lesson); each
+    * round is ONE equi-join on src + ONE groupBy(dst) — partial sums
+    * combine map-side, only (node, sum) rows shuffle. Superseded rank
+    * frames release their blocks immediately. At 100 TB pre-partition
+    * edges and ranks on the node key so every round's join is
+    * zero-exchange on the rank side; rounds stay O(|E|/cluster) with no
+    * driver-side state beyond the loop counter. */
+  def pagerank(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      iters: Int = 5,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.select(col("src").as("node"), col("deg"))
+      .crossJoin(broadcast(nRow))
+      .select(col("node"), col("deg"),
+        expr(s"CAST(${100 - dampingPct} * 10000000 AS BIGINT) div n").as("tele"),
+        expr("CAST(1000000000 AS BIGINT) div n").as("pr_nano"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr.select(col("node").as("src"),
+          expr("pr_nano div deg").as("c")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
+      val updated = pr.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("deg"), col("tele"),
+          (col("tele") +
+            expr(s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("pr_nano"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.release(pr)
+      pr = updated
+    }
+    graft.plans.Checkpoints.release(edges)
+    pr.select(col("node").as("member"), col("deg"), col("pr_nano"))
+  }
+}

@@ -355,6 +355,21 @@ object Ext {
         maxDf = if (graft.Tables.benchMode) 64 else 0)
       ord(graft.operators.TextDedup.duplicateClustersAuto(pairs))
     }),
+    // PAGERANK centrality over the SAME near-dup pair graph the cluster
+    // family consumes: 5 fixed iterations, damping 0.85, BIGINT
+    // nano-unit fixed-point arithmetic with integral divisions only —
+    // deterministic engine-to-engine, so the DuckDB oracle replays
+    // every iteration exactly (unrolled CTEs). The centrality signal
+    // upgrades keeper choice from "lowest id / longest" to "most
+    // central member"; see GraphRank.scala for the per-round join
+    // shape and the 100 TB co-partitioning contract.
+    "q_pagerank" -> ((s, dir) => {
+      val pairs = graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      ord(graft.operators.GraphRank.pagerank(pairs, iters = 5))
+    }),
     // NORMALIZED exact dedup (the CCNet pre-pass): lowercase, strip
     // non-alphanumerics, collapse whitespace — then group on the md5 of
     // the NORMALIZED text. Catches the near-exact families raw exact
@@ -3252,6 +3267,47 @@ object Ext {
         |SELECT src AS member, min(lbl) AS cluster_rep
         |FROM reach GROUP BY src
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_dedup_clusters edge CTEs + 5 UNROLLED PageRank iterations
+    // (fixed-point BIGINT nano-units, integral divisions — replays
+    // GraphRank.pagerank bit-for-bit; see its Scaladoc)
+    "q_pagerank" -> {
+      val prIters = (1 to 5).map { i =>
+        s"""it$i AS (SELECT n.node, n.deg, n.tele,
+           |  CAST(n.tele + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM it${i - 1} n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p2.pr // p2.deg) AS s
+           |    FROM edges e JOIN it${i - 1} p2 ON e.src = p2.node GROUP BY 1) s
+           |  USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH canon AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |w AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM canon
+         |  WHERE len(string_split_regex(text, '\\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+         |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+         |    FROM w)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION ALL SELECT doc_b, doc_a FROM p),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |it0 AS (SELECT src AS node, deg,
+         |  CAST(150000000 // n AS BIGINT) AS tele,
+         |  CAST(1000000000 // n AS BIGINT) AS pr FROM deg, nn),
+         |$prIters
+         |SELECT node AS member, deg, pr AS pr_nano FROM it5
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
     // same normalization chain (DuckDB regexp_replace needs the 'g'
     // flag; Spark's is global by default)
     "q_dedup_normalized" ->

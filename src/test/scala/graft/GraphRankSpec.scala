@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.GraphRank
+
+class GraphRankSpec extends SparkSpec {
+
+  test("pagerank: path graph hand-replay — center dominates, nano " +
+    "values exact after 5 fixed-point iterations") {
+    import spark.implicits._
+    // Path 1-2-3. n = 3: tele = 150000000 div 3 = 50000000, pr0 =
+    // 333333333. Hand-unrolled (contribution = pr div deg, damp =
+    // (85*s) div 100, all integral):
+    //   it1: leaves 191666666, center 616666666
+    //   it2: 312083333 / 375833332
+    //   it3: 209729166 / 580541666
+    //   it4: 296730208 / 406539582
+    //   it5: 222779322 / 554441353
+    // The leaves stay EXACTLY symmetric (same integer path), and the
+    // center holds the most mass — the centrality signal the keeper
+    // rule consumes.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = GraphRank.pagerank(pairs, iters = 5)
+      .orderBy("member").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 222779322L),
+      (2L, 2L, 554441353L),
+      (3L, 1L, 222779322L)),
+      s"fixed-point replay must be exact: ${got.toSeq}")
+  }
+
+  test("pagerank: regular graphs are fixed points of the rank shape — " +
+    "a triangle stays uniform every iteration") {
+    import spark.implicits._
+    // In a d-regular graph every node sends pr/d to d peers, so uniform
+    // mass reproduces itself (up to the integral-division floor): any
+    // asymmetry would expose order-dependence in the implementation.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = GraphRank.pagerank(tri, iters = 3)
+      .select("pr_nano").distinct().collect()
+    assert(got.length == 1,
+      s"triangle ranks must be identical across nodes: ${got.toSeq}")
+  }
+}
