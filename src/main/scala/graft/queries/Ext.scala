@@ -370,6 +370,25 @@ object Ext {
         maxDf = if (graft.Tables.benchMode) 64 else 0)
       ord(graft.operators.GraphRank.pagerank(pairs, iters = 5))
     }),
+    // CENTRALITY-AWARE keeper choice: the near-dup components keep
+    // their highest-PageRank member (ties by min id) — "most central"
+    // beats "longest" when duplicate families are built from partial
+    // copies of one canonical original: the original is the node every
+    // variant links to. The pair graph derives ONCE (localCheckpoint)
+    // and feeds both the component labels and the rank iterations.
+    "q_dedup_keep_central" -> ((s, dir) => {
+      val pairs = graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+        .localCheckpoint(true)
+      val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
+      val pr = graft.operators.GraphRank.pagerank(pairs, iters = 5)
+        .select(col("member").as("pid"), col("pr_nano"))
+      ord(graft.operators.TextDedup.keepers(comps, pr, "pid", "pr_nano")
+        .withColumnRenamed("keep_id", "keep_doc")
+        .withColumnRenamed("keep_score", "keep_pr_nano"))
+    }),
     // NORMALIZED exact dedup (the CCNet pre-pass): lowercase, strip
     // non-alphanumerics, collapse whitespace — then group on the md5 of
     // the NORMALIZED text. Catches the near-exact families raw exact
@@ -3306,6 +3325,58 @@ object Ext {
          |  CAST(1000000000 // n AS BIGINT) AS pr FROM deg, nn),
          |$prIters
          |SELECT node AS member, deg, pr AS pr_nano FROM it5
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
+    // q_pagerank's unrolled iterations + q_dedup_clusters' recursive
+    // components, joined into the per-cluster argmax keeper
+    "q_dedup_keep_central" -> {
+      val prIters = (1 to 5).map { i =>
+        s"""it$i AS (SELECT n.node, n.deg, n.tele,
+           |  CAST(n.tele + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM it${i - 1} n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p2.pr // p2.deg) AS s
+           |    FROM edges e JOIN it${i - 1} p2 ON e.src = p2.node GROUP BY 1) s
+           |  USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE canon AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |w AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM canon
+         |  WHERE len(string_split_regex(text, '\\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+         |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+         |    FROM w)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION ALL SELECT doc_b, doc_a FROM p),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |it0 AS (SELECT src AS node, deg,
+         |  CAST(150000000 // n AS BIGINT) AS tele,
+         |  CAST(1000000000 // n AS BIGINT) AS pr FROM deg, nn),
+         |$prIters,
+         |reach(src, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+         |comp AS (SELECT src AS member, min(lbl) AS cluster_rep
+         |         FROM reach GROUP BY src),
+         |j AS (SELECT c.cluster_rep, c.member, i.pr
+         |      FROM comp c JOIN it5 i ON c.member = i.node),
+         |k AS (SELECT *,
+         |  row_number() OVER (PARTITION BY cluster_rep ORDER BY pr DESC, member) AS rn,
+         |  COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members FROM j)
+         |SELECT cluster_rep, member AS keep_doc, pr AS keep_pr_nano, n_members
+         |FROM k WHERE rn = 1
          |ORDER BY ALL NULLS FIRST""".stripMargin
     },
     // same normalization chain (DuckDB regexp_replace needs the 'g'

@@ -41,4 +41,21 @@ class GraphRankSpec extends SparkSpec {
     assert(got.length == 1,
       s"triangle ranks must be identical across nodes: ${got.toSeq}")
   }
+
+  test("centrality keeper: a star's center wins its cluster even with " +
+    "the highest id (where min-id and longest-member rules both miss)") {
+    import spark.implicits._
+    // Star centered on id 9 with leaves 1, 2, 3: the cluster label is
+    // min id (1), but the member every variant links to is 9 — the
+    // canonical original a partial-copy family points at.
+    val pairs = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("doc_a", "doc_b")
+    val comps = graft.operators.TextDedup.duplicateClusters(pairs)
+    val pr = GraphRank.pagerank(pairs, iters = 5)
+      .select(org.apache.spark.sql.functions.col("member").as("pid"),
+        org.apache.spark.sql.functions.col("pr_nano"))
+    val got = graft.operators.TextDedup.keepers(comps, pr, "pid", "pr_nano")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 9L, 4L)),
+      s"cluster_rep 1 must keep central member 9 of 4: ${got.toSeq}")
+  }
 }
