@@ -131,6 +131,8 @@ object Bench {
     "q_ivf_train",
     "q_cluster_assign",
     "q_text_quality",
+    "q_quality_classifier",
+    "q_vocab_coverage",
     "q_lang_id",
     "q_repetition",
     "q_rep_signals",

@@ -259,6 +259,64 @@ object SkipGramPairs {
     column(SkipGramPairs(expression(c), maxDist))
 }
 
+/** Hashed-n-gram LINEAR MODEL inference in one codegen'd pass — the
+  * fastText-style quality-classifier shape (hash each word n-gram into a
+  * weight table, sum the weights, threshold) with the weight table
+  * REPLACED by a deterministic function of the feature hash itself
+  * (`w(h) = h mod `mod` - `bias``), so the oracle can replay the exact
+  * score without shipping a model file. Returns ARRAY<BIGINT>
+  * `[n_grams, score]`; documents under n tokens yield `[0, 0]`.
+  *
+  * Feature hashing IS the vocabulary here (Weinberger et al. 2009): no
+  * dictionary lookup, no shuffle — the whole classifier is a map-side
+  * projection, which is what makes model-based quality filtering viable
+  * at corpus scale. The 60-bit md5 feature hash matches the inverted-
+  * index family (GramHashes), so both engines bucket identically. */
+case class GramScore(child: Expression, n: Int, mod: Int, bias: Int)
+    extends UnaryExpression {
+  require(n > 0 && mod > 1, "gram width and modulus must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_score"
+
+  override def nullSafeEval(input: Any): Any =
+    GramScore.evalScore(input.asInstanceOf[UTF8String], n, mod, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramScore.evalScore($c, $n, $mod, $bias);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramScore =
+    copy(child = newChild)
+}
+
+object GramScore {
+  /** Named `evalScore`, not `eval` — static-forwarder collision note in
+    * [[MinWindowHash]]. */
+  def evalScore(text: UTF8String, n: Int, mod: Int, bias: Int): GenericArrayData = {
+    val w = SplitWords.words(text)
+    if (w.length < n) return new GenericArrayData(Array(0L, 0L))
+    var score = 0L
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n - 1 < w.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(w(i + j))
+        j += 1
+      }
+      score += ShingleHashes.md5Prefix60(sb.toString) % mod - bias
+      i += 1
+    }
+    new GenericArrayData(Array((w.length - n + 1).toLong, score))
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def gram_score(c: Column, n: Int, mod: Int, bias: Int): Column =
+    column(GramScore(expression(c), n, mod, bias))
+}
+
 /** Whitespace tokenization with empty-token drop as ONE codegen'd
   * expression — the `filter(split(text, '\\s+'), w -> w != '')` idiom
   * without the interpreted higher-order lambda (see the verify-skill perf

@@ -1062,6 +1062,49 @@ object Ext {
             .when(col("c_de") >= col("c_fr"), "de")
             .otherwise("fr")))
     }),
+    // model-based quality filtering (the fastText/DCLM classifier shape):
+    // a hashed-bigram linear scorer where the weight table is a
+    // deterministic function of the 60-bit feature hash — inference is
+    // ONE codegen'd map-side pass per document (feature hashing replaces
+    // the dictionary: no vocab lookup, no shuffle, nothing to broadcast),
+    // which is exactly why hashed linear classifiers are the standard
+    // quality gate at corpus scale. Real deployments swap the derived
+    // weights for trained ones; the plumbing (hash → weight → sum →
+    // threshold) is identical and oracle-replayed bit-for-bit.
+    "q_quality_classifier" -> ((s, dir) => {
+      import graft.functions.GramScore.gram_score
+      ord(t(s, dir, "documents")
+        .select(col("doc_id"), gram_score(col("text"), 2, 2001, 1000).as("sc"))
+        .select(col("doc_id"),
+          col("sc").getItem(0).as("n_feats"),
+          col("sc").getItem(1).as("score_fp"))
+        .withColumn("keep", col("n_feats") > 0 && col("score_fp") > 0))
+    }),
+    // tokenizer vocabulary SIZING: cumulative token coverage at candidate
+    // vocab sizes — the curve every tokenizer budget decision reads
+    // (how much of the corpus do the top-k words cover?). The global
+    // frequency rank runs through ScalableWindows (quantile-bucketed
+    // row_number — no corpus-vocabulary single-partition sort), then one
+    // broadcast theta-join against the 3-row size frame and a
+    // vocab-scale aggregate. The corpus-sized stream is touched exactly
+    // once, by the map-side-combined word count.
+    "q_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val freq = t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("tf"))
+      val ranked = graft.operators.ScalableWindows.withGlobalRowNumber(
+        freq, Seq(-col("tf"), col("w")), "rn")
+      val sizes = Seq(256, 1024, 4096).toDF("vocab_size")
+      val tot = freq.agg(sum(col("tf")).as("total_tokens"))
+      ord(ranked.join(broadcast(sizes), col("rn") <= col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(count(lit(1)).as("n_vocab_words"), sum(col("tf")).as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .withColumn("coverage",
+          round(col("covered_tokens").cast("double") / col("total_tokens"), 6)))
+    }),
     // token counting: whitespace tokens vs a BPE-ish pretokenizer (GPT-2
     // style contraction/letter-run/digit-run/punct-run classes, lookahead
     // dropped so Java regex and RE2 agree) — the tokens-per-word ratio is
@@ -3161,6 +3204,42 @@ object Ext {
         |  CAST(SUM(tf) AS BIGINT) AS sum_tf,
         |  round(CAST(SUM(tf) AS DOUBLE) / COUNT(*), 6) AS mean_tf
         |FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    // same hashed-bigram weight derivation (60-bit md5 prefix mod 2001,
+    // centered); the left join restores sub-2-token docs as [0, 0]
+    "q_quality_classifier" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15) AS BIGINT) % 2001 - 1000 AS wt
+        |  FROM ws, unnest(range(1, len(w))) AS u(i)),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |             CAST(SUM(wt) AS BIGINT) AS score_fp
+        |      FROM g GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(COALESCE(a.score_fp, 0) AS BIGINT) AS score_fp,
+        |  COALESCE(a.n_feats, 0) > 0 AND COALESCE(a.score_fp, 0) > 0 AS keep
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // global frequency rank (total order: -tf, then word) then coverage
+    // at each candidate vocab size
+    "q_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+        |f AS (SELECT w, COUNT(*) AS tf FROM t WHERE w != '' GROUP BY w),
+        |r AS (SELECT tf, row_number() OVER (ORDER BY -tf, w) AS rn FROM f),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens FROM f),
+        |k AS (SELECT unnest([256, 1024, 4096]) AS vocab_size)
+        |SELECT k.vocab_size,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+        |  CAST(SUM(r.tf) AS BIGINT) AS covered_tokens,
+        |  tot.total_tokens,
+        |  round(CAST(SUM(r.tf) AS DOUBLE) / tot.total_tokens, 6) AS coverage
+        |FROM k JOIN r ON r.rn <= k.vocab_size, tot
+        |GROUP BY k.vocab_size, tot.total_tokens
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_scrub" ->
       """WITH s AS (
         |  SELECT doc_id, text,

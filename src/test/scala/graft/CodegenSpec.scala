@@ -171,6 +171,26 @@ class CodegenSpec extends SparkSpec {
         s"skip-gram window 2: got ${sg(0)}")
       assert(sg(1) == Seq(("x", "y")) && sg(2).isEmpty && sg(3).isEmpty)
 
+      import graft.functions.GramScore.gram_score
+      // independent reference: MessageDigest md5 over the same sliding
+      // bigrams, the same centered-mod weight, summed left to right
+      val gsRef = {
+        val w = gtext.split("\\s+", -1).filter(_.nonEmpty)
+        w.sliding(2).map { g =>
+          java.lang.Long.parseLong(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(g.mkString(" ").getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString.take(15), 16) % 2001 - 1000
+        }.sum
+      }
+      val gsN = gtext.split("\\s+", -1).count(_.nonEmpty).toLong - 1
+      val gs = Seq(gtext, "one", "").toDF("text")
+        .select(gram_score(col("text"), 2, 2001, 1000).as("s")).collect()
+      assert(gs(0).getSeq[Long](0) == Seq(gsN, gsRef),
+        "hashed-bigram linear score: [n_grams, sum of (h % 2001 - 1000)]")
+      assert(gs(1).getSeq[Long](0) == Seq(0L, 0L), "under n tokens -> [0, 0]")
+      assert(gs(2).getSeq[Long](0) == Seq(0L, 0L))
+
       import graft.functions.WordScan.word_scan
       val ws = Seq("The cat and the dog, a big dog.")
         .toDF("text").select(word_scan(col("text"), Seq("the", "a", "dog"), 2).as("sc"))
