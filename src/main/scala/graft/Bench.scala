@@ -97,6 +97,7 @@ object Bench {
     "q_bitext_mine",
     "q_rrf_fusion",
     "q_pagerank",
+    "q_textrank",
     "q_dedup_keep_central",
     "q_dedup_containment",
     "q_dedup_blocked_edit",

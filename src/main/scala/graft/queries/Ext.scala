@@ -1509,6 +1509,43 @@ object Ext {
       ord(sym.groupBy("w", "c").agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("n_pairs").desc, col("w"), col("c")).limit(100))
     }),
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    // the word CO-OCCURRENCE graph (window 2, words >= 4 chars — the
+    // stopword-ish cut), top-20 by centrality. Reuses GraphRank.pagerank
+    // verbatim — the centrality operator is graph-agnostic; word nodes
+    // become 60-bit md5 ids (both engines hash identically, so even a
+    // collision merges the same two nodes on both sides). The graph is
+    // VOCAB-sized: co-occurrence pairs distinct per unordered word pair,
+    // so the 5 rank iterations never touch a corpus-scale frame; the
+    // word dictionary joins back only for the final 20 rows' labels.
+    // Exact copies contribute identical pairs, so the distinct edge set
+    // is invariant under canonicalization — pair extraction runs over
+    // canonical reps (the q_dedup_* contract), cutting exploded pair
+    // volume by the duplication factor on copy-heavy corpora while the
+    // oracle replays over raw documents and must agree.
+    "q_textrank" -> ((s, dir) => {
+      import graft.functions.SkipGramPairs.skipgram_pairs
+      val co = canonicalDocs(s, dir)
+        .select(explode(skipgram_pairs(col("text"), 2)).as("p"))
+        .select(col("p.w").as("wa"), col("p.c").as("wb"))
+        .filter(length(col("wa")) >= 4 && length(col("wb")) >= 4 &&
+          col("wa") =!= col("wb"))
+      val h = (c: org.apache.spark.sql.Column) =>
+        conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+      val pairs = co
+        .select(least(col("wa"), col("wb")).as("a"),
+          greatest(col("wa"), col("wb")).as("b"))
+        .distinct()
+        .select(h(col("a")).as("doc_a"), h(col("b")).as("doc_b"))
+      val dict = co.select(col("wa").as("word"))
+        .unionAll(co.select(col("wb").as("word")))
+        .distinct()
+        .select(col("word"), h(col("word")).as("node"))
+      val pr = graft.operators.GraphRank.pagerank(pairs, iters = 5)
+      ord(pr.join(dict, pr("member") === dict("node"))
+        .select(col("word"), col("deg"), col("pr_nano"))
+        .orderBy(col("pr_nano").desc, col("word")).limit(20))
+    }),
     // per-entity Z-SCORE anomaly flags: mean/σ per user from EXACT
     // decimal power sums (the q_stats_agg contract — identical doubles
     // both engines), events beyond mean+3σ flagged; the monitoring
@@ -3404,6 +3441,46 @@ object Ext {
          |  CAST(1000000000 // n AS BIGINT) AS pr FROM deg, nn),
          |$prIters
          |SELECT node AS member, deg, pr AS pr_nano FROM it5
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
+    // the same unrolled fixed-point iterations over the word
+    // co-occurrence graph (window 2, >= 4-char words), top-20 labels
+    "q_textrank" -> {
+      val prIters = (1 to 5).map { i =>
+        s"""it$i AS (SELECT n.node, n.deg, n.tele,
+           |  CAST(n.tele + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM it${i - 1} n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p2.pr // p2.deg) AS s
+           |    FROM edges e JOIN it${i - 1} p2 ON e.src = p2.node GROUP BY 1) s
+           |  USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ws AS (
+         |  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w
+         |  FROM documents),
+         |co AS (
+         |  SELECT w[i] AS wa, w[i + d] AS wb
+         |  FROM ws, unnest(range(1, len(w))) AS u(i), unnest([1, 2]) AS dd(d)
+         |  WHERE i + d <= len(w)
+         |    AND length(w[i]) >= 4 AND length(w[i + d]) >= 4 AND w[i] != w[i + d]),
+         |e AS (SELECT DISTINCT least(wa, wb) AS a, greatest(wa, wb) AS b FROM co),
+         |n AS (SELECT CAST('0x' || substr(md5(a), 1, 15) AS BIGINT) AS src,
+         |             CAST('0x' || substr(md5(b), 1, 15) AS BIGINT) AS dst FROM e),
+         |edges AS (SELECT src, dst FROM n UNION SELECT dst, src FROM n),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |it0 AS (SELECT src AS node, deg,
+         |  CAST(150000000 // n AS BIGINT) AS tele,
+         |  CAST(1000000000 // n AS BIGINT) AS pr FROM deg, nn),
+         |$prIters,
+         |dict AS (
+         |  SELECT word, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS node FROM (
+         |    SELECT DISTINCT wa AS word FROM co
+         |    UNION SELECT DISTINCT wb FROM co)),
+         |top AS (
+         |  SELECT d.word, i.deg, i.pr AS pr_nano
+         |  FROM it5 i JOIN dict d USING (node)
+         |  ORDER BY i.pr DESC, d.word LIMIT 20)
+         |SELECT word, deg, pr_nano FROM top
          |ORDER BY ALL NULLS FIRST""".stripMargin
     },
     // q_pagerank's unrolled iterations + q_dedup_clusters' recursive
