@@ -389,6 +389,39 @@ object Ext {
         .withColumnRenamed("keep_id", "keep_doc")
         .withColumnRenamed("keep_score", "keep_pr_nano"))
     }),
+    // CURATION LEDGER: per-document disposition across the dedup
+    // cascade — the "why was my doc dropped" audit a release publishes
+    // next to the data. Tier 1: exact dups point at their canonical rep
+    // (md5-keyed groupBy + md5-keyed join back — text shuffles zero
+    // times). Tier 2: canonical reps in a near-dup cluster point at the
+    // longest member (the q_dedup_keep_best rule) via the graph-sized
+    // keeper frame. Survivors point at themselves. The FIRST tier that
+    // drops a doc wins, so every doc gets exactly one (status, keeper).
+    "q_dedup_ledger" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val groups = graft.operators.TextDedup.exactGroups(docs, "doc_id", "text")
+      val withRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(groups.select(col("h"), col("keeper").as("rep")), "h")
+      val pairs = graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
+      val keep = graft.operators.TextDedup.keepers(
+        comps, docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+      val nearMap = comps.join(
+        keep.select(col("cluster_rep"), col("keep_id")), "cluster_rep")
+        .select(col("member"), col("keep_id"))
+      ord(withRep.join(nearMap, withRep("rep") === nearMap("member"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") =!= col("rep"), lit("exact_dup"))
+            .when(col("keep_id").isNotNull && col("keep_id") =!= col("doc_id"),
+              lit("near_dup"))
+            .otherwise(lit("kept")).as("status"),
+          when(col("doc_id") =!= col("rep"), col("rep"))
+            .when(col("keep_id").isNotNull, col("keep_id"))
+            .otherwise(col("doc_id")).as("keeper_id")))
+    }),
     // NORMALIZED exact dedup (the CCNet pre-pass): lowercase, strip
     // non-alphanumerics, collapse whitespace — then group on the md5 of
     // the NORMALIZED text. Catches the near-exact families raw exact
@@ -3581,6 +3614,53 @@ object Ext {
         |    COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members FROM j)
         |SELECT cluster_rep, member AS keep_doc, n_chars AS keep_chars, n_members
         |FROM r WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // exact tier (md5-partition min) + the keep-best chain, cascaded
+    // into one (status, keeper) row per document
+    "q_dedup_ledger" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |  FROM documents),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+        |comp AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src),
+        |j AS (SELECT c.cluster_rep, c.member, d.n_chars
+        |      FROM comp c JOIN documents d ON c.member = d.doc_id),
+        |k AS (SELECT cluster_rep, member,
+        |    row_number() OVER (PARTITION BY cluster_rep ORDER BY n_chars DESC, member) AS rn
+        |  FROM j),
+        |keep AS (SELECT cluster_rep, member AS keep_id FROM k WHERE rn = 1),
+        |nm AS (SELECT c.member, kp.keep_id FROM comp c JOIN keep kp USING (cluster_rep))
+        |SELECT g.doc_id,
+        |  CASE WHEN g.doc_id != g.rep THEN 'exact_dup'
+        |       WHEN nm.keep_id IS NOT NULL AND nm.keep_id != g.doc_id THEN 'near_dup'
+        |       ELSE 'kept' END AS status,
+        |  CASE WHEN g.doc_id != g.rep THEN g.rep
+        |       WHEN nm.keep_id IS NOT NULL THEN nm.keep_id
+        |       ELSE g.doc_id END AS keeper_id
+        |FROM g LEFT JOIN nm ON g.rep = nm.member
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM v)
