@@ -109,6 +109,7 @@ object Bench {
     "q_dedup_embedding_lsh",
     "q_embed_quantize",
     "q_embed_pool",
+    "q_embed_pca",
     "q_dedup_semantic",
     "q_semdedup",
     "q_dedup_keep_best",

@@ -222,6 +222,89 @@ object Similarity {
       cents
     }
 
+  /** Per-vector projection onto the TOP PRINCIPAL COMPONENT of the
+    * mean-centered vectors, by distributed power iteration — the
+    * embedding whitening/decorrelation prep of retrieval pipelines —
+    * without ever materializing the d×d covariance: each iterate is one
+    * corpus aggregate computing v' ∝ Σ_x xc·(xc·v) (= C·v up to scale)
+    * with the current v carried as a BROADCAST 1-row frame. Nothing
+    * collects to the driver: the mean frame, every iterate, and the
+    * final unit vector are 1-row global aggregates whose serial finalize
+    * sees only per-partition partials (the q_tfidf shape). Power
+    * iteration is inherently one pass per iterate — `iters`+2 corpus
+    * scans total, each embarrassingly parallel.
+    *
+    * Cross-engine exactness: per-row dots fold in index order (`vec_dot`
+    * ≡ DuckDB `list_sum(list_transform(...))`), per-dim corpus sums
+    * route through DECIMAL(30,12) (order-free), every iterate
+    * renormalizes (IEEE sqrt/divide are correctly rounded) and ROUNDS to
+    * 6 decimals before broadcasting, and v0 is the uniform 1/sqrt(dim)
+    * literal — so both engines walk bit-identical vectors and the final
+    * projections hash-match. */
+  /** The per-dim corpus mean as a 1-row broadcastable frame, memoized
+    * like the trained quantizers (a bounded data-derived artifact). */
+  private def pcaMean(vectors: DataFrame, dim: Int): DataFrame =
+    memoized(vectors, s"pcamu:$dim") {
+      vectors.agg(
+        array((1 to dim).map(i =>
+          round(sum(element_at(col("v"), i).cast("decimal(30,12)")).cast("double") /
+            count(lit(1)), 6)): _*).as("mu"))
+    }
+
+  /** The trained unit component as a 1-row frame — memoized: like the
+    * IVF centroids / PQ codebooks it is a small deterministic training
+    * artifact every consumer (and every repeat run) can replay
+    * bit-identically instead of re-walking the iterates. */
+  def pcaComponent(vectors: DataFrame, dim: Int, iters: Int): DataFrame =
+    memoized(vectors, s"pca:$dim:$iters") {
+      val mu = pcaMean(vectors, dim)
+      // Materialize the centered matrix ONCE for training: power
+      // iteration reads it `iters` times, and recomputing scan+subtract
+      // per pass (plus re-planning the nested 64-wide codegen stage per
+      // iterate) costs more than one write — MLlib's cache-the-
+      // training-set pattern. Swept by the harness' checkpoint release.
+      val xc = vectors.crossJoin(broadcast(mu))
+        .select(array((1 to dim).map(i =>
+          element_at(col("v"), i) - element_at(col("mu"), i)): _*).as("xc"))
+        .localCheckpoint(true)
+      var vf = vectors.sparkSession.range(1).select(
+        array((1 to dim).map(_ => lit(1.0 / math.sqrt(dim.toDouble))): _*).as("pc"))
+      for (_ <- 1 to iters) {
+        val raw = xc.crossJoin(broadcast(vf))
+          .select(col("xc"),
+            graft.functions.VecDot.vec_dot(col("xc"), col("pc")).as("dot"))
+          .agg(array((1 to dim).map(i =>
+            sum((element_at(col("xc"), i) * col("dot")).cast("decimal(30,12)"))
+              .cast("double")): _*).as("raw"))
+        val norm = sqrt((1 to dim).map(i =>
+          element_at(col("raw"), i) * element_at(col("raw"), i)).reduce(_ + _))
+        val prev = vf
+        // each iterate is ONE row — checkpointing it flattens the nested
+        // lineage so every pass plans against a local relation, not the
+        // whole chain of prior iterates
+        vf = raw.select(array((1 to dim).map(i =>
+          round(element_at(col("raw"), i) / norm, 6)): _*).as("pc"))
+          .localCheckpoint(true)
+        graft.plans.Checkpoints.release(prev)
+      }
+      vf
+    }
+
+  def pcaProject(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(dim > 0 && iters >= 1)
+    val pc = pcaComponent(vectors, dim, iters)
+    val mu = pcaMean(vectors, dim)
+    // projection is ONE scan against the two broadcast 1-row artifacts
+    // (centering re-derived inline — cheaper than re-reading a
+    // materialized centered matrix, and free on a memo hit)
+    vectors.crossJoin(broadcast(mu)).crossJoin(broadcast(pc))
+      .select(col("vec_id"),
+        round(graft.functions.VecDot.vec_dot(
+          array((1 to dim).map(i =>
+            element_at(col("v"), i) - element_at(col("mu"), i)): _*),
+          col("pc")), 6).as("proj"))
+  }
+
   // ---- session-scoped quantizer memo -------------------------------------
 
   /** Trained quantizers memoized per (input data, training knobs). The ANN

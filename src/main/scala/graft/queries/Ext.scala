@@ -2059,6 +2059,19 @@ object Ext {
             .reduceLeft(_ + _) / col("n_chunks")).as("mean_val")))
     }),
 
+    // embedding WHITENING prep: per-vector projection onto the top
+    // principal component of the mean-centered corpus, by distributed
+    // power iteration (3 fixed iterates) — the covariance matrix never
+    // materializes; each iterate is ONE corpus aggregate against the
+    // broadcast 1-row current vector, and nothing collects to the
+    // driver. See Similarity.pcaProject for the cross-engine exactness
+    // contract (index-order dots, decimal-routed per-dim sums, 6-decimal
+    // renormalized iterates).
+    "q_embed_pca" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      ord(graft.operators.Similarity.pcaProject(e, dim = 64, iters = 3))
+    }),
     // DSIR-style hashed-ngram importance resampling (Xie et al. 2023,
     // "Data Selection for Language Models via Importance Resampling"):
     // fit a raw and a target token distribution over 128 md5 hash
@@ -4113,6 +4126,34 @@ object Ext {
         |  ((((coalesce(c0, 0) + coalesce(c1, 0)) + coalesce(c2, 0))
         |    + coalesce(c3, 0)) + coalesce(c4, 0)) / n_chunks AS mean_val
         |FROM g ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the same 3 unrolled power iterates: index-order list_sum dots,
+    // DECIMAL(30,12)-routed per-dim sums, 6-decimal renormalization
+    "q_embed_pca" -> {
+      val iter = (i: Int) =>
+        s"""r$i AS (SELECT list(s ORDER BY d) AS raw FROM (
+           |  SELECT d, CAST(SUM(CAST(t.xc[d] * t.dot AS DECIMAL(30,12))) AS DOUBLE) AS s
+           |  FROM (SELECT xc.xc AS xc,
+           |          list_sum(list_transform(range(1, 65), j -> xc.xc[j] * v${i - 1}.pc[j])) AS dot
+           |        FROM xc, v${i - 1}) t, range(1, 65) r(d)
+           |  GROUP BY d)),
+           |v$i AS (SELECT list_transform(range(1, 65), d ->
+           |  round(raw[d] / sqrt(list_sum(list_transform(raw, y -> y * y))), 6)) AS pc
+           |  FROM r$i)""".stripMargin
+      s"""WITH x0 AS (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |mu AS (SELECT list(m ORDER BY d) AS mu FROM (
+         |  SELECT d, round(CAST(SUM(CAST(x[d] AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6) AS m
+         |  FROM x0, range(1, 65) r(d) GROUP BY d)),
+         |xc AS (SELECT vec_id, list_transform(range(1, 65), d -> x[d] - mu[d]) AS xc
+         |       FROM x0, mu),
+         |v0 AS (SELECT list_transform(range(1, 65), d -> 0.125) AS pc),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT x.vec_id,
+         |  round(list_sum(list_transform(range(1, 65), j -> x.xc[j] * v3.pc[j])), 6) AS proj
+         |FROM xc x, v3
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
     "q_importance_resample" ->
       """WITH w AS (
         |  SELECT doc_id, source,

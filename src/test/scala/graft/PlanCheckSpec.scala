@@ -154,12 +154,16 @@ class PlanCheckSpec extends SparkSpec {
     //    q_window_rank shape) and the 1-row total-token frame finalizes
     //    from per-partition partial sums (the q_tfidf shape); both
     //    serial points see bounded rows, never the corpus stream.
+    //  - q_embed_pca: the mean frame and each power iterate are 1-row
+    //    global aggregates (64 decimal buffers) finalizing from
+    //    per-partition partials, then broadcast — the q_tfidf shape,
+    //    once per iterate by construction of power iteration.
     val allow = Set("q_sample", "q_window_rank", "q_sql_scalar_subquery",
       "q_window_rank_global", "q_window_pct_global", "q_pack_sequences",
       "q_pack_bpe", "q_tfidf", "q_compact_store",
       "q_lm_buckets", "q_shuffle_train_order", "q_token_budget_epochs",
       "q_profile", "q_cms_union", "q_join_bloom", "q_bm25", "q_rrf_fusion",
-      "q_vocab_coverage")
+      "q_vocab_coverage", "q_embed_pca")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None

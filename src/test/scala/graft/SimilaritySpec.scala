@@ -418,6 +418,28 @@ class SimilaritySpec extends SparkSpec {
       f"refine must not lose recall: $refined%.3f vs $prefixOnly%.3f")
   }
 
+  test("pcaComponent: unit norm, memo-replayed bit-identically, and the " +
+    "projection is centered (projections sum to ~0)") {
+    val dim = vecs.head().getSeq[Double](1).length
+    val pc1 = Similarity.pcaComponent(vecs, dim, iters = 3)
+      .head().getSeq[Double](0)
+    val norm = math.sqrt(pc1.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4,
+      f"trained component must be unit-norm (got $norm%.6f)")
+    val hits0 = Similarity.memoHits.get
+    val pc2 = Similarity.pcaComponent(vecs, dim, iters = 3)
+      .head().getSeq[Double](0)
+    assert(pc2 == pc1 && Similarity.memoHits.get > hits0,
+      "second identical training must replay the memoized component")
+    // projections of MEAN-CENTERED data onto any fixed vector sum to ~0
+    // (up to the 6-decimal rounding of means and projections)
+    val s = Similarity.pcaProject(vecs, dim, iters = 3)
+      .agg(sum(col("proj"))).head().getDouble(0)
+    val n = vecs.count()
+    assert(math.abs(s) < 1e-3 * n,
+      f"centered projections must sum to ~0 (got $s%.6f over $n rows)")
+  }
+
   test("quantizer memo: repeat training hits the cache with identical rows") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
