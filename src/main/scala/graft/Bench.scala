@@ -47,6 +47,7 @@ object Bench {
     "q_scd2",
     "q_hll_union",
     "q_cms_union",
+    "q_hist_quantiles",
     "q_partitioned_write",
     "q_zorder_layout",
     "q_orc_roundtrip",

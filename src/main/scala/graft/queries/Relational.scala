@@ -167,6 +167,45 @@ object Relational {
             ceil(col("n_total") * lit(0.002)).cast("long")).as("within_bound")))
     }),
 
+    // RE-AGGREGATABLE HISTOGRAM QUANTILES — the third mergeable sketch
+    // (after HLL distincts and CMS heavy hitters): fixed 32-bin integer
+    // histograms of document length per source, UNIONED by plain vector
+    // addition into the corpus row ('__all__' — the same daily→weekly
+    // rollup shape), p50/p90 estimated by linear interpolation inside
+    // the covering bin. Counts are exact integers and the interpolation
+    // is one rounded division, so the estimates are bit-identical
+    // cross-engine (no approx_percentile non-determinism). Plan: ONE
+    // map-side-combined groupBy(source, bin) touches the corpus;
+    // everything after runs at ≤32-bins-per-group scale (windows
+    // partition by source — at 100 TB the rollup reads 32-int
+    // histograms, not rows).
+    "q_hist_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents")
+        .select(col("source"),
+          least(expr("n_chars div 32"), lit(31L)).cast("int").as("bin"))
+        .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+      val all = bins.groupBy("bin").agg(sum(col("cnt")).as("cnt"))
+        .select(lit("__all__").as("source"), col("bin"), col("cnt"))
+      val h = bins.select(col("source"), col("bin"), col("cnt")).unionAll(all)
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("bin")
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val cum = h.withColumn("cum", sum(col("cnt")).over(wOrd))
+        .withColumn("n_docs", sum(col("cnt")).over(wAll))
+      val qs = Seq(50, 90).toDF("q_pct")
+      val hit = cum.crossJoin(broadcast(qs))
+        .withColumn("t", expr("(q_pct * n_docs + 99) div 100"))
+        .filter(col("cum") >= col("t"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "q_pct").orderBy("bin")
+      ord(hit.withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+        .select(col("source"), col("q_pct"), col("n_docs"),
+          round((col("bin") * lit(32)).cast("double") +
+            lit(32.0) * (col("t") - col("cum") + col("cnt")).cast("double") /
+              col("cnt"), 6).as("q_est")))
+    }),
+
     // pivot: long-to-wide over a low-cardinality column (explicit value
     // list, so the plan is a single pass — no distinct-values pre-query)
     "q_pivot" -> ((s, dir) => {
@@ -2141,6 +2180,28 @@ object Relational {
       """SELECT CAST(weekofyear(ts) AS INT) AS wk,
         |  COUNT(DISTINCT user_id) AS exact_users, true AS within_5pct
         |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the same binning, vector-add union, and covering-bin interpolation
+    "q_hist_quantiles" ->
+      """WITH g AS (
+        |  SELECT source, CAST(least(n_chars // 32, 31) AS INT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |h AS (SELECT source, bin, cnt FROM g
+        |      UNION ALL
+        |      SELECT '__all__', bin, CAST(SUM(cnt) AS BIGINT) FROM g GROUP BY bin),
+        |c AS (SELECT source, bin, cnt,
+        |        CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        |      FROM h),
+        |q AS (SELECT unnest([50, 90]) AS q_pct),
+        |f AS (SELECT c.*, q.q_pct, (q.q_pct * n_docs + 99) // 100 AS t
+        |      FROM c, q WHERE cum >= (q.q_pct * n_docs + 99) // 100),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source, q_pct ORDER BY bin) AS rn
+        |      FROM f)
+        |SELECT source, q_pct, n_docs,
+        |  round(CAST(bin * 32 AS DOUBLE) +
+        |    32.0 * CAST(t - cum + cnt AS DOUBLE) / cnt, 6) AS q_est
+        |FROM r WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_window_time_range" ->
       """SELECT user_id, event_id,
         |  count(*) OVER w AS n_last_hour,
