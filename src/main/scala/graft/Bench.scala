@@ -115,6 +115,7 @@ object Bench {
     "q_semdedup",
     "q_dedup_keep_best",
     "q_sample_by_quality",
+    "q_pps_sample",
     "q_importance_resample",
     "q_blocklist_filter",
     "q_lm_buckets",

@@ -1455,6 +1455,32 @@ object Ext {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc")))
     }),
+    // SYSTEMATIC PPS SAMPLING (probability-proportional-to-size, the
+    // survey-sampling method): k evenly spaced integer thresholds over
+    // the cumulative weight line select documents with probability ∝
+    // weight WITHOUT transcendentals — Efraimidis-Spirakis keys
+    // (u^(1/w)) need pow/ln, which no two libms round identically, so
+    // they can never be oracle-exact; here every quantity is a BIGINT
+    // and the draw replays bit-for-bit. A doc heavier than the stride is
+    // hit more than once — n_hits is its multiplicity. Plan: one pruned
+    // 2-column scan → distributed global running sum (quantile buckets +
+    // broadcast offsets, forced distributed) → broadcast theta-join
+    // against the k-row threshold frame derived from the 1-row total.
+    "q_pps_sample" -> ((s, dir) => {
+      import s.implicits._
+      val k = 50
+      val wts = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("bigint").as("w"))
+      val cum = graft.operators.ScalableWindows.withGlobalRunningSum(
+        wts, col("w"), Seq(col("doc_id")), "cw", partitions = 8)
+      val tot = wts.agg(sum(col("w")).as("tw"))
+      val th = Seq.range(0, k).toDF("j").crossJoin(broadcast(tot))
+        .select(col("j"), expr(s"((2 * j + 1) * tw) div ${2 * k}").as("t"))
+      ord(cum
+        .join(broadcast(th), col("t") > col("cw") - col("w") && col("t") <= col("cw"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).as("n_hits"), min(col("j")).as("first_draw")))
+    }),
     // TOKENIZER-AWARE sequence packing — the composition a real layout
     // step runs: context-window bins over the BPE token counts from the
     // trained tokenizer (not whitespace counts), on the same global
@@ -3037,6 +3063,18 @@ object Ext {
         |       THEN round(a.max_tf / CAST(a.n_bigrams AS DOUBLE), 6) END AS rep_ratio
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // same integer threshold line over the doc_id-ordered cumulative sum
+    "q_pps_sample" ->
+      """WITH wts AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cw FROM wts),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+        |th AS (SELECT CAST(j AS INT) AS j, ((2 * j + 1) * tw) // 100 AS t
+        |       FROM range(0, 50) r(j), tot)
+        |SELECT c.doc_id, c.w, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(MIN(j) AS INT) AS first_draw
+        |FROM c JOIN th ON th.t > c.cw - c.w AND th.t <= c.cw
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -163,7 +163,11 @@ class PlanCheckSpec extends SparkSpec {
       "q_pack_bpe", "q_tfidf", "q_compact_store",
       "q_lm_buckets", "q_shuffle_train_order", "q_token_budget_epochs",
       "q_profile", "q_cms_union", "q_join_bloom", "q_bm25", "q_rrf_fusion",
-      "q_vocab_coverage", "q_embed_pca")
+      "q_vocab_coverage", "q_embed_pca",
+      // q_pps_sample: forced-distributed running sum (offsets windows
+      // over <= `partitions` per-bucket rows, the q_pack_sequences
+      // contract) + the 1-row total-weight frame (the q_tfidf shape).
+      "q_pps_sample")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
