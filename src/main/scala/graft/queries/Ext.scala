@@ -2098,6 +2098,39 @@ object Ext {
         col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.pcaProject(e, dim = 64, iters = 3))
     }),
+    // LATE-INTERACTION retrieval (ColBERT MaxSim, Khattab & Zaharia
+    // 2020): multi-vector scoring — score(q, d) = Σ over query chunks
+    // of the max cosine against any of d's chunks — over the 5-chunks-
+    // per-doc layout q_embed_pool established. The query docs' chunk
+    // frame broadcasts (queries are always the small side), the corpus
+    // chunk table scans ONCE, and both reductions (per-query-chunk max,
+    // per-doc sum) are map-side-combined aggregates on small keys; the
+    // per-doc sum routes through DECIMAL(18,6) so the ≤5-term addition
+    // is order-free and bit-identical cross-engine. At 100 TB the
+    // production form prunes candidates with an ANN tier first (the
+    // ladder above) — the scoring plumbing is identical.
+    "q_maxsim" -> ((s, dir) => {
+      import graft.functions.VecDot.vec_dot
+      val ch = t(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc"), expr("vec_id % 5").as("slot"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("n2", vec_dot(col("v"), col("v")))
+      val q = ch.filter(col("doc") < 3)
+        .select(col("doc").as("q_doc"), col("slot").as("q_slot"),
+          col("v").as("qv"), col("n2").as("qn2"))
+      val scored = ch.filter(col("doc") >= 3)
+        .crossJoin(broadcast(q))
+        .select(col("q_doc"), col("q_slot"), col("doc"),
+          round(vec_dot(col("v"), col("qv")) /
+            (sqrt(col("n2")) * sqrt(col("qn2"))), 6).as("cos"))
+        .groupBy("q_doc", "q_slot", "doc").agg(max(col("cos")).as("mx"))
+        .groupBy("q_doc", "doc")
+        .agg(sum(col("mx").cast("decimal(18,6)")).cast("double").as("maxsim"),
+          count(lit(1)).as("n_qtok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_doc").orderBy(col("maxsim").desc, col("doc"))
+      ord(scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3))
+    }),
     // DSIR-style hashed-ngram importance resampling (Xie et al. 2023,
     // "Data Selection for Language Models via Importance Resampling"):
     // fit a raw and a target token distribution over 128 md5 hash
@@ -3062,6 +3095,29 @@ object Ext {
         |  CASE WHEN a.n_bigrams > 0
         |       THEN round(a.max_tf / CAST(a.n_bigrams AS DOUBLE), 6) END AS rep_ratio
         |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // same chunk layout, cosine rounding, decimal-routed per-doc sum
+    "q_maxsim" ->
+      """WITH v AS (
+        |  SELECT vec_id // 5 AS doc, vec_id % 5 AS slot,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT doc, slot, v,
+        |        list_sum(list_transform(v, x -> x * x)) AS n2 FROM v),
+        |q AS (SELECT * FROM n WHERE doc < 3),
+        |c AS (SELECT * FROM n WHERE doc >= 3),
+        |p AS (SELECT q.doc AS q_doc, q.slot AS q_slot, c.doc,
+        |        round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+        |          / (sqrt(c.n2) * sqrt(q.n2)), 6) AS cos
+        |      FROM q, c),
+        |m AS (SELECT q_doc, q_slot, doc, MAX(cos) AS mx FROM p GROUP BY 1, 2, 3),
+        |s AS (SELECT q_doc, doc,
+        |        CAST(SUM(CAST(mx AS DECIMAL(18,6))) AS DOUBLE) AS maxsim,
+        |        CAST(COUNT(*) AS BIGINT) AS n_qtok
+        |      FROM m GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY q_doc ORDER BY maxsim DESC, doc) AS INT) AS rk FROM s)
+        |SELECT q_doc, doc, maxsim, n_qtok, rk FROM r WHERE rk <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // same integer threshold line over the doc_id-ordered cumulative sum
     "q_pps_sample" ->
