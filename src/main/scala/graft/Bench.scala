@@ -101,6 +101,7 @@ object Bench {
     "q_textrank",
     "q_dedup_keep_central",
     "q_dedup_ledger",
+    "q_cluster_cohesion",
     "q_dedup_containment",
     "q_dedup_blocked_edit",
     "q_contamination",

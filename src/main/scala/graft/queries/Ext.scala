@@ -422,6 +422,35 @@ object Ext {
             .when(col("keep_id").isNotNull, col("keep_id"))
             .otherwise(col("doc_id")).as("keeper_id")))
     }),
+    // CLUSTER COHESION AUDIT — the QA report on the near-dup clustering
+    // itself: per cluster, member count, intra-edge count, edge density
+    // 2E/(n(n-1)), and mean/min jaccard over its edges — the numbers a
+    // curation review reads before trusting keep-one-per-cluster
+    // deletion (a low-density, low-min-jaccard cluster is a chained
+    // false-positive merge; a dense high-min cluster is safe to
+    // collapse). Everything after the pair generator runs at GRAPH
+    // scale: edges join their endpoint's label, one aggregate per
+    // cluster; the mean routes through DECIMAL so edge addition order
+    // can't wiggle the last ulp.
+    "q_cluster_cohesion" -> ((s, dir) => {
+      val pairs = graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+        .localCheckpoint(true)
+      val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
+      val sizes = comps.groupBy("cluster_rep").agg(count(lit(1)).as("n_members"))
+      val lab = comps.select(col("member").as("doc_a"), col("cluster_rep"))
+      ord(pairs.join(lab, "doc_a")
+        .groupBy("cluster_rep")
+        .agg(count(lit(1)).as("n_edges"),
+          round(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_jaccard"),
+          min(col("jaccard")).as("min_jaccard"))
+        .join(sizes, "cluster_rep")
+        .withColumn("density", round(col("n_edges").cast("double") * 2 /
+          (col("n_members") * (col("n_members") - 1)), 6)))
+    }),
     // NORMALIZED exact dedup (the CCNet pre-pass): lowercase, strip
     // non-alphanumerics, collapse whitespace — then group on the md5 of
     // the NORMALIZED text. Catches the near-exact families raw exact
@@ -3721,6 +3750,45 @@ object Ext {
         |    COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members FROM j)
         |SELECT cluster_rep, member AS keep_doc, n_chars AS keep_chars, n_members
         |FROM r WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_dedup_clusters chain with the jaccard value carried through,
+    // aggregated per component
+    "q_cluster_cohesion" ->
+      """WITH RECURSIVE canon AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+        |comp AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_members
+        |       FROM comp GROUP BY 1),
+        |ea AS (SELECT c.cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |         round(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard,
+        |         MIN(jaccard) AS min_jaccard
+        |       FROM p JOIN comp c ON p.doc_a = c.member GROUP BY 1)
+        |SELECT ea.cluster_rep, ea.n_edges, ea.mean_jaccard, ea.min_jaccard, sz.n_members,
+        |  round(CAST(ea.n_edges AS DOUBLE) * 2 / (sz.n_members * (sz.n_members - 1)), 6) AS density
+        |FROM ea JOIN sz USING (cluster_rep)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // exact tier (md5-partition min) + the keep-best chain, cascaded
     // into one (status, keeper) row per document
     "q_dedup_ledger" ->
