@@ -48,6 +48,7 @@ object Bench {
     "q_hll_union",
     "q_cms_union",
     "q_hist_quantiles",
+    "q_drift_chi2",
     "q_partitioned_write",
     "q_zorder_layout",
     "q_orc_roundtrip",

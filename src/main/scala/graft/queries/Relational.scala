@@ -206,6 +206,41 @@ object Relational {
               col("cnt"), 6).as("q_est")))
     }),
 
+    // DISTRIBUTION DRIFT DETECTION: chi-square homogeneity test of each
+    // source's length histogram against the corpus marginal — the
+    // monitoring gate that catches a feed whose documents silently
+    // changed shape before it pollutes a training mix. Zero cells
+    // matter (a source missing a populated bin IS evidence), so the
+    // dense (source × bin) grid materializes by crossing the two
+    // VOCAB-scale margin frames and left-joining the observed counts —
+    // the corpus is touched once by the same groupBy(source, bin) as
+    // q_hist_quantiles. Per-term doubles use one fixed expression tree
+    // and round to 9 before the DECIMAL sum, so the statistic is
+    // bit-identical cross-engine; the flag is the 95% chi-square cut at
+    // 31 dof.
+    "q_drift_chi2" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("source"),
+          least(expr("n_chars div 32"), lit(31L)).cast("int").as("bin"))
+        .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+      val bt = g.groupBy("bin").agg(sum(col("cnt")).as("bin_tot"))
+      val ns = g.groupBy("source").agg(sum(col("cnt")).as("n_src"))
+      val tot = bt.agg(sum(col("bin_tot")).as("n_total"))
+      val dense = ns.crossJoin(bt).crossJoin(broadcast(tot))
+        .join(g, Seq("source", "bin"), "left")
+        .withColumn("obs", coalesce(col("cnt"), lit(0L)))
+        .withColumn("exp",
+          col("n_src").cast("double") * col("bin_tot") / col("n_total"))
+        .withColumn("term",
+          round((col("obs") - col("exp")) * (col("obs") - col("exp")) /
+            col("exp"), 9))
+      ord(dense.groupBy("source")
+        .agg(max(col("n_src")).as("n_src"),
+          round(sum(col("term").cast("decimal(28,9)")).cast("double"), 6)
+            .as("chi2"))
+        .withColumn("drift", col("chi2") > 44.985))
+    }),
+
     // pivot: long-to-wide over a low-cardinality column (explicit value
     // list, so the plan is a single pass — no distinct-values pre-query)
     "q_pivot" -> ((s, dir) => {
@@ -2180,6 +2215,31 @@ object Relational {
       """SELECT CAST(weekofyear(ts) AS INT) AS wk,
         |  COUNT(DISTINCT user_id) AS exact_users, true AS within_5pct
         |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the same dense grid, fixed expression tree, 9-decimal term
+    // rounding and decimal sum
+    "q_drift_chi2" ->
+      """WITH g AS (
+        |  SELECT source, CAST(least(n_chars // 32, 31) AS INT) AS bin,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |bt AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS bin_tot FROM g GROUP BY bin),
+        |ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_src FROM g GROUP BY source),
+        |tot AS (SELECT CAST(SUM(bin_tot) AS BIGINT) AS n_total FROM bt),
+        |dense AS (
+        |  SELECT ns.source, bt.bin, ns.n_src, bt.bin_tot, tot.n_total,
+        |    COALESCE(g.cnt, 0) AS obs,
+        |    CAST(ns.n_src AS DOUBLE) * bt.bin_tot / tot.n_total AS exp
+        |  FROM ns CROSS JOIN bt CROSS JOIN tot
+        |  LEFT JOIN g ON g.source = ns.source AND g.bin = bt.bin),
+        |terms AS (
+        |  SELECT source, n_src,
+        |    round((obs - exp) * (obs - exp) / exp, 9) AS term
+        |  FROM dense)
+        |SELECT source, MAX(n_src) AS n_src,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) AS chi2,
+        |  round(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) > 44.985 AS drift
+        |FROM terms GROUP BY source
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the same binning, vector-add union, and covering-bin interpolation
     "q_hist_quantiles" ->
       """WITH g AS (

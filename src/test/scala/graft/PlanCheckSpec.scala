@@ -167,7 +167,12 @@ class PlanCheckSpec extends SparkSpec {
       // q_pps_sample: forced-distributed running sum (offsets windows
       // over <= `partitions` per-bucket rows, the q_pack_sequences
       // contract) + the 1-row total-weight frame (the q_tfidf shape).
-      "q_pps_sample")
+      "q_pps_sample",
+      // q_drift_chi2: the 1-row corpus-total frame finalizes from
+      // per-bin partial sums over the (vocab-scale) bin margin — the
+      // q_tfidf shape; the corpus stream itself hash-partitions on
+      // (source, bin).
+      "q_drift_chi2")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
