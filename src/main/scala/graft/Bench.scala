@@ -49,6 +49,7 @@ object Bench {
     "q_cms_union",
     "q_hist_quantiles",
     "q_drift_chi2",
+    "q_incr_agg",
     "q_partitioned_write",
     "q_zorder_layout",
     "q_orc_roundtrip",

@@ -206,6 +206,29 @@ object Relational {
               col("cnt"), 6).as("q_est")))
     }),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE (delta refresh): yesterday's
+    // per-source stats plus today's batch merge into the updated stats
+    // WITHOUT rescanning the base — the materialized-view maintenance
+    // pattern that turns a 100 TB nightly recompute into a delta-sized
+    // one. The engine computes base partials and delta partials
+    // separately (two pruned scans here, standing for "stored partials +
+    // new data") and merges them with the aggregates' own merge
+    // functions (sum of counts/sums, min of mins, max of maxes); the
+    // ORACLE aggregates the full table directly, so a pass proves the
+    // merge is lossless — the invariant that makes incremental refresh
+    // safe to trust.
+    "q_incr_agg" -> ((s, dir) => {
+      def partial(df: DataFrame) = df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      val docs = t(s, dir, "documents")
+      val base = partial(docs.filter(expr("doc_id % 10 != 0")))
+      val delta = partial(docs.filter(expr("doc_id % 10 = 0")))
+      ord(base.unionAll(delta).groupBy("source")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"),
+          min(col("min_chars")).as("min_chars"), max(col("max_chars")).as("max_chars")))
+    }),
+
     // DISTRIBUTION DRIFT DETECTION: chi-square homogeneity test of each
     // source's length histogram against the corpus marginal — the
     // monitoring gate that catches a feed whose documents silently
@@ -2215,6 +2238,14 @@ object Relational {
       """SELECT CAST(weekofyear(ts) AS INT) AS wk,
         |  COUNT(DISTINCT user_id) AS exact_users, true AS within_5pct
         |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the full-table aggregate directly — a pass proves the engine's
+    // partial-merge is lossless
+    "q_incr_agg" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY source
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the same dense grid, fixed expression tree, 9-decimal term
     // rounding and decimal sum
     "q_drift_chi2" ->
