@@ -58,7 +58,16 @@ object GraphRank {
         expr(s"CAST(${100 - dampingPct} * 10000000 AS BIGINT) div n").as("tele"),
         expr("CAST(1000000000 AS BIGINT) div n").as("pr_nano"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    // Materialize every OTHER round: a lazy odd round references the
+    // previous checkpoint ~4× in the next round's plan (the rank frame
+    // appears twice per round), which rescans cheap cached blocks —
+    // cheaper than paying a full eager-checkpoint job per round. The
+    // final round always checkpoints so callers get the same
+    // truncated-lineage frame as before. `lastCp` tracks the only
+    // persisted ancestor a lazy frame still depends on; it is released
+    // only after the next checkpoint truncates lineage past it.
+    var lastCp = pr
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(pr.select(col("node").as("src"),
           expr("pr_nano div deg").as("c")), "src")
@@ -68,9 +77,14 @@ object GraphRank {
           (col("tele") +
             expr(s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
             .as("pr_nano"))
-        .localCheckpoint(true)
-      graft.plans.Checkpoints.release(pr)
-      pr = updated
+      if (i % 2 == 0 || i == iters) {
+        val cp = updated.localCheckpoint(true)
+        graft.plans.Checkpoints.release(lastCp)
+        lastCp = cp
+        pr = cp
+      } else {
+        pr = updated
+      }
     }
     graft.plans.Checkpoints.release(edges)
     pr.select(col("node").as("member"), col("deg"), col("pr_nano"))
