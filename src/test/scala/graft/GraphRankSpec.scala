@@ -42,6 +42,19 @@ class GraphRankSpec extends SparkSpec {
       s"triangle ranks must be identical across nodes: ${got.toSeq}")
   }
 
+  test("pagerank releases every superseded checkpoint: only the result " +
+    "frame stays persisted (the every-other-round bookkeeping cannot leak)") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pr = GraphRank.pagerank(pairs, iters = 5)
+    pr.count()
+    val live = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(live.size <= 1,
+      s"pagerank leaked checkpoint blocks: ${live.size} persistent RDDs " +
+        "(edges and all superseded iterates must be released)")
+  }
+
   test("centrality keeper: a star's center wins its cluster even with " +
     "the highest id (where min-id and longest-member rules both miss)") {
     import spark.implicits._
