@@ -123,6 +123,7 @@ object Bench {
     "q_blocklist_filter",
     "q_lm_buckets",
     "q_knn_bruteforce",
+    "q_knn_filtered",
     "q_maxsim",
     "q_knn_sq8",
     "q_knn_binary",

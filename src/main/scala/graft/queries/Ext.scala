@@ -783,6 +783,21 @@ object Ext {
         col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.knnBand(e, col("vec_id") < 10, skip = 5, k = 5))
     }),
+    // FILTERED vector search (metadata-constrained ANN — the production
+    // vector-db pattern: "neighbors of q among docs matching q's
+    // filter"): the label predicate becomes the JOIN KEY, so the filter
+    // is a hash partition, not a post-scan discard — at 100 TB a
+    // label-partitioned corpus makes the constrained search touch only
+    // the matching partitions (the same bucket mechanism the orthant
+    // and IVF tiers use; metadata filtering falls out of the existing
+    // operator for free).
+    "q_knn_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        col("label").cast("bigint").as("label"))
+      ord(graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 3,
+        bucket = Some(col("label"))))
+    }),
     // margin-based BITEXT MINING (cross-lingual parallel-pair mining):
     // English-pool vs rest-pool over the embeddings (lang rides in from
     // documents on the shared id), ratio margin over top-4 neighborhood
@@ -4005,6 +4020,24 @@ object Ext {
         |          FROM contrib GROUP BY 1, 2),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_nano DESC, doc_id) AS INT) AS rk FROM fused)
         |SELECT q_id, doc_id, rrf_nano, n_arms, rk FROM r WHERE rk <= 10
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the knn shape with the label filter as the join key
+    "q_knn_filtered" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, label AS qb, v AS qv, nrm AS qn
+        |      FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+        |  FROM n JOIN q ON n.label = qb AND vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id AS neighbor, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+        |  FROM scored)
+        |SELECT q_id, neighbor, cos, rk FROM ranked WHERE rk <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
