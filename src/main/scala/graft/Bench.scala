@@ -104,6 +104,7 @@ object Bench {
     "q_dedup_keep_central",
     "q_dedup_ledger",
     "q_cluster_cohesion",
+    "q_source_overlap",
     "q_dedup_containment",
     "q_dedup_blocked_edit",
     "q_contamination",

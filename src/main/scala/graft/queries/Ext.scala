@@ -422,6 +422,32 @@ object Ext {
             .when(col("keep_id").isNotNull, col("keep_id"))
             .otherwise(col("doc_id")).as("keeper_id")))
     }),
+    // CROSS-SOURCE DUPLICATION MATRIX — which sources mirror each
+    // other: near-dup pair counts bucketed by the (source, source) of
+    // their endpoints (unordered, so the matrix is upper-triangular).
+    // The question every mixture design asks before weighting sources
+    // independently ("is src7 just a mirror of src3?"); a heavy
+    // off-diagonal cell means two feeds share provenance and their
+    // mixture weights double-count. Pairs join the 2-column doc→source
+    // map twice (metadata-only, never text); everything after the pair
+    // generator is graph-sized.
+    "q_source_overlap" -> ((s, dir) => {
+      val pairs = graft.operators.TextDedup.jaccardPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      ord(pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          col("jaccard"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_jaccard")))
+    }),
     // CLUSTER COHESION AUDIT — the QA report on the near-dup clustering
     // itself: per cluster, member count, intra-edge count, edge density
     // 2E/(n(n-1)), and mean/min jaccard over its edges — the numbers a
@@ -3765,6 +3791,36 @@ object Ext {
         |    COUNT(*) OVER (PARTITION BY cluster_rep) AS n_members FROM j)
         |SELECT cluster_rep, member AS keep_doc, n_chars AS keep_chars, n_members
         |FROM r WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the jaccard-pair chain with both endpoints' sources joined on,
+    // bucketed unordered
+    "q_source_overlap" ->
+      """WITH canon AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |j AS (SELECT least(da.source, db.source) AS source_a,
+        |             greatest(da.source, db.source) AS source_b, p.jaccard
+        |      FROM p JOIN documents da ON p.doc_a = da.doc_id
+        |             JOIN documents db ON p.doc_b = db.doc_id)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+        |FROM j GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the q_dedup_clusters chain with the jaccard value carried through,
     // aggregated per component
     "q_cluster_cohesion" ->
