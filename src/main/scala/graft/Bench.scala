@@ -144,6 +144,7 @@ object Bench {
     "q_text_quality",
     "q_quality_classifier",
     "q_vocab_coverage",
+    "q_zipf_slope",
     "q_lang_id",
     "q_repetition",
     "q_rep_signals",

@@ -1165,6 +1165,40 @@ object Ext {
             .when(col("c_de") >= col("c_fr"), "de")
             .otherwise("fr")))
     }),
+    // CORPUS NATURALNESS audit: the Zipf log-log slope of each source's
+    // word-frequency distribution (natural text sits near −1; templated
+    // or generated feeds flatten or steepen it — a distribution-level
+    // signal per-doc quality gates cannot see). Least-squares slope over
+    // (ln rank, ln tf) with the q_stats_agg exactness contract: ln
+    // values ROUNDED to 6 before any sum (both engines' ln agree at
+    // that rounding — the q_tfidf/q_bm25 precedent), power sums
+    // decimal-routed (order-free), the closed form evaluated in one
+    // fixed expression tree. The rank window partitions by source over
+    // the source's VOCABULARY (≪ corpus); the corpus stream is touched
+    // once by the wordcount.
+    "q_zipf_slope" -> ((s, dir) => {
+      def d(c: org.apache.spark.sql.Column) =
+        if (graft.Tables.benchMode) sum(c)
+        else sum(c.cast("decimal(38,6)")).cast("double")
+      val f = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("tf"))
+      val wnd = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("tf").desc, col("w"))
+      val xy = f.withColumn("rnk", row_number().over(wnd))
+        .select(col("source"),
+          round(log(col("rnk").cast("double")), 6).as("x"),
+          round(log(col("tf").cast("double")), 6).as("y"))
+      ord(xy.groupBy("source")
+        .agg(count(lit(1)).cast("double").as("nd"),
+          d(col("x")).as("sx"), d(col("x") * col("x")).as("sxx"),
+          d(col("y")).as("sy"), d(col("x") * col("y")).as("sxy"))
+        .select(col("source"), col("nd").cast("bigint").as("n_words"),
+          round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            (col("nd") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope")))
+    }),
     // model-based quality filtering (the fastText/DCLM classifier shape):
     // a hashed-bigram linear scorer where the weight table is a
     // deterministic function of the 60-bit feature hash — inference is
@@ -3451,6 +3485,26 @@ object Ext {
         |  CAST(SUM(tf) AS BIGINT) AS sum_tf,
         |  round(CAST(SUM(tf) AS DOUBLE) / COUNT(*), 6) AS mean_tf
         |FROM g JOIN c USING (s) GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the same 6-decimal ln rounding, decimal power sums, closed form
+    "q_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT source, w, COUNT(*) AS tf FROM (
+        |    SELECT source, unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        |  WHERE w != '' GROUP BY source, w),
+        |r AS (SELECT source,
+        |        round(ln(CAST(row_number() OVER (
+        |          PARTITION BY source ORDER BY tf DESC, w) AS DOUBLE)), 6) AS x,
+        |        round(ln(CAST(tf AS DOUBLE)), 6) AS y
+        |      FROM f),
+        |s AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS nd,
+        |        CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |        CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        |      FROM r GROUP BY source)
+        |SELECT source, CAST(nd AS BIGINT) AS n_words,
+        |  ROUND((nd*sxy - sx*sy)/(nd*sxx - sx*sx), 6) AS zipf_slope
+        |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
     // same hashed-bigram weight derivation (60-bit md5 prefix mod 2001,
     // centered); the left join restores sub-2-token docs as [0, 0]
     "q_quality_classifier" ->
