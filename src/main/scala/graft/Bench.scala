@@ -318,14 +318,24 @@ object Bench {
       ensureCalm(n)
       val a = runOnce(n); val b = runOnce(n)
       var runs = List(a, b)
-      val t =
-        if (a < 0 || b < 0) math.max(a, b)
-        else if (math.max(a, b) > 1.5 * math.min(a, b)) {
-          ensureCalm(n)
-          val c = runOnce(n)
-          runs = runs :+ c
-          if (c < 0) math.min(a, b) else math.min(c, math.min(a, b))
-        } else math.min(a, b)
+      if (a >= 0 && b >= 0 && math.max(a, b) > 1.5 * math.min(a, b)) {
+        ensureCalm(n)
+        runs = runs :+ runOnce(n)
+      }
+      // STEADY-STATE EXTENSION (BenchGuard.stillWarming, spec'd): while
+      // the latest run is still the best by a material margin the query
+      // is JIT/cache-warming — min-of-warming-runs measures the warmup
+      // curve, not throughput (the stated contract of this bench).
+      // Bounded at 3 extra runs; stable queries never fire it. A decaying
+      // burst can mimic warming — the extra runs only lower the min, and
+      // the post-probe/revalidation machinery still sees the burst.
+      var extra = 0
+      while (extra < 3 && BenchGuard.stillWarming(runs)) {
+        runs = runs :+ runOnce(n)
+        extra += 1
+      }
+      val ok = runs.filter(_ >= 0)
+      val t = if (ok.isEmpty) -1.0 else ok.min
       rawRuns(n) = rawRuns.getOrElse(n, Nil) ++ runs
       if (probeAfter(n + ":post")) postHot += n
       t
@@ -397,15 +407,53 @@ object Bench {
     val best: Map[String, Double] =
       if (!java.nio.file.Files.exists(bestPath)) Map.empty
       else {
-        val m = java.util.regex.Pattern.compile("\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)")
-          .matcher(java.nio.file.Files.readString(bestPath))
+        // number group is a strict decimal (not [0-9.]+, which admits
+        // malformed tokens like "1.2.3" whose toDouble would kill the whole
+        // bench run); anything the strict pattern skips is reported rather
+        // than silently dropped, so a corrupted best-times file is visible.
+        val text = java.nio.file.Files.readString(bestPath)
+        val m = java.util.regex.Pattern
+          .compile("\"([^\"]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?)(?![0-9.])")
+          .matcher(text)
         val b = Map.newBuilder[String, Double]
-        while (m.find()) b += m.group(1) -> m.group(2).toDouble
+        var parsed = 0
+        while (m.find()) { b += m.group(1) -> m.group(2).toDouble; parsed += 1 }
+        val entries = text.count(_ == ':')
+        if (parsed != entries)
+          System.err.println(s"[bench] malformed bench_best entry: $bestPath " +
+            s"has $entries ':'-separated entries but only $parsed parsed — " +
+            "unparsed entries are ignored (regen with --regen-best)")
         b.result()
       }
     def burstEvidence(n: String): Boolean = gateTripped(n) || postHot(n)
+
+    // SECOND CHANCE for burst-excluded regression candidates (round-13
+    // hole: q_mix_sources reported 3.0x its recorded best and silently
+    // passed the gate because its measurement carried burst evidence —
+    // and nothing ever re-measured it, so a query could stay slow forever
+    // as long as every run it appears in has a hot probe). Any query whose
+    // reported time WOULD regress but whose evidence makes the gate
+    // abstain gets one more gated run now; the gate then judges that
+    // run's value with that run's own (fresh) burst evidence.
+    val gateEvidence = scala.collection.mutable.Map.empty[String, Boolean]
+      .withDefault(burstEvidence)
+    results.collect {
+      case (n, t) if burstEvidence(n) &&
+          BenchGuard.regression(best.getOrElse(n, -1.0), t, burstEvidence = false) => n
+    }.foreach { n =>
+      System.err.println(s"[bench] second-chance re-measurement for " +
+        s"burst-excluded regression candidate $n")
+      ensureCalm(n)
+      val r = runOnce(n)
+      rawRuns(n) = rawRuns(n) :+ r
+      val hot = probeAfter(s"$n:post2c")
+      if (r >= 0)
+        results = results.map { case (q, t) => if (q == n && r < t) q -> r else q -> t }
+      gateEvidence(n) = hot // calm re-run => the gate now judges for real
+    }
+
     val regressions = results.collect {
-      case (n, t) if BenchGuard.regression(best.getOrElse(n, -1.0), t, burstEvidence(n)) => n
+      case (n, t) if BenchGuard.regression(best.getOrElse(n, -1.0), t, gateEvidence(n)) => n
     }
 
     // JSON numbers via Locale.ROOT so a host locale can never inject a
@@ -424,7 +472,7 @@ object Bench {
       // entry, which is exactly the reviewed-diff path it should take.
       val merged = (best.keySet ++ results.map(_._1)).toSeq.sorted.flatMap { n =>
         val measured = results.collectFirst {
-          case (q, t) if q == n && t >= 0 && !burstEvidence(n) => t }
+          case (q, t) if q == n && t >= 0 && !gateEvidence(n) => t }
         (measured, best.get(n)) match {
           case (Some(m), Some(b)) => Some("\"" + n + "\":" + num(math.min(m, b)))
           case (Some(m), None) => Some("\"" + n + "\":" + num(m))

@@ -31,6 +31,31 @@ package graft
 object BenchGuard {
   val instabilityRatio = 1.5
   val plausibilityRatio = 3.0
+  /** A new best must beat the prior best by >10% AND >0.15s absolute to
+    * count as "still warming" — the absolute floor keeps the sub-second
+    * tail (whose run-to-run jitter routinely exceeds 10%) from buying
+    * extra runs it doesn't need. */
+  val warmingImprovementRatio = 0.9
+  val warmingMinDeltaSec = 0.15
+
+  /** True when the LATEST successful run is still the best by a material
+    * margin — the query has not reached steady state, so min-of-the-runs-
+    * so-far measures JIT/cache WARMING, not throughput. Round-14 finding:
+    * q_pipeline_e2e (typed Dataset maps over the nested Record schema —
+    * code no other query warms) ran [5.97, 3.18, 1.79, 1.66] in one JVM;
+    * min-of-2 reported 3.18 and min-of-3 1.79 against a steady state of
+    * ~1.6, tripping the cross-round regression gate on a measurement
+    * artifact. The bench extends measurement (bounded) while this holds:
+    * a stable query never fires it (its later runs stop improving), so
+    * only genuinely-warming queries pay extra runs. */
+  def stillWarming(runs: Seq[Double]): Boolean = {
+    val ok = runs.filter(_ >= 0)
+    ok.size >= 2 && ok.last == ok.min && {
+      val prior = ok.init.min
+      ok.last < warmingImprovementRatio * prior &&
+        prior - ok.last > warmingMinDeltaSec
+    }
+  }
 
   /** @param runs        every raw run of this query so far (negative = failed run)
     * @param gateTripped the pre-run calm gate tripped while measuring this query

@@ -262,7 +262,9 @@ object Similarity {
       // iteration reads it `iters` times, and recomputing scan+subtract
       // per pass (plus re-planning the nested 64-wide codegen stage per
       // iterate) costs more than one write — MLlib's cache-the-
-      // training-set pattern. Swept by the harness' checkpoint release.
+      // training-set pattern. Released explicitly after the loop (the
+      // Checkpoints contract: a corpus-sized |corpus|×dim block must not
+      // outlive the training that needed it).
       val xc = vectors.crossJoin(broadcast(mu))
         .select(array((1 to dim).map(i =>
           element_at(col("v"), i) - element_at(col("mu"), i)): _*).as("xc"))
@@ -287,7 +289,16 @@ object Similarity {
           .localCheckpoint(true)
         graft.plans.Checkpoints.release(prev)
       }
-      vf
+      // Return a LOCAL relation, not the checkpointed iterate: the result
+      // is ONE row, and handing back a checkpoint would pin its block (and
+      // the corpus-sized xc) past the operator's return — the contract
+      // violation round-4 measured at 1.6-4.5x on downstream queries.
+      val out = vf.collect()
+      val schema = vf.schema
+      graft.plans.Checkpoints.release(vf)
+      graft.plans.Checkpoints.release(xc)
+      vectors.sparkSession.createDataFrame(
+        java.util.Arrays.asList(out: _*), schema)
     }
 
   def pcaProject(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
@@ -364,13 +375,22 @@ object Similarity {
           java.security.MessageDigest.getInstance("MD5").digest(
             (files.sorted.mkString("\n") + "\u0000" + plan + "\u0000" +
               leaves + "\u0000" + tag).getBytes("UTF-8")))
-        var cached = quantizerMemo.get(key)
-        if (cached == null) {
-          memoMisses.incrementAndGet()
-          val t = train
-          cached = (t.schema, t.collect())
-          quantizerMemo.put(key, cached)
-        } else memoHits.incrementAndGet()
+        // get+train+put under ONE lock: a bare get-then-put would let two
+        // threads training the same key both miss and duplicate the
+        // (expensive, multi-job) training. Holding the memo lock across the
+        // training jobs is safe (training never re-enters the memo) and
+        // serializes concurrent trainers — dedup over throughput, the right
+        // trade for a bounded set of small deterministic artifacts.
+        val cached = quantizerMemo.synchronized {
+          var c = quantizerMemo.get(key)
+          if (c == null) {
+            memoMisses.incrementAndGet()
+            val t = train
+            c = (t.schema, t.collect())
+            quantizerMemo.put(key, c)
+          } else memoHits.incrementAndGet()
+          c
+        }
         df.sparkSession.createDataFrame(
           java.util.Arrays.asList(cached._2: _*), cached._1)
     }
@@ -385,7 +405,18 @@ object Similarity {
     * None — train uncached — for any other leaf: a checkpointed
     * LogicalRDD's content is not cheaply hashable, and a non-file V2
     * source (e.g. a stream) contributes no inputFiles, so skipping either
-    * would let two different datasets alias one key. */
+    * would let two different datasets alias one key.
+    *
+    * RESIDUAL RISK (documented, accepted): file identity is
+    * path|length|mtime at filesystem-timestamp granularity — an in-place
+    * rewrite that preserves the byte length within the same mtime tick
+    * (sub-millisecond on ext4) aliases the old key and replays stale
+    * artifacts. Closing it would take a content checksum, i.e. a full
+    * corpus scan per memo LOOKUP — strictly worse than the retraining the
+    * memo exists to avoid. A harness that regenerates inputs in place
+    * inside one JVM calls [[memoClear]] instead (the eviction/staleness
+    * specs do); Verify and Bench are one-JVM-per-run, so they never see a
+    * mid-session rewrite. */
   private def leafDigest(df: DataFrame): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation}

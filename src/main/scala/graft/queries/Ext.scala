@@ -1210,8 +1210,12 @@ object Ext {
     // threshold) is identical and oracle-replayed bit-for-bit.
     "q_quality_classifier" -> ((s, dir) => {
       import graft.functions.GramScore.gram_score
+      // coalesce to '' BEFORE the generator: gram_score is null-propagating
+      // (NULL text -> NULL feats/score), but the oracle's LEFT JOIN restores
+      // such docs as (0, 0, false) — the same convention q_mm_phash uses.
       ord(t(s, dir, "documents")
-        .select(col("doc_id"), gram_score(col("text"), 2, 2001, 1000).as("sc"))
+        .select(col("doc_id"),
+          gram_score(coalesce(col("text"), lit("")), 2, 2001, 1000).as("sc"))
         .select(col("doc_id"),
           col("sc").getItem(0).as("n_feats"),
           col("sc").getItem(1).as("score_fp"))

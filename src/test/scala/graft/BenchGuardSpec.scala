@@ -91,4 +91,38 @@ class BenchGuardSpec extends AnyFunSuite {
     // failed runs report through `failed`, not as regressions
     assert(!BenchGuard.regression(best = 2.0, reported = -1.0, burstEvidence = false))
   }
+
+  // ---- steady-state (warming) extension ------------------------------------
+
+  test("stillWarming: the r14 q_pipeline_e2e JIT curve keeps extending") {
+    // observed live: [5.97, 3.18, 1.79, 1.66] in one JVM — min-of-2 would
+    // report 3.18 (a 2.3x artifact) against a ~1.6s steady state
+    assert(BenchGuard.stillWarming(Seq(5.97, 3.18)))
+    assert(BenchGuard.stillWarming(Seq(5.97, 3.18, 1.79)))
+    // 1.66 improves 1.79 by only 7% — converged, stop
+    assert(!BenchGuard.stillWarming(Seq(5.97, 3.18, 1.79, 1.66)))
+  }
+
+  test("stillWarming: stable and jittery-sub-second queries never extend") {
+    // stable: the latest run is not the best
+    assert(!BenchGuard.stillWarming(Seq(1.60, 1.71)))
+    assert(!BenchGuard.stillWarming(Seq(2.0, 1.95)))   // <10% improvement
+    // sub-second tail: 17% jitter but under the 0.15s absolute floor
+    assert(!BenchGuard.stillWarming(Seq(0.30, 0.25)))
+    // failed runs are ignored; a single run is never "warming"
+    assert(!BenchGuard.stillWarming(Seq(-1.0, 2.0)))
+    assert(!BenchGuard.stillWarming(Seq(2.0)))
+  }
+
+  test("second-chance criterion: burst-excluded would-be regressions re-measure") {
+    // a burst-tainted 3x-over-best reading: the abstaining gate passes it,
+    // but regression() judged WITHOUT the evidence says it would have
+    // flagged — exactly the re-measurement trigger Bench uses. (Round-13's
+    // q_mix_sources at 0.59 vs best 0.19 sat a hair UNDER the 0.4s
+    // absolute-delta floor, so it would not even need the second chance;
+    // use a shape that clearly crosses both thresholds.)
+    val best = 1.0; val reported = 3.0
+    assert(!BenchGuard.regression(best, reported, burstEvidence = true))
+    assert(BenchGuard.regression(best, reported, burstEvidence = false))
+  }
 }
