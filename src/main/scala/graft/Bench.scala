@@ -98,8 +98,10 @@ object Bench {
     "q_dedup_simhash",
     "q_dedup_substrings",
     "q_bitext_mine",
+    "q_bitext_mine_cells",
     "q_rrf_fusion",
     "q_pagerank",
+    "q_pagerank_convergence",
     "q_textrank",
     "q_dedup_keep_central",
     "q_dedup_ledger",
@@ -205,7 +207,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-query FS-sink seconds (Sources.fsNanos deltas): attributes a
+    // composed-pipeline regression to disk vs compute from the artifact
+    // alone — q_pipeline_e2e rewrites out/store every run by design, so
+    // its time has a real FS-bound fraction no other signal separates.
+    val fsSec = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
     def runOnce(name: String): Double = {
+      val fs0 = graft.sources.Sources.fsNanos.get
       val t0 = System.nanoTime()
       val t =
         try {
@@ -227,6 +235,8 @@ object Bench {
       if (leaked.size > 1)
         System.err.println(s"[bench] $name left ${leaked.size} persisted " +
           s"RDDs (expected <= 1): ${leaked.mkString("; ")}")
+      fsSec(name) = fsSec(name) +
+        (graft.sources.Sources.fsNanos.get - fs0) / 1e9
       t
     }
 
@@ -490,17 +500,19 @@ object Bench {
       "\"" + k + "\":{\"runs\":" + arr(rawRuns(k)) +
         ",\"probes\":" + arr(probeLog.getOrElse(k, Nil)) +
         ",\"post_probes\":" + arr(probeLog.keys.toSeq.filter(_.startsWith(k + ":post"))
-          .sorted.flatMap(probeLog(_))) + "}"
+          .sorted.flatMap(probeLog(_))) +
+        (if (fsSec(k) > 0.005) ",\"fs_sec\":" + num(fsSec(k)) else "") + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val sha = Provenance.gitSha()
     val ts = Provenance.nowIso
     val memo = s"""{"hits":${graft.operators.Similarity.memoHits.get},"misses":${graft.operators.Similarity.memoMisses.get},"size":${graft.operators.Similarity.memoSize}}"""
+    val pairs = s"""{"hits":${graft.plans.PairGraphCache.hits.get},"misses":${graft.plans.PairGraphCache.misses.get},"size":${graft.plans.PairGraphCache.size}}"""
     // Line 1: full diagnostics — every raw run and probe, so a polluted
     // artifact stays self-identifying. This line can run ~8KB and may be
     // truncated by the driver's tail capture; that is fine, it is for
     // humans and post-hoc audit.
-    println(s"""{"metric":"diagnostics","sf":"$sfDir","sha":"$sha","ts":"$ts","probe_ref":${num(probeRef)},"cooldown_sec":${num(cooldownSpent)},"memo":$memo,"revalidated":${strArr(revalidated.toSeq)},"post_hot":${strArr(postHot.toSeq.sorted)},"raw":$raw}""")
+    println(s"""{"metric":"diagnostics","sf":"$sfDir","sha":"$sha","ts":"$ts","probe_ref":${num(probeRef)},"cooldown_sec":${num(cooldownSpent)},"memo":$memo,"pair_cache":$pairs,"revalidated":${strArr(revalidated.toSeq)},"post_hot":${strArr(postHot.toSeq.sorted)},"raw":$raw}""")
     // Line 2: the per-query map. With 100+ headline queries this line runs
     // >2KB, so under the driver's ~2KB tail capture its HEAD may truncate
     // — fine, the per-query values are recoverable from whatever survives

@@ -417,7 +417,7 @@ object Similarity {
     * inside one JVM calls [[memoClear]] instead (the eviction/staleness
     * specs do); Verify and Bench are one-JVM-per-run, so they never see a
     * mid-session rewrite. */
-  private def leafDigest(df: DataFrame): Option[String] = {
+  private[graft] def leafDigest(df: DataFrame): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, OneRowRelation}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -1057,24 +1057,41 @@ object Similarity {
     * (src), the rest pool B (tgt). All scoring derives from ONE cross
     * lineage with the codegen'd `vec_dot` inner loop; per-endpoint
     * neighborhood averages and the two argmax passes are vec_id-keyed
-    * window functions (never corpus-global). This exact form scans
-    * |A|x|B| pairs — the audit/oracle tier; at corpus scale feed pools
-    * restricted to shared IVF cells (exactly [[semDedup]]'s bucketing)
-    * so the cross product is per-cell-bounded, and mine cell-by-cell.
+    * window functions (never corpus-global).
+    *
+    * `cell = None` scans |A|x|B| pairs with pool B broadcast — the
+    * audit/oracle tier, fine when one pool is dimension-table sized.
+    * `cell = Some(c)` is the CORPUS-SCALE PATH: candidate pairs are
+    * restricted to endpoints sharing the cell key (a trained IVF
+    * assignment — [[trainIvf]] + [[assignToCentroids]] — or any coarse
+    * bucket), the pools meet in a hash EQUI-JOIN on the cell id (one
+    * exchange each side, never a broadcast of a corpus pool), and the
+    * pair volume is Σ_cell |A_cell|×|B_cell|. Neighborhood averages and
+    * reciprocal-bests are then cell-local by construction — the standard
+    * cell-restricted mining semantics (a margin judged against the
+    * cell-local neighborhood), not an approximation of the exact tier.
     * Cosines round to 4 decimals (ties break by vec_id) before any
-    * ranking, so cross-engine replay is exact.
+    * ranking, so cross-engine replay is exact in BOTH forms.
     * Returns (src_id, tgt_id, cos, margin), margin rounded to 6. */
   def bitextMine(
       vectors: DataFrame,
       sideA: Column,
       k: Int,
-      minMargin: Double): DataFrame = {
+      minMargin: Double,
+      cell: Option[Column] = None): DataFrame = {
     val n = vectors.withColumn("nrm", vec_norm(col("v")))
+      .withColumn("cell", cell.getOrElse(lit(0L)))
     val a = n.filter(sideA)
-      .select(col("vec_id").as("src_id"), col("v").as("av"), col("nrm").as("an"))
+      .select(col("vec_id").as("src_id"), col("v").as("av"), col("nrm").as("an"),
+        col("cell").as("acell"))
     val b = n.filter(!sideA)
-      .select(col("vec_id").as("tgt_id"), col("v").as("bv"), col("nrm").as("bn"))
-    val cross = a.join(broadcast(b), col("src_id").isNotNull)
+      .select(col("vec_id").as("tgt_id"), col("v").as("bv"), col("nrm").as("bn"),
+        col("cell").as("bcell"))
+    val paired = cell match {
+      case Some(_) => a.join(b, col("acell") === col("bcell"))
+      case None => a.join(broadcast(b), col("src_id").isNotNull)
+    }
+    val cross = paired
       .withColumn("cos",
         round(vec_dot(col("av"), col("bv")) / (col("an") * col("bn")), 4))
       .select(col("src_id"), col("tgt_id"), col("cos"))

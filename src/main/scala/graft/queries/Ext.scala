@@ -149,6 +149,24 @@ object Ext {
   private def canonicalDocs(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextDedup.canonicalize(t(s, dir, "documents"), "doc_id", "text")
 
+  /** The near-dup pair graph every curation CONSUMER shares (keep_best,
+    * keep_central, ledger, cluster_cohesion, source_overlap) — derived
+    * once per session per corpus through [[graft.plans.PairGraphCache]]
+    * (a disk-backed, never-collected artifact: the "write the pair graph
+    * once, audit it from every angle" shape a real curation session
+    * uses). The GENERATOR-measuring queries (q_dedup_ngram_jaccard, the
+    * cluster family, q_pagerank) keep deriving inline so their bench
+    * rows time the actual derivation. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val canon = canonicalDocs(s, dir)
+    graft.plans.PairGraphCache.cached(canon,
+      s"jac:0.2:${graft.Tables.benchMode}") {
+      graft.operators.TextDedup.jaccardPairs(canon, "doc_id", "text",
+        threshold = 0.2, portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+    }
+  }
+
   // ---- deduplication --------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -370,6 +388,15 @@ object Ext {
         maxDf = if (graft.Tables.benchMode) 64 else 0)
       ord(graft.operators.GraphRank.pagerank(pairs, iters = 5))
     }),
+    // CONVERGENCE AUDIT for the fixed iters=5 above: per-iteration total
+    // and max rank-mass movement in nano-units — evidence (not
+    // convention) that 5 rounds suffice on this graph. One bounded
+    // 5-row trace; the oracle replays every round's movement exactly
+    // (the arithmetic is the same integral fixed-point as q_pagerank).
+    "q_pagerank_convergence" -> ((s, dir) => {
+      ord(graft.operators.GraphRank.pagerankTrace(
+        nearDupPairs(s, dir), iters = 5))
+    }),
     // CENTRALITY-AWARE keeper choice: the near-dup components keep
     // their highest-PageRank member (ties by min id) — "most central"
     // beats "longest" when duplicate families are built from partial
@@ -377,11 +404,11 @@ object Ext {
     // variant links to. The pair graph derives ONCE (localCheckpoint)
     // and feeds both the component labels and the rank iterations.
     "q_dedup_keep_central" -> ((s, dir) => {
-      val pairs = graft.operators.TextDedup.jaccardPairs(
-        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
-        portable = !graft.Tables.benchMode,
-        maxDf = if (graft.Tables.benchMode) 64 else 0)
-        .localCheckpoint(true)
+      // parquet-backed via nearDupPairs: both the component labels and
+      // the rank iterations replan against a plain file scan, so the
+      // former shared localCheckpoint (and its release discipline) is
+      // unnecessary here
+      val pairs = nearDupPairs(s, dir)
       val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
       val pr = graft.operators.GraphRank.pagerank(pairs, iters = 5)
         .select(col("member").as("pid"), col("pr_nano"))
@@ -402,10 +429,7 @@ object Ext {
       val groups = graft.operators.TextDedup.exactGroups(docs, "doc_id", "text")
       val withRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
         .join(groups.select(col("h"), col("keeper").as("rep")), "h")
-      val pairs = graft.operators.TextDedup.jaccardPairs(
-        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
-        portable = !graft.Tables.benchMode,
-        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      val pairs = nearDupPairs(s, dir)
       val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
       val keep = graft.operators.TextDedup.keepers(
         comps, docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
@@ -432,10 +456,7 @@ object Ext {
     // map twice (metadata-only, never text); everything after the pair
     // generator is graph-sized.
     "q_source_overlap" -> ((s, dir) => {
-      val pairs = graft.operators.TextDedup.jaccardPairs(
-        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
-        portable = !graft.Tables.benchMode,
-        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      val pairs = nearDupPairs(s, dir)
       val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
       ord(pairs
         .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
@@ -459,11 +480,9 @@ object Ext {
     // cluster; the mean routes through DECIMAL so edge addition order
     // can't wiggle the last ulp.
     "q_cluster_cohesion" -> ((s, dir) => {
-      val pairs = graft.operators.TextDedup.jaccardPairs(
-        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
-        portable = !graft.Tables.benchMode,
-        maxDf = if (graft.Tables.benchMode) 64 else 0)
-        .localCheckpoint(true)
+      // parquet-backed via nearDupPairs: multiple consumer passes replan
+      // against a plain file scan, so no localCheckpoint to manage
+      val pairs = nearDupPairs(s, dir)
       val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
       val sizes = comps.groupBy("cluster_rep").agg(count(lit(1)).as("n_members"))
       val lab = comps.select(col("member").as("doc_a"), col("cluster_rep"))
@@ -506,10 +525,7 @@ object Ext {
     // joined to the component labels, never a second text scan; the
     // per-cluster window partitions by cluster_rep (no global window).
     "q_dedup_keep_best" -> ((s, dir) => {
-      val pairs = graft.operators.TextDedup.jaccardPairs(
-        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.2,
-        portable = !graft.Tables.benchMode,
-        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      val pairs = nearDupPairs(s, dir)
       val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
       val len = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       ord(graft.operators.TextDedup.keepers(comps, len, "doc_id", "n_chars")
@@ -838,6 +854,27 @@ object Ext {
         .join(lang, Seq("vec_id"))
       ord(graft.operators.Similarity.bitextMine(
         e, col("lang") === "en", k = 4, minMargin = 1.0))
+    }),
+    // the CORPUS-SCALE tier of the same miner: candidate pairs restricted
+    // to shared trained-IVF cells (train -> assign -> mine per cell), so
+    // the pools meet in a hash equi-join on the cell id — pair volume is
+    // Σ_cell |A_cell|×|B_cell| and NOTHING corpus-sized broadcasts. The
+    // margin is judged against the cell-local neighborhood (the standard
+    // cell-restricted mining semantics); the oracle replays the full
+    // Lloyd chain + cell-local mining bit-for-bit. Training is the same
+    // memoized k=8/iters=2 quantizer the ANN family shares — a sweep
+    // trains it once.
+    "q_bitext_mine_cells" -> ((s, dir) => {
+      val lang = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+      val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
+        .join(lang, Seq("vec_id"))
+      ord(graft.operators.Similarity.bitextMine(
+        assigned, col("lang") === "en", k = 4, minMargin = 1.0,
+        cell = Some(col("cid"))))
     }),
     // HYBRID retrieval via RECIPROCAL-RANK FUSION: per query doc
     // (doc_id < 5), the BM25 more-like-this arm (query = the doc's
@@ -3711,6 +3748,52 @@ object Ext {
          |SELECT node AS member, deg, pr AS pr_nano FROM it5
          |ORDER BY ALL NULLS FIRST""".stripMargin
     },
+    // the identical unrolled chain, reporting per-round rank movement
+    // instead of final ranks
+    "q_pagerank_convergence" -> {
+      val prIters = (1 to 5).map { i =>
+        s"""it$i AS (SELECT n.node, n.deg, n.tele,
+           |  CAST(n.tele + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM it${i - 1} n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(p2.pr // p2.deg) AS s
+           |    FROM edges e JOIN it${i - 1} p2 ON e.src = p2.node GROUP BY 1) s
+           |  USING (node))""".stripMargin
+      }.mkString(",\n")
+      val mvRows = (1 to 5).map { i =>
+        s"""SELECT CAST($i AS INT) AS iter,
+           |  CAST(SUM(ABS(a.pr - b.pr)) AS BIGINT) AS moved_nano,
+           |  CAST(MAX(ABS(a.pr - b.pr)) AS BIGINT) AS max_move_nano
+           |FROM it$i a JOIN it${i - 1} b USING (node)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH canon AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |w AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM canon
+         |  WHERE len(string_split_regex(text, '\\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+         |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+         |    FROM w)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION ALL SELECT doc_b, doc_a FROM p),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |it0 AS (SELECT src AS node, deg,
+         |  CAST(150000000 // n AS BIGINT) AS tele,
+         |  CAST(1000000000 // n AS BIGINT) AS pr FROM deg, nn),
+         |$prIters
+         |$mvRows
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
     // the same unrolled fixed-point iterations over the word
     // co-occurrence graph (window 2, >= 4-char words), top-20 labels
     "q_textrank" -> {
@@ -4086,6 +4169,39 @@ object Ext {
         |  FROM scored)
         |SELECT src_id, tgt_id, cos, margin FROM m WHERE rf = 1 AND rb = 1 AND margin >= 1.0
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the same miner restricted to shared trained-IVF cells: the Lloyd
+    // chain is the q_knn_ivf_trained replay; the cross join gains
+    // a.cid = b.cid, making neighborhoods and reciprocal-bests cell-local
+    "q_bitext_mine_cells" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |n AS (SELECT f.vec_id, f.v, f.cid, d.lang,
+         |        sqrt(list_sum(list_transform(f.v, x -> x * x))) AS nrm
+         |      FROM fin f JOIN documents d ON f.vec_id = d.doc_id),
+         |cross_p AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+         |    round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
+         |  FROM n a JOIN n b ON a.cid = b.cid AND a.lang = 'en' AND b.lang <> 'en'),
+         |ra AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rk FROM cross_p),
+         |avg_a AS (SELECT src_id, CAST(SUM(CAST(cos AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS nbh_a
+         |          FROM ra WHERE rk <= 4 GROUP BY src_id),
+         |rb AS (SELECT *, row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rk FROM cross_p),
+         |avg_b AS (SELECT tgt_id, CAST(SUM(CAST(cos AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS nbh_b
+         |          FROM rb WHERE rk <= 4 GROUP BY tgt_id),
+         |scored AS (
+         |  SELECT src_id, tgt_id, cos, round(cos * 2 / (nbh_a + nbh_b), 6) AS margin
+         |  FROM cross_p JOIN avg_a USING (src_id) JOIN avg_b USING (tgt_id)),
+         |m AS (SELECT *,
+         |  row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rf,
+         |  row_number() OVER (PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rb
+         |  FROM scored)
+         |SELECT src_id, tgt_id, cos, margin FROM m WHERE rf = 1 AND rb = 1 AND margin >= 1.0
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_rrf_fusion" ->
       """WITH words AS (
         |  SELECT doc_id, w FROM (

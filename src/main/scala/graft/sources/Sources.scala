@@ -16,6 +16,19 @@ import graft.model.{Identifier, Record}
   */
 object Sources {
 
+  /** Wall-clock nanos spent inside the FS-heavy sink operations
+    * (record write, output rotation, store swap/recovery) this JVM —
+    * the bench reads before/after deltas per query so a composed-
+    * pipeline regression is attributable to disk vs compute from the
+    * diagnostics artifact alone (q_pipeline_e2e deletes and rewrites
+    * out/store each run BY DESIGN, so a slow disk day reads exactly
+    * like a slow planner without this split). */
+  private[graft] val fsNanos = new java.util.concurrent.atomic.AtomicLong
+  @inline private def fsTimed[A](f: => A): A = {
+    val t0 = System.nanoTime()
+    try f finally fsNanos.addAndGet(System.nanoTime() - t0)
+  }
+
   /** D3: raw-text ingest — directory of UTF-8 `.txt` files, one document
     * each, to fresh Records (reference
     * `CuratorClient.createRecordsFromRawInputFiles`, 406-429). Empty
@@ -85,7 +98,7 @@ object Sources {
     * char of the identifier — 16 balanced partitions per write, stable under
     * corpus growth (content hashes are uniform). */
   def writeRecords(ds: Dataset[Record], path: String, mode: SaveMode = SaveMode.Overwrite,
-      idPrefixPartitions: Boolean = false): Unit = {
+      idPrefixPartitions: Boolean = false): Unit = fsTimed {
     val out = if (idPrefixPartitions)
       ds.withColumn("id_prefix", substring(col("identifier"), 1, 1))
         .repartition(col("id_prefix"))
@@ -214,11 +227,12 @@ object Sources {
       fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path,
-      bak: org.apache.hadoop.fs.Path): Unit =
+      bak: org.apache.hadoop.fs.Path): Unit = fsTimed {
     if (!fs.exists(target)) {
       if (fs.exists(tmp)) mv(fs, tmp, target)
       else if (fs.exists(bak)) mv(fs, bak, target)
     }
+  }
 
   /** Replace `target` with content `write`n to `tmp`, keeping a full copy
     * alive at EVERY point: write to `tmp`, rename the live target aside
@@ -232,13 +246,15 @@ object Sources {
       target: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path,
       bak: org.apache.hadoop.fs.Path)(write: String => Unit): Unit = {
-    if (fs.exists(tmp)) fs.delete(tmp, true) // stale partial write
-    write(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true) // stale from a done swap
-    val hadTarget = fs.exists(target)
-    if (hadTarget) mv(fs, target, bak)
-    mv(fs, tmp, target)
-    if (hadTarget) fs.delete(bak, true)
+    fsTimed { if (fs.exists(tmp)) fs.delete(tmp, true) } // stale partial write
+    write(tmp.toString) // the writer times itself (writeRecords is fsTimed)
+    fsTimed {
+      if (fs.exists(bak)) fs.delete(bak, true) // stale from a done swap
+      val hadTarget = fs.exists(target)
+      if (hadTarget) mv(fs, target, bak)
+      mv(fs, tmp, target)
+      if (hadTarget) fs.delete(bak, true)
+    }
   }
 
   @inline private def mv(
@@ -247,7 +263,7 @@ object Sources {
       dst: org.apache.hadoop.fs.Path): Unit =
     require(fs.rename(src, dst), s"store swap failed: rename($src, $dst)")
 
-  def rotateOldOutput(spark: SparkSession, path: String): Option[String] = {
+  def rotateOldOutput(spark: SparkSession, path: String): Option[String] = fsTimed {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.PairGraphCache
+
+/** Contracts of the session-scoped disk-backed pair-graph cache: derive
+  * exactly once per (input, knobs), survive a Checkpoints.releaseAll
+  * sweep (the quality that rules out localCheckpoint for this artifact),
+  * key on knobs, pass in-memory corpora through uncached, and bound its
+  * disk footprint with LRU eviction. */
+class PairGraphCacheSpec extends SparkSpec {
+
+  private def mkCorpus(shift: Int = 0): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgc").toString
+    spark.range(0, 6).selectExpr("id AS doc_id",
+      s"concat('alpha beta gamma delta ', CAST(id % 2 + $shift AS STRING)) AS text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("derives once, hits afterwards, and results are identical") {
+    PairGraphCache.clear()
+    val docs = mkCorpus()
+    var derivations = 0
+    def derive() = { derivations += 1
+      docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b")) }
+    val m0 = PairGraphCache.misses.get
+    val h0 = PairGraphCache.hits.get
+    val r1 = PairGraphCache.cached(docs, "t1")(derive()).collect().toSet
+    val r2 = PairGraphCache.cached(docs, "t1")(derive()).collect().toSet
+    assert(derivations == 1, s"expected one derivation, got $derivations")
+    assert(PairGraphCache.misses.get == m0 + 1)
+    assert(PairGraphCache.hits.get == h0 + 1)
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
+  test("cached frame survives a Checkpoints.releaseAll sweep") {
+    PairGraphCache.clear()
+    val docs = mkCorpus()
+    val f = PairGraphCache.cached(docs, "sweep") {
+      docs.select(col("doc_id").as("doc_a"), lit(1L).as("doc_b"))
+    }
+    // the long-lived-session sweep between queries: a localCheckpoint-
+    // backed artifact would lose its blocks here and FAIL on next read
+    // (lineage is truncated); the parquet-backed one replans a file scan
+    graft.plans.Checkpoints.releaseAll(spark)
+    assert(f.count() == 6)
+  }
+
+  test("distinct knob tags do not alias; in-memory corpora pass through") {
+    PairGraphCache.clear()
+    val docs = mkCorpus()
+    val a = PairGraphCache.cached(docs, "thr=0.2") {
+      docs.select(col("doc_id").as("doc_a")) }
+    val b = PairGraphCache.cached(docs, "thr=0.8") {
+      docs.filter(col("doc_id") < 2).select(col("doc_id").as("doc_a")) }
+    assert(a.count() == 6 && b.count() == 2,
+      "two knob tags over one corpus must cache separately")
+    // in-memory input: no stable leaf to key on -> derive directly
+    val mem = spark.range(3).selectExpr("id AS doc_id")
+    val m0 = PairGraphCache.misses.get
+    val c = PairGraphCache.cached(mem, "mem")(mem.select(col("doc_id").as("doc_a")))
+    assert(c.count() == 3)
+    assert(PairGraphCache.misses.get == m0, "in-memory corpus must not enter the cache")
+  }
+
+  test("LRU cap bounds the disk footprint; evicted entries re-derive") {
+    PairGraphCache.clear()
+    val oldCap = PairGraphCache.maxEntries
+    PairGraphCache.maxEntries = 2
+    try {
+      val docs = mkCorpus()
+      (1 to 4).foreach { i =>
+        PairGraphCache.cached(docs, s"cap:$i") {
+          docs.select(col("doc_id").as("doc_a")) }.count()
+      }
+      assert(PairGraphCache.size <= 2, s"cap 2 exceeded: ${PairGraphCache.size}")
+      val m0 = PairGraphCache.misses.get
+      PairGraphCache.cached(docs, "cap:1") {
+        docs.select(col("doc_id").as("doc_a")) }.count()
+      assert(PairGraphCache.misses.get == m0 + 1,
+        "evicted entry must re-derive (miss), not silently hit")
+    } finally {
+      PairGraphCache.maxEntries = oldCap
+      PairGraphCache.clear()
+    }
+  }
+}
