@@ -102,6 +102,7 @@ object Bench {
     "q_rrf_fusion",
     "q_pagerank",
     "q_pagerank_convergence",
+    "q_cc_convergence",
     "q_textrank",
     "q_dedup_keep_central",
     "q_dedup_ledger",
@@ -145,6 +146,7 @@ object Bench {
     "q_cluster_assign",
     "q_text_quality",
     "q_quality_classifier",
+    "q_lm_logprob",
     "q_vocab_coverage",
     "q_zipf_slope",
     "q_lang_id",

@@ -418,6 +418,48 @@ object TextDedup {
     (Some(labels.select(col("id").as("member"), col("lbl").as("cluster_rep"))), round)
   }
 
+  /** CONVERGENCE AUDIT for min-label propagation: run exactly `rounds`
+    * rounds and report labels-changed per round — trailing zeros are the
+    * EVIDENCE that the graph converges within the budget (the analogue of
+    * [[graft.operators.GraphRank.pagerankTrace]] for the component
+    * family; [[duplicateClustersAuto]]'s propagation budget is otherwise
+    * justified only by the Moore-bound argument in its doc). Fixed round
+    * count so both engines execute identical rounds; one bounded 1-row
+    * collect per round, nothing corpus-sized reaches the driver.
+    * Returns (round, n_changed). */
+  def propagationTrace(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      rounds: Int = 6): DataFrame = {
+    require(rounds >= 1)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    for (r <- 1 to rounds) {
+      val nbr = edges.join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nmin"))
+      val updated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), col("nmin")).as("lbl"),
+          (col("nmin") < col("lbl")).as("chg"))
+        .localCheckpoint(eager = false)
+      // the round's one action: materializes the lazy checkpoint AND
+      // counts the movement (the propagateCore fused-action shape)
+      trace += ((r, updated.filter(col("chg")).count()))
+      graft.plans.Checkpoints.release(labels)
+      labels = updated.select(col("id"), col("lbl"))
+    }
+    graft.plans.Checkpoints.release(labels)
+    graft.plans.Checkpoints.release(edges)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    trace.toSeq.toDF("round", "n_changed")
+  }
+
   /** [[duplicateClusters]] by alternating large-star/small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
     * identical output — (member, cluster_rep = component minimum), same

@@ -397,6 +397,14 @@ object Ext {
       ord(graft.operators.GraphRank.pagerankTrace(
         nearDupPairs(s, dir), iters = 5))
     }),
+    // the component-family analogue: exactly 6 min-label rounds over the
+    // same pair graph, labels-changed per round — trailing zeros prove
+    // the auto-clusterer's propagation budget converges on this graph
+    // with evidence, not the Moore-bound argument alone.
+    "q_cc_convergence" -> ((s, dir) => {
+      ord(graft.operators.TextDedup.propagationTrace(
+        nearDupPairs(s, dir), rounds = 6))
+    }),
     // CENTRALITY-AWARE keeper choice: the near-dup components keep
     // their highest-PageRank member (ties by min id) — "most central"
     // beats "longest" when duplicate families are built from partial
@@ -1257,6 +1265,48 @@ object Ext {
           col("sc").getItem(0).as("n_feats"),
           col("sc").getItem(1).as("score_fp"))
         .withColumn("keep", col("n_feats") > 0 && col("score_fp") > 0))
+    }),
+    // PERPLEXITY-PROXY quality scoring (the KenLM-filter shape of CCNet/
+    // RefinedWeb, model-free): train an add-1-smoothed bigram LM over the
+    // corpus in ONE generator pass (bigram + unigram counts, both
+    // map-side combined and vocab-scale), then score every document by
+    // its mean bigram log-probability. Low avg_logp = improbable word
+    // sequences = the gibberish/boilerplate tail a perplexity filter
+    // drops. Each per-bigram term rounds to 6 before the DECIMAL-routed
+    // mean, so the score is bit-identical cross-engine. Scale shape: the
+    // only big-big exchange is the doc-bigram stream joining the
+    // vocab-scale LM tables on the gram key (token-scale, the same
+    // exchange any exact LM scorer pays); at 100 TB hash the LM into a
+    // feature-hashed weight table (the q_quality_classifier trick) and
+    // the join disappears entirely. Sub-2-token docs restore as
+    // (0, NULL) via the left join — no bigrams means no evidence, not
+    // perfect probability.
+    "q_lm_logprob" -> ((s, dir) => {
+      import graft.functions.GramTexts.gram_texts
+      val docs = t(s, dir, "documents")
+      val txt = coalesce(col("text"), lit(""))
+      val bi = docs.select(explode(gram_texts(txt, 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+      val uni = docs
+        .select(explode(filter(split(txt, "\\s+"), w => w =!= lit(""))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val vRow = uni.agg(count(lit(1)).as("v"))
+      val db = docs.select(col("doc_id"), explode(gram_texts(txt, 2)).as("bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val scored = db.join(bi, "bg")
+        .join(uni, col("w1") === col("w"))
+        .crossJoin(broadcast(vRow))
+        .select(col("doc_id"),
+          round(log((col("c2") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")), 6).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("lp").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_logp"))
+      ord(docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("avg_logp")))
     }),
     // tokenizer vocabulary SIZING: cumulative token coverage at candidate
     // vocab sizes — the curve every tokenizer budget decision reads
@@ -3565,6 +3615,32 @@ object Ext {
         |  COALESCE(a.n_feats, 0) > 0 AND COALESCE(a.score_fp, 0) > 0 AS keep
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the bigram-LM replay: same tokenization, add-1 smoothing, per-term
+    // round(ln, 6), DECIMAL(18,6)-routed mean; left join restores
+    // sub-2-token docs as (0, NULL)
+    "q_lm_logprob" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |dbg AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg, w[i] AS w1
+        |  FROM ws, unnest(range(1, len(w))) AS u(i)),
+        |bi AS (SELECT bg, COUNT(*) AS c2 FROM dbg GROUP BY bg),
+        |uni AS (SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(w) AS w FROM ws) GROUP BY w),
+        |v AS (SELECT COUNT(*) AS v FROM uni),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v.v AS DOUBLE)), 6) AS lp
+        |  FROM dbg JOIN bi USING (bg) JOIN uni ON dbg.w1 = uni.w, v),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  a.avg_logp
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // global frequency rank (total order: -tf, then word) then coverage
     // at each candidate vocab size
     "q_vocab_coverage" ->
@@ -3792,6 +3868,49 @@ object Ext {
          |  CAST(1000000000 // n AS BIGINT) AS pr FROM deg, nn),
          |$prIters
          |$mvRows
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
+    // six unrolled min-label rounds over the same pair graph, reporting
+    // labels changed per round (LEAST over the neighborhood minimum —
+    // exactly propagateCore's update rule)
+    "q_cc_convergence" -> {
+      val rounds = (1 to 6).map { i =>
+        s"""ch$i AS (
+           |  SELECT l.id,
+           |    CASE WHEN m.nmin IS NOT NULL AND m.nmin < l.lbl THEN m.nmin ELSE l.lbl END AS lbl,
+           |    COALESCE(m.nmin < l.lbl, FALSE) AS chg
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT e.src AS id, MIN(x.lbl) AS nmin
+           |    FROM edges e JOIN l${i - 1} x ON e.dst = x.id GROUP BY 1) m
+           |  USING (id)),
+           |l$i AS (SELECT id, lbl FROM ch$i)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 6).map { i =>
+        s"SELECT CAST($i AS INT) AS round, CAST(COUNT(*) FILTER (WHERE chg) AS BIGINT) AS n_changed FROM ch$i"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH canon AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |w AS (
+         |  SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM canon
+         |  WHERE len(string_split_regex(text, '\\s+')) >= 3),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+         |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+         |    FROM w)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |          UNION ALL SELECT doc_b, doc_a FROM p),
+         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+         |$rounds
+         |$rows
          |ORDER BY ALL NULLS FIRST""".stripMargin
     },
     // the same unrolled fixed-point iterations over the word
