@@ -162,6 +162,7 @@ object Bench {
     "q_chunk_cdc",
     "q_dedup_chunks",
     "q_split_train_test",
+    "q_split_leakage",
     "q_shuffle_train_order",
     "q_quality_by_source",
     "q_datasheet",

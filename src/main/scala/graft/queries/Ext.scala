@@ -1449,6 +1449,46 @@ object Ext {
         .groupBy(split.as("split"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")))
     }),
+    // SPLIT-LEAKAGE AUDIT: duplicate evidence CROSSING the deterministic
+    // train/valid/test boundary (q_split_train_test's md5 draw) — the
+    // eval-integrity check every training pipeline runs before trusting
+    // held-out numbers (a test doc whose near-copy sits in train is a
+    // leaked answer, not a measurement). Two tiers in one report: exact
+    // (one text family with members in two splits — pair mass Σ nₐ·n_b
+    // per split pair, jaccard 1 by definition) and near (canonical
+    // jaccard pairs whose endpoints split differently — the shared
+    // session pair graph again). Everything after the generators is
+    // family/graph-sized; the split rule is a per-row md5, no shuffle of
+    // its own.
+    "q_split_leakage" -> ((s, dir) => {
+      def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val draw = conv(substring(md5(c.cast("string")), 1, 7), 16, 10)
+          .cast("bigint") % 100
+        when(draw < 80, "train").when(draw < 90, "valid").otherwise("test")
+      }
+      val docs = t(s, dir, "documents")
+      val fam = docs
+        .select(md5(col("text")).as("h"), splitOf(col("doc_id")).as("sp"))
+        .groupBy("h", "sp").agg(count(lit(1)).as("n"))
+      val exact = fam.as("a").join(fam.as("b"), "h")
+        .filter(col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("split_a"), col("b.sp").as("split_b"))
+        .agg(sum(col("a.n") * col("b.n")).cast("bigint").as("n_pairs"))
+        .select(lit("exact").as("leak_kind"), col("split_a"), col("split_b"),
+          col("n_pairs"), lit(1.0).as("mean_jaccard"))
+      val near = nearDupPairs(s, dir)
+        .select(col("jaccard"),
+          splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+        .filter(col("sa") =!= col("sb"))
+        .groupBy(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_jaccard"))
+        .select(lit("near").as("leak_kind"), col("split_a"), col("split_b"),
+          col("n_pairs"), col("mean_jaccard"))
+      ord(exact.unionByName(near))
+    }),
     "q_mix_sources" -> ((s, dir) => {
       val base28 = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
         .cast("bigint")
@@ -3517,6 +3557,53 @@ object Ext {
         |SELECT CASE WHEN draw < 80 THEN 'train' WHEN draw < 90 THEN 'valid' ELSE 'test' END AS split,
         |  source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM d GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // exact tier: text-family member counts per split, pair mass across
+    // split pairs; near tier: the canonical jaccard pairs crossing the
+    // same md5 split rule
+    "q_split_leakage" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 90 THEN 'valid'
+        |         ELSE 'test' END AS sp
+        |  FROM documents),
+        |fam AS (SELECT md5(text) AS h, sp, COUNT(*) AS n FROM sp GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT 'exact' AS leak_kind, a.sp AS split_a, b.sp AS split_b,
+        |    CAST(SUM(a.n * b.n) AS BIGINT) AS n_pairs,
+        |    CAST(1.0 AS DOUBLE) AS mean_jaccard
+        |  FROM fam a JOIN fam b ON a.h = b.h AND a.sp < b.sp
+        |  GROUP BY 2, 3),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |near AS (
+        |  SELECT LEAST(sa.sp, sb.sp) AS split_a, GREATEST(sa.sp, sb.sp) AS split_b, jaccard
+        |  FROM jp JOIN sp sa ON jp.doc_a = sa.doc_id JOIN sp sb ON jp.doc_b = sb.doc_id
+        |  WHERE sa.sp <> sb.sp),
+        |nagg AS (
+        |  SELECT 'near' AS leak_kind, split_a, split_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    round(CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+        |  FROM near GROUP BY 2, 3)
+        |SELECT * FROM exact UNION ALL SELECT * FROM nagg
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_boilerplate" ->
       """WITH ws AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
