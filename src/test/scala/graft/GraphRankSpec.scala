@@ -71,4 +71,26 @@ class GraphRankSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 9L, 4L)),
       s"cluster_rep 1 must keep central member 9 of 4: ${got.toSeq}")
   }
+
+  test("pagerankTrace: one row per iteration, movement shrinks as the " +
+    "ranks converge, and nothing stays persisted") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val tr = GraphRank.pagerankTrace(pairs, iters = 5)
+      .orderBy("iter").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(tr.map(_._1).toSeq == (1 to 5),
+      s"one trace row per iteration: ${tr.toSeq}")
+    assert(tr.forall(t => t._2 >= t._3),
+      "total movement can never be below the max single-node movement")
+    // damped fixed-point iteration: late movement is far below round-1's
+    // initial redistribution (the convergence evidence the audit exists
+    // to provide)
+    assert(tr.last._2 < tr.head._2,
+      s"movement must shrink toward the fixpoint: ${tr.toSeq}")
+    val live = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(live.isEmpty,
+      s"pagerankTrace returns only a local frame — leaked: ${live.size}")
+  }
 }

@@ -462,6 +462,26 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Map(2L -> ((2L, 2L, 8L))), s"got $got")
   }
 
+  test("propagationTrace: a 5-chain converges in 4 rounds with trailing " +
+    "zeros, and nothing stays persisted") {
+    import spark.implicits._
+    // Path 1-2-3-4-5, labels start at own id, update = min over the
+    // neighborhood. Hand-replay: r1 moves every non-min node to its
+    // neighborhood min (4 changed; labels 1,1,2,3,4), then label 1
+    // advances one hop per round down the chain — changed counts
+    // 4, 3, 2, 1, then converged zeros.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val tr = TextDedup.propagationTrace(pairs, rounds = 6)
+      .orderBy("round").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(tr.map(_._1).toSeq == (1 to 6), s"one row per round: ${tr.toSeq}")
+    assert(tr.map(_._2).toSeq == Seq(4L, 3L, 2L, 1L, 0L, 0L),
+      s"chain propagation trace must replay exactly: ${tr.toSeq}")
+    val live = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(live.isEmpty,
+      s"propagationTrace returns only a local frame — leaked: ${live.size}")
+  }
+
   private def round8(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
