@@ -114,6 +114,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.stillWarming(Seq(2.0)))
   }
 
+  test("warming-explained instability is not suspect; burst shapes still are") {
+    // first run slowest, later runs settled near the min: pure JIT spread,
+    // the min is already a settled value — no revalidation needed
+    assert(!BenchGuard.suspect(Seq(8.0, 2.0, 1.9), gateTripped = false,
+      postProbeHot = false, reported = 1.9))
+    // a burst landing mid-measure makes a LATER run the max — still suspect
+    assert(BenchGuard.suspect(Seq(2.0, 8.0, 2.1), gateTripped = false,
+      postProbeHot = false, reported = 2.0))
+    // latest run NOT settled (still 1.5x the min): can't call it warming
+    assert(BenchGuard.suspect(Seq(8.0, 2.0, 3.0), gateTripped = false,
+      postProbeHot = false, reported = 2.0))
+    // only two runs: not enough evidence of settling — stays suspect
+    assert(BenchGuard.suspect(Seq(8.0, 2.0), gateTripped = false,
+      postProbeHot = false, reported = 2.0))
+    // warming explanation never overrides gate/post-probe evidence
+    assert(BenchGuard.suspect(Seq(8.0, 2.0, 1.9), gateTripped = true,
+      postProbeHot = false, reported = 1.9))
+    assert(BenchGuard.suspect(Seq(8.0, 2.0, 1.9), gateTripped = false,
+      postProbeHot = true, reported = 1.9))
+  }
+
   test("second-chance criterion: burst-excluded would-be regressions re-measure") {
     // a burst-tainted 3x-over-best reading: the abstaining gate passes it,
     // but regression() judged WITHOUT the evidence says it would have
