@@ -86,6 +86,7 @@ object Bench {
     "q_annotate_srl",
     "q_pipeline_e2e",
     "q_dedup_exact",
+    "q_dedup_incremental_near",
     "q_dedup_normalized",
     "q_dedup_lines",
     "q_strip_boiler",

@@ -293,6 +293,47 @@ object TextDedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** Bipartite exact n-gram Jaccard — the NEAR-DUP analogue of
+    * [[crossOverlapPairs]], for admission decisions that need the
+    * calibrated jaccard value rather than a raw shared-shingle count
+    * (the daily-ingest near-dup gate: batch vs standing archive). Each
+    * side's shingle count rides through its postings exactly as in
+    * [[jaccardPairs]], so the score needs no second text scan. Scale
+    * shape: the archive postings shuffle once on the shingle key — at
+    * corpus scale that side is a STANDING posting index computed once
+    * and stored bucketed on `s`, so a daily batch joins it with zero
+    * archive-side exchange; `maxDf` caps degenerate shingles as usual.
+    * Returns (doc_id, bench_id, n_inter, jaccard) for
+    * jaccard >= `threshold`. */
+  def crossJaccardPairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      portable: Boolean = false,
+      maxDf: Int = 0): DataFrame = {
+    def postings(df: DataFrame, out: String, n: String) = df
+      .select(col(idCol).as(out), shingle_posts(col(textCol), portable))
+      .select(col(out), col("n").as(n), col("s"))
+    val cp = postings(corpus, "doc_id", "na")
+    val capped =
+      if (maxDf <= 0) cp
+      else cp.groupBy(col("s"))
+        .agg(graft.functions.CappedCollectList
+          .capped_collect_list(struct(col("doc_id"), col("na")), maxDf).as("ds"))
+        .filter(col("ds").isNotNull)
+        .select(col("s"), explode(col("ds")).as("d"))
+        .select(col("d.doc_id").as("doc_id"), col("d.na").as("na"), col("s"))
+    capped.join(postings(batch, "bench_id", "nb"), "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_id", "bench_id", "n_inter", "jaccard")
+  }
+
   /** MinHash/LSH candidate pairs over canonicalized docs:
     * (doc_a, doc_b, n_match, est_jaccard) for est >= `threshold`.
     * `maxBucket`: drop (band, bkey) buckets holding more than this many

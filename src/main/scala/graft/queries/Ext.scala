@@ -197,6 +197,32 @@ object Ext {
           "h", expectedItems = 100000L)
         .select(col("doc_id"), col("h")))
     }),
+    // INCREMENTAL NEAR-dup admission — the near-dup sibling of
+    // q_dedup_incremental's exact gate (together they are the full
+    // daily-ingest dedup pass): batch docs (doc_id % 5 == 0) score
+    // bipartite exact jaccard against the standing archive (the rest)
+    // via TextDedup.crossJaccardPairs; each batch doc reports its best
+    // archive match (max jaccard, ties min archive id) and is ADMITTED
+    // iff nothing reaches 0.2. At corpus scale the archive side is a
+    // standing posting index bucketed on the shingle key (see the
+    // operator doc) — the daily batch pays only its own postings.
+    "q_dedup_incremental_near" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isBatch = pmod(col("doc_id"), lit(5)) === 0
+      val pairs = graft.operators.TextDedup.crossJaccardPairs(
+        docs.filter(!isBatch), docs.filter(isBatch), "doc_id", "text",
+        threshold = 0.2, portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("bench_id").orderBy(col("jaccard").desc, col("doc_id"))
+      val best = pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("bench_id").as("batch_id"),
+          col("doc_id").as("match_id"), col("jaccard"))
+      ord(docs.filter(isBatch).select(col("doc_id").as("batch_id"))
+        .join(best, Seq("batch_id"), "left")
+        .withColumn("admitted", col("match_id").isNull))
+    }),
     // CCNet-style SEGMENT-level dedup: only the global first occurrence
     // of each distinct segment survives, documents are rebuilt from
     // their kept segments — removes cross-document boilerplate
@@ -3783,6 +3809,38 @@ object Ext {
         |  round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
         |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // bipartite jaccard (archive vs batch), best match per batch doc,
+    // admitted = no archive match >= 0.2; short docs emit no shingles
+    // and restore admitted via the left join
+    "q_dedup_incremental_near" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT inter.doc_id, inter.bench_id,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
+        |  FROM inter JOIN cnt ca ON inter.doc_id = ca.doc_id
+        |             JOIN cnt cb ON inter.bench_id = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |best AS (
+        |  SELECT bench_id AS batch_id, doc_id AS match_id, jaccard,
+        |    row_number() OVER (PARTITION BY bench_id ORDER BY jaccard DESC, doc_id) AS rk
+        |  FROM jp)
+        |SELECT d.doc_id AS batch_id, b.match_id, b.jaccard,
+        |  b.match_id IS NULL AS admitted
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+        |  ON d.doc_id = b.batch_id
+        |WHERE d.doc_id % 5 = 0
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_containment" ->
       """WITH canon AS (
