@@ -101,6 +101,7 @@ object Bench {
     "q_bitext_mine",
     "q_bitext_mine_cells",
     "q_rrf_fusion",
+    "q_mmr_rerank",
     "q_pagerank",
     "q_pagerank_convergence",
     "q_cc_convergence",

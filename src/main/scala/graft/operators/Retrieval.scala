@@ -73,6 +73,78 @@ object Retrieval {
       .select(col("q_id"), col("doc_id"), col("bm25_micro"), col("rk"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein 1998) —
+    * the diversity stage between retrieval and consumption: from each
+    * query's `topN` cosine candidates, greedily select `k` where every
+    * pick maximizes relevance MINUS similarity to what's already picked
+    * (λ = 0.5, so the reported `mmr4` is the doubled score
+    * rel4 − maxsim4 in exact 1e-4 integer units). Kills the
+    * near-duplicate-results failure mode of plain top-k — the retrieval
+    * counterpart of SemDeDup on the corpus side.
+    *
+    * Scale shape: candidate generation is [[Similarity.knn]] (swap in
+    * the IVF tiers at corpus scale — the MMR stage doesn't care); after
+    * that EVERYTHING is bounded by queries × topN: the pairwise-sim
+    * frame is a per-query self-join of a topN-row frame (queries ×
+    * topN² rows), and each greedy step is one groupBy + one per-query
+    * window over those bounded frames. The k steps unroll into one lazy
+    * plan — no driver-side loop over data, only over plan construction.
+    *
+    * Determinism: cosines round to 4 decimals then scale to exact
+    * BIGINT 1e-4 units (round-then-cast, never truncate), every argmax
+    * breaks ties by the neighbor id — the oracle replays all k steps.
+    * Returns (q_id, step, nb, rel4, maxsim4, mmr4), one row per pick. */
+  def mmrRerank(e: DataFrame, queryPred: Column, topN: Int, k: Int): DataFrame = {
+    require(topN >= k && k >= 1)
+    import graft.functions.VecDot.vec_dot
+    // candidate and pairwise-sim frames materialize ONCE (localCheckpoint):
+    // each greedy step references both, and the accumulated selection
+    // references every prior step — left lazy, step i's plan re-derives
+    // the whole knn + self-join lineage O(2^i) times (first cut measured
+    // 12.3 s at sf0.1 vs 0.7 s checkpointed). Superseded selection
+    // checkpoints release immediately; cand/ps release before return; the
+    // RETURNED frame is checkpointed (callers release when done) — the
+    // duplicateClustersStar lifecycle.
+    val cand = Similarity.knn(e, queryPred, topN)
+      .select(col("q_id"), col("neighbor").as("nb"),
+        round(col("cos") * 10000, 0).cast("bigint").as("rel4"))
+      .localCheckpoint(true)
+    val nv = e.select(col("vec_id").as("nb"), col("v"))
+      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+    val cv = cand.join(nv, "nb").select(col("q_id"), col("nb"), col("v"), col("nrm"))
+    val ps = cv.as("x").join(cv.as("y"), "q_id")
+      .filter(col("x.nb") =!= col("y.nb"))
+      .select(col("q_id"), col("x.nb").as("a"), col("y.nb").as("b"),
+        round(round(vec_dot(col("x.v"), col("y.v")) /
+          (col("x.nrm") * col("y.nrm")), 4) * 10000, 0).cast("bigint").as("sim4"))
+      .localCheckpoint(true)
+    val w1 = Window.partitionBy("q_id").orderBy(col("rel4").desc, col("nb"))
+    var sel = cand.withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+      .select(col("q_id"), lit(1).as("step"), col("nb"), col("rel4"),
+        lit(0L).as("maxsim4"), col("rel4").as("mmr4"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val selIds = sel.select(col("q_id"), col("nb"))
+      val ms = cand.join(selIds, Seq("q_id", "nb"), "left_anti")
+        .join(ps.select(col("q_id"), col("a").as("nb"), col("b"), col("sim4")),
+          Seq("q_id", "nb"))
+        .join(selIds.select(col("q_id"), col("nb").as("b")), Seq("q_id", "b"))
+        .groupBy("q_id", "nb", "rel4")
+        .agg(max(col("sim4")).as("maxsim4"))
+        .withColumn("mmr4", col("rel4") - col("maxsim4"))
+      val w = Window.partitionBy("q_id").orderBy(col("mmr4").desc, col("nb"))
+      val pick = ms.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("q_id"), lit(i).as("step"), col("nb"), col("rel4"),
+          col("maxsim4"), col("mmr4"))
+      val next = sel.unionByName(pick).localCheckpoint(true)
+      graft.plans.Checkpoints.release(sel)
+      sel = next
+    }
+    graft.plans.Checkpoints.release(cand)
+    graft.plans.Checkpoints.release(ps)
+    sel
+  }
+
   /** Reciprocal-rank fusion of per-query ranked lists: each arm
     * contributes round(1e9 / (`kRrf` + rank)) "nano-units" per (q, doc)
     * it ranked (zero when the doc is outside that arm's list — the

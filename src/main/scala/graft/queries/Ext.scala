@@ -910,6 +910,19 @@ object Ext {
         assigned, col("lang") === "en", k = 4, minMargin = 1.0,
         cell = Some(col("cid"))))
     }),
+    // MMR DIVERSITY RE-RANK (Carbonell & Goldstein 1998): each query's
+    // top-20 cosine candidates greedily reduced to 5 picks where every
+    // pick maximizes relevance minus max-similarity-to-already-picked
+    // (λ=0.5; mmr4 = rel4 − maxsim4 in exact 1e-4 integer units) — the
+    // near-duplicate-results killer between retrieval and consumption.
+    // All stages after candidate generation are bounded by queries×topN;
+    // the oracle replays every greedy step.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      ord(graft.operators.Retrieval.mmrRerank(e, col("vec_id") < 3,
+        topN = 20, k = 5))
+    }),
     // HYBRID retrieval via RECIPROCAL-RANK FUSION: per query doc
     // (doc_id < 5), the BM25 more-like-this arm (query = the doc's
     // distinct tokens) and the dense cosine arm (its embedding) each
@@ -4466,6 +4479,48 @@ object Ext {
          |  FROM scored)
          |SELECT src_id, tgt_id, cos, margin FROM m WHERE rf = 1 AND rb = 1 AND margin >= 1.0
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // candidate top-20 chain + pairwise candidate sims + 5 unrolled
+    // greedy argmax steps (ties by neighbor id), all in 1e-4 BIGINT units
+    "q_mmr_rerank" -> {
+      val steps = (2 to 5).map { i =>
+        s"""s$i AS (SELECT q_id, $i AS step, nb, rel4, maxsim4, mmr4 FROM (
+           |  SELECT m.q_id, m.nb, m.rel4, m.maxsim4, m.rel4 - m.maxsim4 AS mmr4,
+           |    row_number() OVER (PARTITION BY m.q_id ORDER BY m.rel4 - m.maxsim4 DESC, m.nb) AS rk
+           |  FROM (
+           |    SELECT c.q_id, c.nb, c.rel4, MAX(p.sim4) AS maxsim4
+           |    FROM cand c
+           |    JOIN ps p ON p.q_id = c.q_id AND p.a = c.nb
+           |    JOIN sel${i - 1} s ON s.q_id = p.q_id AND s.nb = p.b
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s2
+           |                      WHERE s2.q_id = c.q_id AND s2.nb = c.nb)
+           |    GROUP BY 1, 2, 3) m) WHERE rk = 1),
+           |sel$i AS (SELECT q_id, nb FROM sel${i - 1} UNION ALL SELECT q_id, nb FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 3),
+         |sc AS (
+         |  SELECT q_id, vec_id AS nb,
+         |    CAST(round(round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) * 10000, 0) AS BIGINT) AS rel4
+         |  FROM n JOIN q ON vec_id <> q_id),
+         |cand AS (SELECT q_id, nb, rel4 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel4 DESC, nb) AS rk
+         |  FROM sc) WHERE rk <= 20),
+         |cv AS (SELECT c.q_id, c.nb, n.v, n.nrm FROM cand c JOIN n ON c.nb = n.vec_id),
+         |ps AS (
+         |  SELECT x.q_id, x.nb AS a, y.nb AS b,
+         |    CAST(round(round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 4) * 10000, 0) AS BIGINT) AS sim4
+         |  FROM cv x JOIN cv y ON x.q_id = y.q_id AND x.nb <> y.nb),
+         |s1 AS (SELECT q_id, 1 AS step, nb, rel4, CAST(0 AS BIGINT) AS maxsim4, rel4 AS mmr4 FROM (
+         |  SELECT q_id, nb, rel4, row_number() OVER (PARTITION BY q_id ORDER BY rel4 DESC, nb) AS rk
+         |  FROM cand) WHERE rk = 1),
+         |sel1 AS (SELECT q_id, nb FROM s1),
+         |$steps
+         |SELECT q_id, CAST(step AS INT) AS step, nb, rel4, maxsim4, mmr4 FROM (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
     "q_rrf_fusion" ->
       """WITH words AS (
         |  SELECT doc_id, w FROM (

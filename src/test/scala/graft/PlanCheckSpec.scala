@@ -172,7 +172,13 @@ class PlanCheckSpec extends SparkSpec {
       // per-bin partial sums over the (vocab-scale) bin margin — the
       // q_tfidf shape; the corpus stream itself hash-partitions on
       // (source, bin).
-      "q_drift_chi2")
+      "q_drift_chi2",
+      // q_lm_logprob: the 1-row vocabulary-size frame (the add-1
+      // smoothing denominator) finalizes from per-partition partial
+      // counts over the vocab-scale unigram frame, then broadcasts —
+      // the q_tfidf shape; the token-scale LM join itself
+      // hash-partitions on the gram key.
+      "q_lm_logprob")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
