@@ -47,4 +47,58 @@ class RetrievalSpec extends SparkSpec {
         s"(no overlap) absent: ${got.toSeq}")
     assert(got.map(_._2).toSeq == Seq(1, 2))
   }
+
+  test("mmrRerank: diversifies where plain top-k returns near-duplicates; " +
+    "internal checkpoints released") {
+    import spark.implicits._
+    // Query q = (1, 0). Candidates: a pair of near-identical vectors
+    // hugging q (ids 1, 2) and one still-relevant but off-axis vector
+    // (id 3). Plain top-2 by cosine = {1, 2} (the near-dup failure
+    // mode); at λ=0.5 MMR's second pick must skip 2 — sim(1,2) ≈ 1
+    // wipes its margin (mmr4 ≈ −74) — and take 3, whose relevance
+    // (7071) exceeds its similarity to the picked vector (6247),
+    // mmr4 = +824.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)),    // query
+      (1L, Seq(0.9, 0.1)),    // best match
+      (2L, Seq(0.9, 0.11)),   // near-copy of 1
+      (3L, Seq(0.5, -0.5))    // relevant AND diverse
+    ).toDF("vec_id", "v")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Retrieval.mmrRerank(e, col("vec_id") === 0, topN = 3, k = 2)
+    val picks = got.orderBy("step").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(picks.toSeq == Seq((1, 1L), (2, 3L)),
+      s"step 1 takes the best match, step 2 must take the DIVERSE vector " +
+        s"(plain top-2 would return the near-copy): ${picks.toSeq}")
+    // lifecycle: only the returned (checkpointed) frame may stay persisted
+    val live = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(live.size <= 1,
+      s"mmrRerank leaked internal checkpoints: ${live.size} persisted RDDs")
+    graft.plans.Checkpoints.release(got)
+  }
+
+  test("crossJaccardPairs: bipartite jaccard matches the hand value and " +
+    "never pairs within one side") {
+    import spark.implicits._
+    // archive doc 1 and batch doc 10 share 2 of (3 + 3 - 2) distinct
+    // 3-gram shingles -> jaccard 0.5; batch doc 12 shares nothing.
+    // Archive docs 1 and 2 are near-identical but must NOT pair (same
+    // side); short batch doc 14 (< 3 tokens) emits no shingles at all.
+    val archive = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d x"),
+      (12L, "p q r s t"),
+      (14L, "a b")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextDedup.crossJaccardPairs(
+      archive, batch, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // shingles of "a b c d e": {abc, bcd, cde}; of "a b c d x": {abc, bcd, cdx}
+    // inter = 2, union = 3 + 3 - 2 = 4 -> 0.5
+    assert(got == Map((1L, 10L) -> 0.5, (2L, 10L) -> 0.5),
+      s"exactly the two archive->batch matches at jaccard 0.5: $got")
+  }
 }
