@@ -157,6 +157,20 @@ object Ext {
     * uses). The GENERATOR-measuring queries (q_dedup_ngram_jaccard, the
     * cluster family, q_pagerank) keep deriving inline so their bench
     * rows time the actual derivation. */
+  /** Fixed 10-token-window segmentation of the documents table (this
+    * corpus has no line structure) — shared by the batch segment dedup
+    * (q_dedup_lines) and its streaming replay so both feed the oracle
+    * identical segments. */
+  private def segmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+    t(s, dir, "documents")
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
+      .withColumn("segs", expr(
+        "transform(sequence(0, cast(ceil(size(__toks) / 10.0) AS INT) - 1), " +
+          "i -> array_join(slice(__toks, i * 10 + 1, 10), ' '))"))
+  }
+
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val canon = canonicalDocs(s, dir)
     graft.plans.PairGraphCache.cached(canon,
@@ -234,14 +248,24 @@ object Ext {
     // the 16-byte segment hash + a join back on it — the only
     // corpus-wide shuffles, both keyed on hashes, never segment text.
     "q_dedup_lines" -> ((s, dir) => {
-      val toks = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
-      val docs = t(s, dir, "documents")
-        .withColumn("__toks", toks)
-        .filter(size(col("__toks")) > 0)
-        .withColumn("segs", expr(
-          "transform(sequence(0, cast(ceil(size(__toks) / 10.0) AS INT) - 1), " +
-            "i -> array_join(slice(__toks, i * 10 + 1, 10), ' '))"))
-      ord(graft.operators.TextDedup.dedupSegments(docs, "doc_id", "segs"))
+      ord(graft.operators.TextDedup.dedupSegments(
+        segmentedDocs(s, dir), "doc_id", "segs"))
+    }),
+    // the SAME segment dedup as a driver-checked STREAMING REPLAY (the
+    // 5th replay row): (doc_id, pos)-ordered micro-batches through
+    // streamingSegmentDedup's keyed boolean state, emitted keep flags
+    // re-aggregated to q_dedup_lines' exact per-doc shape — so the
+    // q_dedup_lines oracle checks the streaming engine path verbatim.
+    "q_stream_segment_replay" -> ((s, dir) => {
+      val segs = segmentedDocs(s, dir)
+        .select(col("doc_id"), posexplode(col("segs")).as(Seq("pos", "seg")))
+      val emitted = graft.streaming.Streams.replaySegmentDedup(segs)
+      ord(emitted.groupBy("doc_id").agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, seg) END)), x -> x.seg)"),
+          " "), lit("")).as("text_deduped")))
     }),
     // boilerplate span detection (C4-style "repeated span" rule): per
     // doc, how many of its 5-gram instances occur elsewhere in the
@@ -2656,7 +2680,11 @@ object Ext {
   def oracles: Map[String, String] =
     oracles0 +
       ("q_dedup_clusters_star" -> oracles0("q_dedup_clusters")) +
-      ("q_dedup_clusters_auto" -> oracles0("q_dedup_clusters"))
+      ("q_dedup_clusters_auto" -> oracles0("q_dedup_clusters")) +
+      // the streaming segment replay re-aggregates to q_dedup_lines'
+      // exact per-doc shape (ordered feed => identical keep-first rule),
+      // so the batch oracle checks the streaming engine path verbatim
+      ("q_stream_segment_replay" -> oracles0("q_dedup_lines"))
 
   private val oracles0: Map[String, String] = Map(
     "q_dedup_minhash" ->

@@ -899,6 +899,28 @@ object Streams {
     * pigeonhole join on the same corpus regardless of the schedule
     * (admission order only matters at a bucket cap), so the batch
     * operator's DuckDB oracle checks the streaming engine path. */
+  /** Replay segment rows (doc_id, pos, seg) through
+    * [[streamingSegmentDedup]] in `batches` (doc_id, pos)-ordered
+    * micro-batches with no TTL: under an ordered feed the first arrival
+    * of each distinct segment hash IS the global (doc_id, pos) first, so
+    * the emitted keep flags equal batch [[graft.operators.TextDedup.dedupSegments]]'
+    * keep-first rule on the same corpus regardless of where the batch
+    * boundaries fall — which is what lets the q_dedup_lines DuckDB
+    * oracle check the streaming engine path verbatim. Returns the
+    * emitted (doc_id, pos, seg, keep) rows. */
+  def replaySegmentDedup(segs: DataFrame, batches: Int = 8): DataFrame = {
+    val spark = segs.sparkSession
+    import spark.implicits._
+    val rows = segs.select(col("doc_id").cast("long"),
+        col("pos").cast("int"), col("seg"))
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2))
+    require(rows.nonEmpty, "replay needs at least one segment")
+    val chunkSize = math.max(1, (rows.length + batches - 1) / batches)
+    runReplay(spark, rows.toSeq.grouped(chunkSize)) { ds =>
+      streamingSegmentDedup(ds).toDF("doc_id", "pos", "seg", "keep")
+    }
+  }
+
   def replayNearDups(
       docs: DataFrame,
       maxHamming: Int = 3,
