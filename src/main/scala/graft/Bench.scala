@@ -108,6 +108,7 @@ object Bench {
     "q_textrank",
     "q_dedup_keep_central",
     "q_dedup_ledger",
+    "q_dedup_rate_by_source",
     "q_cluster_cohesion",
     "q_source_overlap",
     "q_dedup_containment",

@@ -181,6 +181,34 @@ object Ext {
     }
   }
 
+  /** The per-document curation ledger (doc_id, status, keeper_id) —
+    * q_dedup_ledger's frame, shared with the per-source rate rollup.
+    * Tier 1: exact dups point at their canonical rep; tier 2: canonical
+    * reps inside a near-dup cluster point at the longest member;
+    * survivors point at themselves. First dropping tier wins. */
+  private def curationLedger(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val groups = graft.operators.TextDedup.exactGroups(docs, "doc_id", "text")
+    val withRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(groups.select(col("h"), col("keeper").as("rep")), "h")
+    val pairs = nearDupPairs(s, dir)
+    val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
+    val keep = graft.operators.TextDedup.keepers(
+      comps, docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+    val nearMap = comps.join(
+      keep.select(col("cluster_rep"), col("keep_id")), "cluster_rep")
+      .select(col("member"), col("keep_id"))
+    withRep.join(nearMap, withRep("rep") === nearMap("member"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("rep"), lit("exact_dup"))
+          .when(col("keep_id").isNotNull && col("keep_id") =!= col("doc_id"),
+            lit("near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("doc_id") =!= col("rep"), col("rep"))
+          .when(col("keep_id").isNotNull, col("keep_id"))
+          .otherwise(col("doc_id")).as("keeper_id"))
+  }
+
   // ---- deduplication --------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -482,27 +510,25 @@ object Ext {
     // longest member (the q_dedup_keep_best rule) via the graph-sized
     // keeper frame. Survivors point at themselves. The FIRST tier that
     // drops a doc wins, so every doc gets exactly one (status, keeper).
-    "q_dedup_ledger" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val groups = graft.operators.TextDedup.exactGroups(docs, "doc_id", "text")
-      val withRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
-        .join(groups.select(col("h"), col("keeper").as("rep")), "h")
-      val pairs = nearDupPairs(s, dir)
-      val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
-      val keep = graft.operators.TextDedup.keepers(
-        comps, docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
-      val nearMap = comps.join(
-        keep.select(col("cluster_rep"), col("keep_id")), "cluster_rep")
-        .select(col("member"), col("keep_id"))
-      ord(withRep.join(nearMap, withRep("rep") === nearMap("member"), "left")
-        .select(col("doc_id"),
-          when(col("doc_id") =!= col("rep"), lit("exact_dup"))
-            .when(col("keep_id").isNotNull && col("keep_id") =!= col("doc_id"),
-              lit("near_dup"))
-            .otherwise(lit("kept")).as("status"),
-          when(col("doc_id") =!= col("rep"), col("rep"))
-            .when(col("keep_id").isNotNull, col("keep_id"))
-            .otherwise(col("doc_id")).as("keeper_id")))
+    "q_dedup_ledger" -> ((s, dir) => ord(curationLedger(s, dir))),
+    // PER-SOURCE DEDUP RATE — the ledger rolled up to the report a
+    // mixture designer reads next to the datasheet: per source, how many
+    // docs fell to each tier and the combined duplicate rate. A feed
+    // with a high dup_rate contributes less unique signal than its raw
+    // volume suggests — its mixture weight should reflect the KEPT
+    // count, not the doc count. Ledger + one metadata join + one groupBy
+    // (everything after the shared pair graph is family/graph-sized).
+    "q_dedup_rate_by_source" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      ord(curationLedger(s, dir).join(src, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("status") === "exact_dup", 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("status") === "near_dup", 1L).otherwise(0L)).as("n_near_dup"),
+          sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("dup_rate", round(
+          (col("n_exact_dup") + col("n_near_dup")).cast("double") /
+            col("n_docs"), 6)))
     }),
     // CROSS-SOURCE DUPLICATION MATRIX — which sources mirror each
     // other: near-dup pair counts bucketed by the (source, source) of
@@ -2686,6 +2712,56 @@ object Ext {
       // so the batch oracle checks the streaming engine path verbatim
       ("q_stream_segment_replay" -> oracles0("q_dedup_lines"))
 
+  /** The curation-ledger CTE chain (exact reps + recursive components +
+    * longest-member keepers), shared by the q_dedup_ledger oracle and
+    * the per-source rate rollup. `led` is the final per-doc
+    * (doc_id, status, keeper_id) frame. */
+  private val ledgerCtes: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      |  FROM documents),
+      |canon AS (
+      |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |w AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+      |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+      |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+      |    FROM w)),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |          UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach(src, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+      |comp AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src),
+      |j AS (SELECT c.cluster_rep, c.member, d.n_chars
+      |      FROM comp c JOIN documents d ON c.member = d.doc_id),
+      |k AS (SELECT cluster_rep, member,
+      |    row_number() OVER (PARTITION BY cluster_rep ORDER BY n_chars DESC, member) AS rn
+      |  FROM j),
+      |keep AS (SELECT cluster_rep, member AS keep_id FROM k WHERE rn = 1),
+      |nm AS (SELECT c.member, kp.keep_id FROM comp c JOIN keep kp USING (cluster_rep)),
+      |led AS (
+      |  SELECT g.doc_id,
+      |    CASE WHEN g.doc_id != g.rep THEN 'exact_dup'
+      |         WHEN nm.keep_id IS NOT NULL AND nm.keep_id != g.doc_id THEN 'near_dup'
+      |         ELSE 'kept' END AS status,
+      |    CASE WHEN g.doc_id != g.rep THEN g.rep
+      |         WHEN nm.keep_id IS NOT NULL THEN nm.keep_id
+      |         ELSE g.doc_id END AS keeper_id
+      |  FROM g LEFT JOIN nm ON g.rep = nm.member)""".stripMargin
+
   private val oracles0: Map[String, String] = Map(
     "q_dedup_minhash" ->
       s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
@@ -4309,50 +4385,21 @@ object Ext {
     // exact tier (md5-partition min) + the keep-best chain, cascaded
     // into one (status, keeper) row per document
     "q_dedup_ledger" ->
-      """WITH RECURSIVE g AS (
-        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
-        |  FROM documents),
-        |canon AS (
-        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-        |w AS (
-        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
-        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
-        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
-        |    FROM w)),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT doc_a, doc_b
-        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-        |          UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach(src, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
-        |comp AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src),
-        |j AS (SELECT c.cluster_rep, c.member, d.n_chars
-        |      FROM comp c JOIN documents d ON c.member = d.doc_id),
-        |k AS (SELECT cluster_rep, member,
-        |    row_number() OVER (PARTITION BY cluster_rep ORDER BY n_chars DESC, member) AS rn
-        |  FROM j),
-        |keep AS (SELECT cluster_rep, member AS keep_id FROM k WHERE rn = 1),
-        |nm AS (SELECT c.member, kp.keep_id FROM comp c JOIN keep kp USING (cluster_rep))
-        |SELECT g.doc_id,
-        |  CASE WHEN g.doc_id != g.rep THEN 'exact_dup'
-        |       WHEN nm.keep_id IS NOT NULL AND nm.keep_id != g.doc_id THEN 'near_dup'
-        |       ELSE 'kept' END AS status,
-        |  CASE WHEN g.doc_id != g.rep THEN g.rep
-        |       WHEN nm.keep_id IS NOT NULL THEN nm.keep_id
-        |       ELSE g.doc_id END AS keeper_id
-        |FROM g LEFT JOIN nm ON g.rep = nm.member
-        |ORDER BY ALL NULLS FIRST""".stripMargin,
+      s"""$ledgerCtes
+         |SELECT doc_id, status, keeper_id FROM led
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the ledger rolled up per source: tier counts + combined dup rate
+    "q_dedup_rate_by_source" ->
+      s"""$ledgerCtes
+         |SELECT d.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) FILTER (WHERE status = 'exact_dup') AS BIGINT) AS n_exact_dup,
+         |  CAST(COUNT(*) FILTER (WHERE status = 'near_dup') AS BIGINT) AS n_near_dup,
+         |  CAST(COUNT(*) FILTER (WHERE status = 'kept') AS BIGINT) AS n_kept,
+         |  round(CAST(COUNT(*) FILTER (WHERE status IN ('exact_dup', 'near_dup')) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+         |FROM led JOIN documents d USING (doc_id)
+         |GROUP BY d.source
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM v)
