@@ -147,6 +147,7 @@ object Bench {
     "q_knn_ivfpq_refine",
     "q_ivf_train",
     "q_cluster_assign",
+    "q_cluster_source_mix",
     "q_text_quality",
     "q_quality_classifier",
     "q_lm_logprob",

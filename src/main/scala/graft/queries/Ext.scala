@@ -1105,6 +1105,30 @@ object Ext {
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec")))
     }),
+    // TOPIC × SOURCE MIXTURE — which sources dominate which embedding
+    // clusters: the trained k-means cells crossed with the doc→source
+    // metadata, per (cluster, source) count + within-cluster share +
+    // the dominant-source flag. A cluster owned >90% by one feed is a
+    // provenance topic, not a semantic one — the signal cluster-balanced
+    // capping (q_mix_cluster_capped) should see before treating cells as
+    // topics. Same broadcast-centroids/one-scan shape as the IVF family;
+    // everything after assignment is (cells × sources)-sized.
+    "q_cluster_source_mix" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+      val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val cell = assigned.join(src, col("vec_id") === col("doc_id"))
+        .groupBy("cid", "source").agg(count(lit(1)).as("n_docs"))
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy("cid").orderBy(col("n_docs").desc, col("source"))
+      ord(cell
+        .withColumn("share",
+          round(col("n_docs").cast("double") / sum(col("n_docs")).over(tot), 6))
+        .withColumn("is_dominant", row_number().over(rk) === 1))
+    }),
     // the full trained-IVF ANN path: train -> assign -> top-k within the
     // assigned cell (knn's bucket param takes the assignment column, so
     // candidate generation is the cell equi-join, not a corpus scan)
@@ -3065,6 +3089,24 @@ object Ext {
          |fin AS (${ivfAssignSql("v", "c2")})
          |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members, min(vec_id) AS rep_vec
          |FROM fin GROUP BY cid ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_knn_ivf_trained Lloyd chain + doc->source metadata join +
+    // per-cluster share/dominance windows
+    "q_cluster_source_mix" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |cell AS (
+         |  SELECT f.cid, d.source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM fin f JOIN documents d ON f.vec_id = d.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT cid, source, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY cid), 6) AS share,
+         |  row_number() OVER (PARTITION BY cid ORDER BY n_docs DESC, source) = 1 AS is_dominant
+         |FROM cell ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_ivf_trained" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
