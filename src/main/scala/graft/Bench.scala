@@ -121,6 +121,7 @@ object Bench {
     "q_embed_quantize",
     "q_embed_pool",
     "q_embed_pca",
+    "q_embed_pca2",
     "q_dedup_semantic",
     "q_semdedup",
     "q_dedup_keep_best",

@@ -262,44 +262,79 @@ object Similarity {
       // iteration reads it `iters` times, and recomputing scan+subtract
       // per pass (plus re-planning the nested 64-wide codegen stage per
       // iterate) costs more than one write — MLlib's cache-the-
-      // training-set pattern. Released explicitly after the loop (the
-      // Checkpoints contract: a corpus-sized |corpus|×dim block must not
-      // outlive the training that needed it).
+      // training-set pattern. powerIterate releases it before returning
+      // (the Checkpoints contract: a corpus-sized |corpus|×dim block
+      // must not outlive the training that needed it).
       val xc = vectors.crossJoin(broadcast(mu))
         .select(array((1 to dim).map(i =>
           element_at(col("v"), i) - element_at(col("mu"), i)): _*).as("xc"))
         .localCheckpoint(true)
-      var vf = vectors.sparkSession.range(1).select(
-        array((1 to dim).map(_ => lit(1.0 / math.sqrt(dim.toDouble))): _*).as("pc"))
-      for (_ <- 1 to iters) {
-        val raw = xc.crossJoin(broadcast(vf))
-          .select(col("xc"),
-            graft.functions.VecDot.vec_dot(col("xc"), col("pc")).as("dot"))
-          .agg(array((1 to dim).map(i =>
-            sum((element_at(col("xc"), i) * col("dot")).cast("decimal(30,12)"))
-              .cast("double")): _*).as("raw"))
-        val norm = sqrt((1 to dim).map(i =>
-          element_at(col("raw"), i) * element_at(col("raw"), i)).reduce(_ + _))
-        val prev = vf
-        // each iterate is ONE row — checkpointing it flattens the nested
-        // lineage so every pass plans against a local relation, not the
-        // whole chain of prior iterates
-        vf = raw.select(array((1 to dim).map(i =>
-          round(element_at(col("raw"), i) / norm, 6)): _*).as("pc"))
-          .localCheckpoint(true)
-        graft.plans.Checkpoints.release(prev)
-      }
-      // Return a LOCAL relation, not the checkpointed iterate: the result
-      // is ONE row, and handing back a checkpoint would pin its block (and
-      // the corpus-sized xc) past the operator's return — the contract
-      // violation round-4 measured at 1.6-4.5x on downstream queries.
-      val out = vf.collect()
-      val schema = vf.schema
-      graft.plans.Checkpoints.release(vf)
-      graft.plans.Checkpoints.release(xc)
-      vectors.sparkSession.createDataFrame(
-        java.util.Arrays.asList(out: _*), schema)
+      powerIterate(xc, dim, iters)
     }
+
+  /** The SECOND principal component, by DEFLATION: the same power
+    * iteration over xc₂ = xc − (xc·pc₁)·pc₁ — each row's pc₁ component
+    * removed, a per-row exact double computation against the broadcast
+    * rounded pc₁ (no cross-row accumulation, so both engines compute
+    * identical deflated rows). Memoized like pc₁; the nested
+    * [[pcaComponent]] call re-enters the memo lock, which intrinsic
+    * monitors permit on the same thread. */
+  def pcaComponent2(vectors: DataFrame, dim: Int, iters: Int): DataFrame =
+    memoized(vectors, s"pca2:$dim:$iters") {
+      val mu = pcaMean(vectors, dim)
+      val pc1 = pcaComponent(vectors, dim, iters)
+      val xc2 = vectors.crossJoin(broadcast(mu))
+        .select(array((1 to dim).map(i =>
+          element_at(col("v"), i) - element_at(col("mu"), i)): _*).as("xc"))
+        .crossJoin(broadcast(pc1.select(col("pc").as("pc1"))))
+        .withColumn("dot1",
+          graft.functions.VecDot.vec_dot(col("xc"), col("pc1")))
+        .select(array((1 to dim).map(i =>
+          element_at(col("xc"), i) -
+            col("dot1") * element_at(col("pc1"), i)): _*).as("xc"))
+        .localCheckpoint(true)
+      powerIterate(xc2, dim, iters)
+    }
+
+  /** `iters` power-iteration passes over a checkpointed centered matrix
+    * `xc` (one `xc` ARRAY<DOUBLE> column): each iterate is ONE corpus
+    * aggregate v' ∝ Σ xc·(xc·v) against the broadcast 1-row current
+    * vector, DECIMAL(30,12)-routed per-dim sums, renormalized and
+    * rounded to 6 before the next pass — so both engines walk
+    * bit-identical vectors. Releases `xc` and every superseded iterate;
+    * returns a LOCAL 1-row relation (nothing stays persisted). */
+  private def powerIterate(xc: DataFrame, dim: Int, iters: Int): DataFrame = {
+    var vf = xc.sparkSession.range(1).select(
+      array((1 to dim).map(_ => lit(1.0 / math.sqrt(dim.toDouble))): _*).as("pc"))
+    for (_ <- 1 to iters) {
+      val raw = xc.crossJoin(broadcast(vf))
+        .select(col("xc"),
+          graft.functions.VecDot.vec_dot(col("xc"), col("pc")).as("dot"))
+        .agg(array((1 to dim).map(i =>
+          sum((element_at(col("xc"), i) * col("dot")).cast("decimal(30,12)"))
+            .cast("double")): _*).as("raw"))
+      val norm = sqrt((1 to dim).map(i =>
+        element_at(col("raw"), i) * element_at(col("raw"), i)).reduce(_ + _))
+      val prev = vf
+      // each iterate is ONE row — checkpointing it flattens the nested
+      // lineage so every pass plans against a local relation, not the
+      // whole chain of prior iterates
+      vf = raw.select(array((1 to dim).map(i =>
+        round(element_at(col("raw"), i) / norm, 6)): _*).as("pc"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.release(prev)
+    }
+    // Return a LOCAL relation, not the checkpointed iterate: the result
+    // is ONE row, and handing back a checkpoint would pin its block (and
+    // the corpus-sized xc) past the operator's return — the contract
+    // violation round-4 measured at 1.6-4.5x on downstream queries.
+    val out = vf.collect()
+    val schema = vf.schema
+    graft.plans.Checkpoints.release(vf)
+    graft.plans.Checkpoints.release(xc)
+    xc.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
+  }
 
   def pcaProject(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
     require(dim > 0 && iters >= 1)
@@ -314,6 +349,25 @@ object Similarity {
           array((1 to dim).map(i =>
             element_at(col("v"), i) - element_at(col("mu"), i)): _*),
           col("pc")), 6).as("proj"))
+  }
+
+  /** Projection onto the top TWO components (the 2-D embedding map every
+    * corpus-visualization/whitening pass draws): still ONE corpus scan
+    * against three broadcast 1-row artifacts — both projections are
+    * dots of the same inline-centered row against pc₁ / pc₂. */
+  def pcaProject2(vectors: DataFrame, dim: Int, iters: Int): DataFrame = {
+    require(dim > 0 && iters >= 1)
+    val pc1 = pcaComponent(vectors, dim, iters)
+    val pc2 = pcaComponent2(vectors, dim, iters)
+    val mu = pcaMean(vectors, dim)
+    val xcArr = array((1 to dim).map(i =>
+      element_at(col("v"), i) - element_at(col("mu"), i)): _*)
+    vectors.crossJoin(broadcast(mu))
+      .crossJoin(broadcast(pc1.select(col("pc").as("pc1"))))
+      .crossJoin(broadcast(pc2.select(col("pc").as("pc2"))))
+      .select(col("vec_id"),
+        round(graft.functions.VecDot.vec_dot(xcArr, col("pc1")), 6).as("proj1"),
+        round(graft.functions.VecDot.vec_dot(xcArr, col("pc2")), 6).as("proj2"))
   }
 
   // ---- session-scoped quantizer memo -------------------------------------
@@ -377,10 +431,12 @@ object Similarity {
               leaves + "\u0000" + tag).getBytes("UTF-8")))
         // get+train+put under ONE lock: a bare get-then-put would let two
         // threads training the same key both miss and duplicate the
-        // (expensive, multi-job) training. Holding the memo lock across the
-        // training jobs is safe (training never re-enters the memo) and
-        // serializes concurrent trainers — dedup over throughput, the right
-        // trade for a bounded set of small deterministic artifacts.
+        // (expensive, multi-job) training. Holding the memo lock across
+        // the training jobs is safe — same-thread re-entry (pcaComponent2
+        // training calls pcaComponent, both memoized) is permitted by the
+        // intrinsic monitor, and training never blocks on another thread
+        // — and serializes concurrent trainers: dedup over throughput,
+        // the right trade for a bounded set of small artifacts.
         val cached = quantizerMemo.synchronized {
           var c = quantizerMemo.get(key)
           if (c == null) {

@@ -2446,6 +2446,18 @@ object Ext {
         col("embedding").cast("array<double>").as("v"))
       ord(graft.operators.Similarity.pcaProject(e, dim = 64, iters = 3))
     }),
+    // top-TWO components by DEFLATION (the 2-D corpus map / whitening
+    // prep): pc2 power-iterates over xc − (xc·pc1)·pc1 — per-row exact
+    // deflation against the broadcast rounded pc1, so both engines build
+    // identical deflated rows and the oracle replays BOTH iterate
+    // chains; projection is still one corpus scan against three
+    // broadcast 1-row artifacts, and both components join the quantizer
+    // memo (a sweep trains each once).
+    "q_embed_pca2" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      ord(graft.operators.Similarity.pcaProject2(e, dim = 64, iters = 3))
+    }),
     // LATE-INTERACTION retrieval (ColBERT MaxSim, Khattab & Zaharia
     // 2020): multi-vector scoring — score(q, d) = Σ over query chunks
     // of the max cosine against any of d's chunks — over the 5-chunks-
@@ -5013,6 +5025,42 @@ object Ext {
          |SELECT x.vec_id,
          |  round(list_sum(list_transform(range(1, 65), j -> x.xc[j] * v3.pc[j])), 6) AS proj
          |FROM xc x, v3
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
+    // the same chain, then deflate against the trained pc1 (v3) and run
+    // a SECOND identical iterate chain (w1..w3) over the deflated rows
+    "q_embed_pca2" -> {
+      val iter = (src: String, v: String, i: Int) =>
+        s"""${v}r$i AS (SELECT list(s ORDER BY d) AS raw FROM (
+           |  SELECT d, CAST(SUM(CAST(t.xc[d] * t.dot AS DECIMAL(30,12))) AS DOUBLE) AS s
+           |  FROM (SELECT $src.xc AS xc,
+           |          list_sum(list_transform(range(1, 65), j -> $src.xc[j] * $v${i - 1}.pc[j])) AS dot
+           |        FROM $src, $v${i - 1}) t, range(1, 65) r(d)
+           |  GROUP BY d)),
+           |$v$i AS (SELECT list_transform(range(1, 65), d ->
+           |  round(raw[d] / sqrt(list_sum(list_transform(raw, y -> y * y))), 6)) AS pc
+           |  FROM ${v}r$i)""".stripMargin
+      s"""WITH x0 AS (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |mu AS (SELECT list(m ORDER BY d) AS mu FROM (
+         |  SELECT d, round(CAST(SUM(CAST(x[d] AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6) AS m
+         |  FROM x0, range(1, 65) r(d) GROUP BY d)),
+         |xc AS (SELECT vec_id, list_transform(range(1, 65), d -> x[d] - mu[d]) AS xc
+         |       FROM x0, mu),
+         |v0 AS (SELECT list_transform(range(1, 65), d -> 0.125) AS pc),
+         |${(1 to 3).map(i => iter("xc", "v", i)).mkString(",\n")},
+         |xc2 AS (
+         |  SELECT t.vec_id, list_transform(range(1, 65), d -> t.xc[d] - t.dot1 * v3.pc[d]) AS xc
+         |  FROM (SELECT x.vec_id, x.xc,
+         |          list_sum(list_transform(range(1, 65), j -> x.xc[j] * v3.pc[j])) AS dot1
+         |        FROM xc x, v3) t, v3),
+         |w0 AS (SELECT list_transform(range(1, 65), d -> 0.125) AS pc),
+         |${(1 to 3).map(i => iter("xc2", "w", i)).mkString(",\n")}
+         |SELECT x.vec_id,
+         |  round(list_sum(list_transform(range(1, 65), j -> x.xc[j] * v3.pc[j])), 6) AS proj1,
+         |  round(list_sum(list_transform(range(1, 65), j -> x.xc[j] * w3.pc[j])), 6) AS proj2
+         |FROM xc x, v3, w3
          |ORDER BY ALL NULLS FIRST""".stripMargin
     },
     "q_importance_resample" ->
