@@ -445,33 +445,55 @@ object Bench {
       }
     def burstEvidence(n: String): Boolean = gateTripped(n) || postHot(n)
 
-    // SECOND CHANCE for burst-excluded regression candidates (round-13
-    // hole: q_mix_sources reported 3.0x its recorded best and silently
-    // passed the gate because its measurement carried burst evidence —
-    // and nothing ever re-measured it, so a query could stay slow forever
-    // as long as every run it appears in has a hot probe). Any query whose
-    // reported time WOULD regress but whose evidence makes the gate
-    // abstain gets one more gated run now; the gate then judges that
-    // run's value with that run's own (fresh) burst evidence.
+    // REGRESSION CONFIRMATION (round-15; subsumes round-14's second-chance
+    // pass). Rounds 13 and 14 both ended rc=3 on a different query each
+    // time, and isolated calm re-runs reproduced none of them — the gate
+    // was committing the round to this run's luck. Now every query whose
+    // reported value WOULD regress judged on value alone (including
+    // burst-excluded ones — the round-13 q_mix_sources hole stays closed)
+    // gets up to three fresh gated re-runs at suite end; only a
+    // regression that SURVIVES them (BenchGuard.confirmedRegression,
+    // spec'd) lands in `regr`/rc. The re-runs happen in an already-warm
+    // JVM, so a JIT-warming artifact (the round-14 q_pipeline_e2e shape)
+    // measures steady state here. A fresh gate trip or hot post-probe
+    // during confirmation is that run's own evidence — the gate abstains
+    // on it, exactly as it would have on the main pass (advisor round 14:
+    // the old second-chance judged a possibly-hot re-run with stale calm
+    // evidence when the cooldown budget ran dry mid-burst).
     val gateEvidence = scala.collection.mutable.Map.empty[String, Boolean]
       .withDefault(burstEvidence)
-    results.collect {
-      case (n, t) if burstEvidence(n) &&
-          BenchGuard.regression(best.getOrElse(n, -1.0), t, burstEvidence = false) => n
-    }.foreach { n =>
-      System.err.println(s"[bench] second-chance re-measurement for " +
-        s"burst-excluded regression candidate $n")
-      ensureCalm(n)
-      val r = runOnce(n)
-      rawRuns(n) = rawRuns(n) :+ r
-      val hot = probeAfter(s"$n:post2c")
-      if (r >= 0)
-        results = results.map { case (q, t) => if (q == n && r < t) q -> r else q -> t }
-      gateEvidence(n) = hot // calm re-run => the gate now judges for real
+    val confirmRuns = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val candidates = results.collect {
+      case (n, t) if BenchGuard.regression(best.getOrElse(n, -1.0), t,
+        burstEvidence = false) => n
+    }
+    candidates.foreach { n =>
+      val b = best(n) // candidates exist only where a best is recorded
+      def current: Double = {
+        val ok = (results.toMap.apply(n) +: confirmRuns(n)).filter(_ >= 0)
+        if (ok.isEmpty) -1.0 else ok.min
+      }
+      var i = 0
+      while (i < 3 && BenchGuard.regression(b, current, burstEvidence = false)) {
+        i += 1
+        System.err.println(f"[bench] regression candidate $n " +
+          f"($current%.2fs vs best $b%.2fs) — isolated confirmation run $i")
+        val tag = s"$n:confirm$i"
+        ensureCalm(tag)
+        val r = runOnce(n)
+        rawRuns(n) = rawRuns(n) :+ r
+        confirmRuns(n) = confirmRuns(n) :+ r
+        gateEvidence(n) = gateTripped(tag) || probeAfter(s"$tag:post")
+      }
+      val c = current
+      if (c >= 0)
+        results = results.map { case (q, t) => if (q == n) q -> c else q -> t }
     }
 
     val regressions = results.collect {
-      case (n, t) if BenchGuard.regression(best.getOrElse(n, -1.0), t, gateEvidence(n)) => n
+      case (n, t) if candidates.contains(n) &&
+        BenchGuard.confirmedRegression(best(n), t, confirmRuns(n), gateEvidence(n)) => n
     }
 
     // JSON numbers via Locale.ROOT so a host locale can never inject a
@@ -520,7 +542,7 @@ object Bench {
     // artifact stays self-identifying. This line can run ~8KB and may be
     // truncated by the driver's tail capture; that is fine, it is for
     // humans and post-hoc audit.
-    println(s"""{"metric":"diagnostics","sf":"$sfDir","sha":"$sha","ts":"$ts","probe_ref":${num(probeRef)},"cooldown_sec":${num(cooldownSpent)},"memo":$memo,"pair_cache":$pairs,"revalidated":${strArr(revalidated.toSeq)},"post_hot":${strArr(postHot.toSeq.sorted)},"raw":$raw}""")
+    println(s"""{"metric":"diagnostics","sf":"$sfDir","sha":"$sha","ts":"$ts","probe_ref":${num(probeRef)},"cooldown_sec":${num(cooldownSpent)},"memo":$memo,"pair_cache":$pairs,"revalidated":${strArr(revalidated.toSeq)},"post_hot":${strArr(postHot.toSeq.sorted)},"regr_candidates":${strArr(candidates)},"raw":$raw}""")
     // Line 2: the per-query map. With 100+ headline queries this line runs
     // >2KB, so under the driver's ~2KB tail capture its HEAD may truncate
     // — fine, the per-query values are recoverable from whatever survives

@@ -114,4 +114,33 @@ object BenchGuard {
     !burstEvidence && reported >= 0 && best > 0 &&
       reported > regressionRatio * best &&
       reported - best > regressionMinDeltaSec
+
+  /** Final verdict for a regression CANDIDATE after its isolated
+    * confirmation re-runs (round-15: rounds 13 and 14 both ended rc=3 on
+    * a different query each time, and builder-local isolated re-runs
+    * reproduced none of them — the gate reported this run's luck, not a
+    * reproducible fact; now only a regression that SURVIVES fresh calm
+    * re-measurement lands in `regr`).
+    *
+    * The value judged is the best seen anywhere (main-pass report +
+    * confirmation runs — the same min-of-runs statistic the bench
+    * reports); the evidence judged is the LAST confirmation run's own
+    * burst evidence, because that is the run whose value decided the
+    * loop's exit. With zero confirmation runs (cooldown budget gone
+    * before any re-run) the caller passes the main run's evidence.
+    *
+    * @param best         recorded best calm time (<=0 = no record)
+    * @param mainReported the suite-pass value for this query
+    * @param confirmRuns  the isolated re-run times (negative = failed run)
+    * @param lastEvidence burst evidence carried by the final confirm run
+    */
+  def confirmedRegression(
+      best: Double,
+      mainReported: Double,
+      confirmRuns: Seq[Double],
+      lastEvidence: Boolean): Boolean = {
+    val ok = (mainReported +: confirmRuns).filter(_ >= 0)
+    val v = if (ok.isEmpty) -1.0 else ok.min
+    regression(best, v, lastEvidence)
+  }
 }

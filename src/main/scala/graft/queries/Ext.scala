@@ -716,8 +716,16 @@ object Ext {
           col("n"), col("sum_value").cast("double").as("sum_value")))
     }),
     "q_stream_join_replay" -> ((s, dir) => {
+      // batches=4 (not the harness default 8): the stream-stream join pays
+      // BY FAR the highest per-micro-batch fixed cost of the five replays
+      // (4 join state stores × partitions, plus a watermark-advance batch
+      // per trigger — 38 s of the round-14 verify loop's 242 s); its
+      // emitted set is schedule-independent by the no-late-data contract,
+      // so fewer batches test the same semantics with cross-batch state
+      // still exercised on every boundary.
       ord(graft.streaming.Streams.replayStreamJoin(
-        t(s, dir, "events"), leftType = "view", rightType = "click")
+        t(s, dir, "events"), leftType = "view", rightType = "click",
+        batches = 4)
         .select(col("user_id"), col("l_id"), col("r_id"),
           expr("unix_micros(l_ts)").as("l_ts_us"),
           expr("unix_micros(r_ts)").as("r_ts_us")))

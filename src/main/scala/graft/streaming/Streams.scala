@@ -785,6 +785,26 @@ object Streams {
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong
 
+  /** State-store partition count for the replay harness. A streaming
+    * query's stateful operators commit one state-store delta PER PARTITION
+    * PER MICRO-BATCH regardless of row volume; at the replay fixtures'
+    * scale (sf0.01, a few thousand rows over 8 batches) the session-wide
+    * 32 shuffle partitions made q_stream_join_replay spend 38 of the
+    * round-14 verify loop's 242 s on ~tiny-state commits. The emitted
+    * row SET is partitioning-independent (keyed state is hash-routed, not
+    * semantic), so the replays pin a small count at query START (the conf
+    * is sealed into the query's offset log then) and restore the session
+    * value right after. Production streams size this to the cluster. */
+  private val replayStatePartitions = 4
+
+  private def withReplayPartitions[A](
+      spark: org.apache.spark.sql.SparkSession)(start: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, replayStatePartitions.toString)
+    try start finally spark.conf.set(key, prev)
+  }
+
   private def runReplay[T](
       spark: org.apache.spark.sql.SparkSession,
       chunks: Iterator[Seq[T]])(
@@ -794,8 +814,10 @@ object Streams {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[T]
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
-    val q = build(ms.toDS()).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
+    val q = withReplayPartitions(spark) {
+      build(ms.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+    }
     try chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
     finally q.stop()
     spark.table(name)
@@ -882,8 +904,10 @@ object Streams {
     val msL = MemoryStream[Event]
     val msR = MemoryStream[Event]
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
-    val q = streamStreamJoin(msL.toDF(), msR.toDF()).writeStream
-      .format("memory").queryName(name).outputMode("append").start()
+    val q = withReplayPartitions(spark) {
+      streamStreamJoin(msL.toDF(), msR.toDF()).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+    }
     val chunkSize = math.max(1, (rows.length + batches - 1) / batches)
     try rows.toSeq.grouped(chunkSize).foreach { c =>
       msL.addData(c.filter(_.event_type == leftType))

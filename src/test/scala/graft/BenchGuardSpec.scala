@@ -146,4 +146,29 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!BenchGuard.regression(best, reported, burstEvidence = true))
     assert(BenchGuard.regression(best, reported, burstEvidence = false))
   }
+
+  test("confirmed regression: a one-off slow measurement does not flip rc") {
+    // round-15 contract: a candidate lands in `regr` only if it SURVIVES
+    // isolated calm re-measurement. The synthetic round-14 shape — main
+    // pass reports 3.19s vs best 1.73s, the isolated re-run measures the
+    // calm 1.8s — must NOT be a regression.
+    assert(!BenchGuard.confirmedRegression(1.73, 3.19, Seq(1.8),
+      lastEvidence = false))
+    // a REAL regression reproduces: three calm re-runs all slow
+    assert(BenchGuard.confirmedRegression(1.73, 3.19, Seq(3.1, 3.2, 3.0),
+      lastEvidence = false))
+    // the confirming run itself carries burst evidence: the gate abstains
+    // (that run's value is untrustworthy in either direction)
+    assert(!BenchGuard.confirmedRegression(1.73, 3.19, Seq(3.1),
+      lastEvidence = true))
+    // failed confirm runs contribute nothing; the main value still decides
+    assert(BenchGuard.confirmedRegression(1.73, 3.19, Seq(-1.0),
+      lastEvidence = false))
+    // zero confirm runs (cooldown budget gone): judged on the main value
+    // with the main run's own evidence, exactly like the old gate
+    assert(BenchGuard.confirmedRegression(1.73, 3.19, Nil,
+      lastEvidence = false))
+    assert(!BenchGuard.confirmedRegression(1.73, 3.19, Nil,
+      lastEvidence = true))
+  }
 }

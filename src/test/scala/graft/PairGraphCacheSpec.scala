@@ -86,4 +86,29 @@ class PairGraphCacheSpec extends SparkSpec {
       PairGraphCache.clear()
     }
   }
+
+  test("a frame handed out before eviction stays readable after it") {
+    // eviction removes the MAP entry only; the parquet directory lives
+    // until the shutdown hook deletes the session root — a consumer
+    // holding a lazily-planned frame across maxEntries+ insertions must
+    // not hit FileNotFoundException at action time (advisor round 14)
+    PairGraphCache.clear()
+    val oldCap = PairGraphCache.maxEntries
+    PairGraphCache.maxEntries = 1
+    try {
+      val docs = mkCorpus()
+      val early = PairGraphCache.cached(docs, "early") {
+        docs.select(col("doc_id").as("doc_a")) }
+      (1 to 2).foreach { i =>
+        PairGraphCache.cached(docs, s"later:$i") {
+          docs.select(col("doc_id").as("doc_a")) }.count()
+      }
+      assert(PairGraphCache.size <= 1, "cap must still hold")
+      assert(early.count() == 6,
+        "an evicted entry's frame must stay readable until session end")
+    } finally {
+      PairGraphCache.maxEntries = oldCap
+      PairGraphCache.clear()
+    }
+  }
 }

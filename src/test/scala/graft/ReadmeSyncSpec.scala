@@ -27,6 +27,49 @@ class ReadmeSyncSpec extends AnyFunSuite {
         "update the end-of-round state line")
   }
 
+  test("README's state block quotes the newest binding bench artifact") {
+    // Round-14 verdict: the prose claimed a builder-local rc=0 run while
+    // the DRIVER's BENCH_r14.json at the same sha said rc=1 — the state
+    // block must quote the binding artifact (builder-local re-runs may
+    // appear, but clearly labeled and in addition). Contract: for the
+    // newest BENCH_r<N>.json present, README contains
+    // "BENCH_r<N>.json` total <value %.2f> s" and "rc=<rc>".
+    val root = new java.io.File(".")
+    val benches = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+    if (benches.nonEmpty) {
+      val newest = benches.maxBy(f =>
+        "\\d+".r.findFirstIn(f.getName).get.toInt)
+      val text = java.nio.file.Files.readString(newest.toPath)
+      val rc = "\"rc\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text)
+        .map(_.group(1).toInt)
+      // the artifact's own top-level fields, not the (string-escaped)
+      // stdout tail: parse after the "parsed" key so the regex cannot
+      // land inside the tail's embedded JSON text
+      val parsedAt = text.indexOf("\"parsed\"")
+      val value =
+        if (parsedAt < 0) None
+        else "\"value\"\\s*:\\s*([0-9.]+)".r
+          .findFirstMatchIn(text.substring(parsedAt)).map(_.group(1).toDouble)
+      val readme = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("README.md"))
+      val name = newest.getName
+      assert(readme.contains(name),
+        s"README.md state block must reference the newest binding bench " +
+          s"artifact $name")
+      value.foreach { v =>
+        val want = f"$name` total $v%.2f s"
+        assert(readme.contains(want),
+          s"README.md must quote the binding total: expected substring " +
+            s"'$want'")
+      }
+      rc.foreach { r =>
+        assert(readme.contains(s"rc=$r"),
+          s"README.md must quote the binding rc=$r for $name")
+      }
+    }
+  }
+
   test("every query has an oracle or is a documented rows-only check") {
     // oracleSql ⊆ queries: an oracle for a query that doesn't exist is
     // dead weight the driver would trip over.

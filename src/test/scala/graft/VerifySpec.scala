@@ -34,4 +34,29 @@ class VerifySpec extends SparkSpec {
     // the oracle dump still happens — the driver compares what DID succeed
     assert(new java.io.File(s"$out/oracle_sql.json").isFile)
   }
+
+  test("exhausted budget skips the tail but never the static artifacts") {
+    // the round-14 failure mode: a driver-side kill mid-loop left parquet
+    // but NO oracle_sql.json, so the compare degraded to zero rows and the
+    // round's correctness artifact shipped empty. The partial-proof
+    // contract: every static artifact exists even when ZERO queries ran.
+    val out = Files.createTempDirectory("graft-verify-budget").toString
+    val errors = Verify.run(spark, "/root/testdata/sf0.001", out,
+      Set("q1_agg"), budgetSec = -1.0)
+    assert(errors.isEmpty)
+    assert(!new java.io.File(s"$out/q1_agg").exists, "budget -1 must skip all")
+    val oracle = Files.readString(java.nio.file.Paths.get(s"$out/oracle_sql.json"))
+    assert(oracle.contains("\"q1_agg\""),
+      "oracle_sql.json must be complete BEFORE the query loop")
+    assert(Files.readString(java.nio.file.Paths.get(s"$out/verify_errors.json")) == "{}")
+    assert(new java.io.File(s"$out/provenance.json").isFile)
+    val skipped = Files.readString(java.nio.file.Paths.get(s"$out/verify_skipped.json"))
+    assert(skipped.contains("\"q1_agg\""), "skipped queries must be named")
+  }
+
+  test("heavyTail names resolve to real catalog queries") {
+    val ghosts = Verify.heavyTail.filterNot(SparkEntry.queries.contains)
+    assert(ghosts.isEmpty,
+      s"Verify.heavyTail names not in the catalog (rename drift): $ghosts")
+  }
 }
