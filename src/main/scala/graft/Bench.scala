@@ -158,6 +158,7 @@ object Bench {
     "q_repetition",
     "q_rep_signals",
     "q_mix_sources",
+    "q_mix_temperature",
     "q_mix_lang_capped",
     "q_mix_cluster_capped",
     "q_token_budget_epochs",
@@ -168,6 +169,7 @@ object Bench {
     "q_dedup_chunks",
     "q_split_train_test",
     "q_split_leakage",
+    "q_split_by_family",
     "q_shuffle_train_order",
     "q_quality_by_source",
     "q_datasheet",

@@ -1610,6 +1610,36 @@ object Ext {
           col("n_pairs"), col("mean_jaccard"))
       ord(exact.unionByName(near))
     }),
+    // LEAKAGE-SAFE FAMILY SPLIT: the fix q_split_leakage's findings call
+    // for — the split draw is taken on the duplicate FAMILY representative
+    // (exact-dup rep, then near-dup component rep over the shared session
+    // pair graph), so every exact copy and every near-duplicate of a
+    // document lands in the same split BY CONSTRUCTION and the leakage
+    // audit reads zero under this rule (spec'd in QueriesContractSpec).
+    // The Pile / RefinedWeb-style cluster-aware holdout. Scale shape: the
+    // family map is component-labels-sized (graph vertices, not corpus);
+    // the per-doc work is one md5 draw + one hash join against that map.
+    "q_split_by_family" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fam = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+            .as("rep"))
+        .join(graft.operators.TextDedup.duplicateClustersAuto(
+            nearDupPairs(s, dir))
+            .select(col("member").as("rep"), col("cluster_rep")),
+          Seq("rep"), "left")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          coalesce(col("cluster_rep"), col("rep")).as("family_rep"))
+      val draw = conv(substring(md5(col("family_rep").cast("string")), 1, 7),
+        16, 10).cast("bigint") % 100
+      val split = when(draw < 80, "train").when(draw < 90, "valid")
+        .otherwise("test")
+      ord(fam.groupBy(split.as("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("family_rep")).as("n_families"),
+          sum(col("n_chars")).as("sum_chars")))
+    }),
     "q_mix_sources" -> ((s, dir) => {
       val base28 = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
         .cast("bigint")
@@ -1628,6 +1658,34 @@ object Ext {
           explode(sequence(lit(1), col("n_copies"))).as("copy"))
       ord(mixed.groupBy("source")
         .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_rows")))
+    }),
+    // TEMPERATURE-SCALED source mixing (the mT5/XLM-R α-sampling rule,
+    // α = 0.3): sampling share q_i ∝ p_i^α — low-resource sources are
+    // boosted, dominant ones damped, the standard multilingual-mixture
+    // knob between "proportional" (α=1) and "uniform" (α=0). Exactness
+    // contract: the only non-rational step (pow) is rounded to 12 dp and
+    // routed through DECIMAL for the order-free normalizer sum; every
+    // later ratio divides identical doubles, so both engines agree
+    // bit-for-bit. Scale shape: one groupBy to per-source counts, then
+    // all arithmetic on a sources-sized frame (broadcast 1-row totals) —
+    // nothing corpus-sized moves after the first aggregate.
+    "q_mix_temperature" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val total = counts.agg(sum(col("n_docs")).as("total"))
+      val pRaw = col("n_docs").cast("double") / col("total").cast("double")
+      val scored = counts.crossJoin(broadcast(total))
+        .withColumn("pa", round(pow(pRaw, 0.3), 12).cast("decimal(20,12)"))
+      val z = scored.agg(sum(col("pa")).as("z"))
+      ord(scored.crossJoin(broadcast(z))
+        .withColumn("p", round(pRaw, 6))
+        .withColumn("q_share",
+          round(col("pa").cast("double") / col("z").cast("double"), 6))
+        .withColumn("up_factor", round(col("q_share") / col("p"), 6))
+        .withColumn("n_target",
+          floor(col("q_share") * col("total")).cast("bigint"))
+        .select(col("source"), col("n_docs"), col("p"), col("q_share"),
+          col("up_factor"), col("n_target")))
     }),
     // CLUSTER-BALANCED capped sampling: q_mix_lang_capped's rule keyed
     // on LEARNED k-means cells instead of a metadata column — the
@@ -3379,6 +3437,22 @@ object Ext {
         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM m GROUP BY source ORDER BY ALL NULLS FIRST""".stripMargin,
+    // α-temperature mixture: pow rounded to 12dp then DECIMAL-routed for
+    // the order-free normalizer; all later ratios divide identical doubles
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |tt AS (SELECT SUM(n_docs) AS total FROM c),
+        |s AS (SELECT source, n_docs, total,
+        |    CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS praw,
+        |    CAST(round(pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 0.3), 12) AS DECIMAL(20,12)) AS pa
+        |  FROM c, tt),
+        |z AS (SELECT SUM(pa) AS z FROM s)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  round(praw, 6) AS p,
+        |  round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS q_share,
+        |  round(round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE), 6) / round(praw, 6), 6) AS up_factor,
+        |  CAST(floor(round(CAST(pa AS DOUBLE) / CAST(z.z AS DOUBLE), 6) * total) AS BIGINT) AS n_target
+        |FROM s, z ORDER BY ALL NULLS FIRST""".stripMargin,
     // 64-word windows at stride 48 over the whitespace word list; the
     // 0-based chunk index is start // stride (starts are the stride
     // multiples below n, exactly posexplode's position)
@@ -4462,6 +4536,24 @@ object Ext {
          |FROM led JOIN documents d USING (doc_id)
          |GROUP BY d.source
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // family split: draw on COALESCE(component rep, exact rep) — the
+    // same g/comp chain the ledger replays
+    "q_split_by_family" ->
+      s"""$ledgerCtes,
+         |fam AS (
+         |  SELECT g.doc_id, d.source, d.n_chars,
+         |    COALESCE(c.cluster_rep, g.rep) AS family_rep
+         |  FROM g JOIN documents d ON g.doc_id = d.doc_id
+         |  LEFT JOIN comp c ON g.rep = c.member),
+         |spf AS (
+         |  SELECT source, n_chars, family_rep,
+         |    CAST('0x' || substr(md5(CAST(family_rep AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS draw
+         |  FROM fam)
+         |SELECT CASE WHEN draw < 80 THEN 'train' WHEN draw < 90 THEN 'valid' ELSE 'test' END AS split,
+         |  source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT family_rep) AS BIGINT) AS n_families,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM spf GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_embedding" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x * x)) AS n2 FROM v)

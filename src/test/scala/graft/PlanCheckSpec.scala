@@ -178,7 +178,13 @@ class PlanCheckSpec extends SparkSpec {
       // counts over the vocab-scale unigram frame, then broadcasts —
       // the q_tfidf shape; the token-scale LM join itself
       // hash-partitions on the gram key.
-      "q_lm_logprob")
+      "q_lm_logprob",
+      // q_mix_temperature: the 1-row corpus-total and 1-row normalizer-Z
+      // frames finalize from per-SOURCE partials (the frame entering the
+      // serial exchange is already sources-sized — the corpus itself is
+      // reduced by the per-source hash aggregate first), then broadcast —
+      // the q_tfidf shape twice.
+      "q_mix_temperature")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None

@@ -81,4 +81,44 @@ class QueriesContractSpec extends SparkSpec {
       }, "similarity must be non-increasing in rank")
     }
   }
+
+  test("family split admits zero near-dup leakage across splits") {
+    // q_split_by_family's defining property: with the split drawn on the
+    // duplicate-family representative, no exact or near duplicate pair
+    // can straddle a split boundary. Re-run the q_split_leakage audit
+    // under the family rule and assert every tier reads zero.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val rep = docs.select(col("doc_id"),
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+        .as("rep"))
+    val pairs = graft.operators.TextDedup.jaccardPairs(
+      graft.operators.TextDedup.canonicalize(docs, "doc_id", "text"),
+      "doc_id", "text", threshold = 0.2, portable = true)
+    val comp = graft.operators.TextDedup.duplicateClusters(pairs)
+    val fam = rep.join(comp.select(col("member").as("rep"), col("cluster_rep")),
+        Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("rep")).as("family_rep"))
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val draw = conv(substring(md5(c.cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 100
+      when(draw < 80, "train").when(draw < 90, "valid").otherwise("test")
+    }
+    val sp = fam.select(col("doc_id"), splitOf(col("family_rep")).as("sp"))
+    // exact tier: two docs with identical text in different splits
+    val byText = docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .join(sp, "doc_id")
+    val exactLeak = byText.as("a").join(byText.as("b"), "h")
+      .filter(col("a.sp") =!= col("b.sp")).count()
+    assert(exactLeak == 0, s"$exactLeak exact-dup pairs straddle splits")
+    // near tier: a jaccard pair whose endpoints split differently
+    val nearLeak = pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("sp").as("sa")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("sp").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(nearLeak == 0, s"$nearLeak near-dup pairs straddle splits")
+    graft.plans.Checkpoints.releaseAll(spark)
+  }
 }
