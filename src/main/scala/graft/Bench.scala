@@ -154,6 +154,8 @@ object Bench {
     "q_lm_logprob",
     "q_vocab_coverage",
     "q_zipf_slope",
+    "q_doc_entropy",
+    "q_ngram_novelty",
     "q_lang_id",
     "q_repetition",
     "q_rep_signals",

@@ -75,6 +75,7 @@ object Verify {
     val ordered = selected.sortBy { case (n, _) =>
       val i = heavyTail.indexOf(n); if (i < 0) -1 else i }
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val timing = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     ordered.foreach { case (name, fn) =>
       if (elapsedSec > budgetSec) skipped += name
       else {
@@ -91,10 +92,14 @@ object Verify {
         graft.plans.Checkpoints.releaseAll(spark)
         // per-query elapsed: the round-14 postmortem had NO way to tell
         // which rows made an 11-minute loop slow — now the log does
-        println(f"[verify] $name ${(System.nanoTime() - q0) / 1e9}%.2fs " +
-          f"(total ${elapsedSec}%.0fs)")
+        timing(name) = (System.nanoTime() - q0) / 1e9
+        println(f"[verify] $name ${timing(name)}%.2fs (total ${elapsedSec}%.0fs)")
       }
     }
+    // machine-readable profile of the loop itself, next to the artifacts
+    // it explains (what the round-14 postmortem lacked)
+    writeJsonMap(s"$outDir/verify_timing.json",
+      timing.map { case (k, v) => k -> f"$v%.3f" })
     if (skipped.nonEmpty) {
       writeJsonMap(s"$outDir/verify_skipped.json",
         skipped.map(_ -> "SKIPPED: wall-clock budget exhausted"))

@@ -1365,6 +1365,57 @@ object Ext {
             (col("nd") * col("sxx") - col("sx") * col("sx")), 6)
             .as("zipf_slope")))
     }),
+    // PER-DOCUMENT TOKEN ENTROPY: Shannon entropy (nats) of the doc's
+    // word distribution — the information-density quality signal (a
+    // low-entropy doc is boilerplate/repetition whatever its length;
+    // complements q_repetition's positional n-gram ratios with a
+    // position-free distributional one). Exactness: each -(p)·ln(p) term
+    // is rounded to 10 dp and DECIMAL-routed, so the per-doc sum is
+    // order-free and both engines agree bit-for-bit (the q_zipf_slope ln
+    // convention). Scale shape: explode → (doc, word) hash aggregate →
+    // doc-keyed aggregate; everything partitions on doc_id, no global
+    // state at all.
+    "q_doc_entropy" -> ((s, dir) => {
+      val words = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val n = counts.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      ord(counts.join(n, "doc_id")
+        .withColumn("term",
+          round(-p * log(p), 10).cast("decimal(28,10)"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_tokens"),
+          max(col("n_distinct")).as("n_distinct"),
+          round(sum(col("term")).cast("double"), 6).as("entropy")))
+    }),
+    // N-GRAM NOVELTY: per document, the share of its distinct trigram
+    // shingles whose FIRST corpus occurrence (min doc_id) is this
+    // document — the corpus-redundancy curve a curation pass watches as
+    // feeds accrete (an exact copy scores 0, near-copies score low, and
+    // a source whose novelty decays has stopped contributing signal).
+    // Same 60-bit portable shingle generator as the jaccard family, so
+    // the parity contract is already proven. Scale shape: one map-side
+    // shingle pass, one gram-keyed min aggregate (the inverted index's
+    // first-posting column), one gram-keyed join back, one doc-keyed
+    // aggregate — everything shuffles on the gram or doc hash, nothing
+    // global.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), explode(
+          graft.functions.ShingleHashes.shingle_hashes(col("text"),
+            portable = true)).as("g"))
+      val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      ord(grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams"), 6)))
+    }),
     // model-based quality filtering (the fastText/DCLM classifier shape):
     // a hashed-bigram linear scorer where the weight table is a
     // deterministic function of the 60-bit feature hash — inference is
@@ -3962,6 +4013,35 @@ object Ext {
         |SELECT source, CAST(nd AS BIGINT) AS n_words,
         |  ROUND((nd*sxy - sx*sy)/(nd*sxx - sx*sx), 6) AS zipf_slope
         |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
+    // per-term round-10 + DECIMAL routing makes the entropy sum order-free
+    "q_doc_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct FROM c GROUP BY 1),
+        |tm AS (SELECT c.doc_id, n.n, n.n_distinct,
+        |    CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 10) AS DECIMAL(28,10)) AS term
+        |  FROM c JOIN n USING (doc_id))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+        |  round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+        |FROM tm GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the jaccard family's sh chain over RAW docs (an exact copy's
+    // novelty is zero — that is the signal), plus the first-posting min
+    "q_ngram_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS g FROM (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |  FROM w)),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM sh JOIN f USING (g) GROUP BY sh.doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
     // same hashed-bigram weight derivation (60-bit md5 prefix mod 2001,
     // centered); the left join restores sub-2-token docs as [0, 0]
     "q_quality_classifier" ->
