@@ -115,6 +115,7 @@ object Bench {
     "q_dedup_blocked_edit",
     "q_contamination",
     "q_decontaminate",
+    "q_decontaminate_bloom",
     "q_prep_pipeline",
     "q_curation_e2e",
     "q_dedup_embedding_lsh",

@@ -881,6 +881,42 @@ object Ext {
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source")))
     }),
+    // BLOOM-PREFILTERED decontamination — the same output as
+    // q_decontaminate (the shared oracle checks exactly that), through
+    // the plan a 100 TB corpus actually runs: the eval set's distinct
+    // shingle hashes aggregate into ONE Bloom filter (a distributed
+    // treeAggregate — the driver holds only the filter bytes), broadcast
+    // to every task; the corpus pays a MAP-SIDE membership test per doc
+    // and only bloom HITS enter the exact inverted-index verify join.
+    // No false negatives (a doc sharing >= 2 shingles certainly has a
+    // bloom-hit shingle), so the output is identical BY CONSTRUCTION;
+    // false positives only add rows to the verify join, never to the
+    // result. The win at scale: the token-scale gram frame of the whole
+    // corpus never shuffles — only the pre-pruned sliver does.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      val portable = !graft.Tables.benchMode
+      val benchDocs = d.filter(isBench)
+      val benchGrams = benchDocs.select(explode(
+        graft.functions.ShingleHashes.shingle_hashes(col("text"), portable))
+        .as("g")).distinct()
+      val n = math.max(benchGrams.count(), 1L)
+      val bf = s.sparkContext.broadcast(
+        benchGrams.stat.bloomFilter("g", n, 0.01))
+      val hit = udf((arr: scala.collection.Seq[Long]) =>
+        arr != null && arr.exists(bf.value.mightContainLong))
+      val train = d.filter(!isBench)
+      val candidates = train.filter(hit(
+        graft.functions.ShingleHashes.shingle_hashes(col("text"), portable)))
+      val contaminated = graft.operators.TextDedup.crossOverlapPairs(
+          candidates, benchDocs, "doc_id", "text",
+          minOverlap = 2, portable = portable,
+          maxDf = if (graft.Tables.benchMode) 256 else 0)
+        .select(col("doc_id")).distinct()
+      ord(train.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source")))
+    }),
     // per-source quality audit matrix: the (source × gate-reason) counts
     // a curation pass reads to see WHERE its losses come from — one
     // quality_gate scan joined to source metadata, one groupBy.
@@ -2863,7 +2899,11 @@ object Ext {
       // the streaming segment replay re-aggregates to q_dedup_lines'
       // exact per-doc shape (ordered feed => identical keep-first rule),
       // so the batch oracle checks the streaming engine path verbatim
-      ("q_stream_segment_replay" -> oracles0("q_dedup_lines"))
+      ("q_stream_segment_replay" -> oracles0("q_dedup_lines")) +
+      // the bloom prefilter admits no false negatives and the exact
+      // verify join removes its false positives, so the output equals
+      // q_decontaminate's by construction — the shared oracle checks it
+      ("q_decontaminate_bloom" -> oracles0("q_decontaminate"))
 
   /** The curation-ledger CTE chain (exact reps + recursive components +
     * longest-member keepers), shared by the q_dedup_ledger oracle and
