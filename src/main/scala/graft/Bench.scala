@@ -96,6 +96,7 @@ object Bench {
     "q_dedup_clusters_star",
     "q_dedup_minhash",
     "q_minhash_est",
+    "q_lsh_recall",
     "q_dedup_simhash",
     "q_dedup_substrings",
     "q_bitext_mine",

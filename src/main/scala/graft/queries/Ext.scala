@@ -659,6 +659,28 @@ object Ext {
         .withColumn("abs_err",
           round(abs(col("est_jaccard") - col("jaccard")), 6)))
     }),
+    // CANDIDATE-GENERATION RECALL AUDIT: what fraction of the true
+    // jaccard >= 0.2 pairs does the minhash banding (k=32, 8 bands of 4)
+    // surface as candidates at all (threshold 0 — RAW banded pairs,
+    // before the estimate filter)? This is the bands×rows knob audit run
+    // before trusting an LSH dedup pass at scale: q_minhash_est measures
+    // the ESTIMATOR's error on surfaced pairs; this row measures what
+    // never surfaces. Truth side rides the shared session pair graph;
+    // 1-row counters finalize from pair-graph-sized partials.
+    "q_lsh_recall" -> ((s, dir) => {
+      val truth = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val cand = graft.operators.TextDedup.minhashPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.0,
+        portable = !graft.Tables.benchMode,
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0)
+        .select(col("doc_a"), col("doc_b"))
+      val flags = truth.join(cand.withColumn("c", lit(1)),
+        Seq("doc_a", "doc_b"), "left")
+      val hits = flags.agg(count(lit(1)).as("n_true"), count(col("c")).as("n_hit"))
+      ord(hits.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .withColumn("recall", when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true"), 6))))
+    }),
 
     // SimHash: bit-vote signature packed into one BIGINT, oracle-checked
     // (60-bit md5-derived token hashes, same in both engines). Candidate
@@ -3006,6 +3028,41 @@ object Ext {
          |SELECT doc_a, doc_b, est_jaccard, jaccard,
          |  round(abs(est_jaccard - jaccard), 6) AS abs_err
          |FROM est JOIN tru USING (doc_a, doc_b)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_minhash_est chains, counted: true >= 0.2 pairs vs RAW banded
+    // candidates (no estimate filter) vs their intersection
+    "q_lsh_recall" ->
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM canon
+         |      WHERE len(string_split_regex(text, '\\s+')) >= 3),
+         |shs AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+         |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM shs),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tru AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+         |hb AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS base FROM shs),
+         |sig0 AS (SELECT doc_id,
+         |  $minhashMins
+         |  FROM hb GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $minhashArr AS sig FROM sig0),
+         |banded AS (SELECT doc_id, sig, b AS band, array_to_string(sig[b*4+1:b*4+4], '_') AS bkey
+         |           FROM sig, range(8) r(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |hit AS (SELECT tru.doc_a, tru.doc_b FROM tru JOIN cand USING (doc_a, doc_b))
+         |SELECT CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true,
+         |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+         |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+         |  CASE WHEN (SELECT COUNT(*) FROM tru) > 0
+         |    THEN round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / (SELECT COUNT(*) FROM tru), 6)
+         |    ELSE NULL END AS recall
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_simhash" ->
       """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
