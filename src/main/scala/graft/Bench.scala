@@ -98,6 +98,7 @@ object Bench {
     "q_minhash_est",
     "q_lsh_recall",
     "q_dedup_simhash",
+    "q_simhash_recall",
     "q_dedup_substrings",
     "q_bitext_mine",
     "q_bitext_mine_cells",

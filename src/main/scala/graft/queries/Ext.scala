@@ -693,6 +693,26 @@ object Ext {
         portable = !graft.Tables.benchMode,
         maxBucket = if (graft.Tables.benchMode) 1024 else 0))
     }),
+    // the q_lsh_recall audit for the SIMHASH family: SimHash approximates
+    // COSINE of the bit-vote term vectors, not jaccard, so its recall of
+    // the jaccard >= 0.2 truth set is exactly the number a practitioner
+    // needs before choosing a generator family at scale — the two audits
+    // side by side are the minhash-vs-simhash bake-off on this corpus.
+    // Same 1-row shape as q_lsh_recall (pair-graph-sized partials).
+    "q_simhash_recall" -> ((s, dir) => {
+      val truth = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val cand = graft.operators.TextDedup.simhashPairs(
+        canonicalDocs(s, dir), "doc_id", "text", maxHamming = 3,
+        portable = !graft.Tables.benchMode,
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0)
+        .select(col("doc_a"), col("doc_b"))
+      val flags = truth.join(cand.withColumn("c", lit(1)),
+        Seq("doc_a", "doc_b"), "left")
+      val hits = flags.agg(count(lit(1)).as("n_true"), count(col("c")).as("n_hit"))
+      ord(hits.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .withColumn("recall", when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true"), 6))))
+    }),
     // EXACT duplicated-SUBSTRING dedup (the suffix-array rule from the
     // training-data dedup literature, keep-first-occurrence): any
     // duplicated substring of >= L tokens contains a duplicated L-token
@@ -3076,6 +3096,39 @@ object Ext {
         |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the jaccard truth chain counted against the simhash banded pairs
+    "q_simhash_recall" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |      WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |tru AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |d AS (SELECT doc_id, list_transform(list_filter(string_split_regex(text, '\s+'), w -> w != ''),
+        |        w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs FROM canon),
+        |sig AS (SELECT doc_id, CAST(list_sum([CASE WHEN 2 * len([h FOR h IN hs IF (h >> b) & 1 = 1]) > len(hs)
+        |        THEN (1::BIGINT << b) ELSE 0 END FOR b IN range(60)]) AS BIGINT) AS simhash FROM d),
+        |banded AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 15)) & 32767 AS bkey
+        |           FROM sig, range(4) r(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        |hit AS (SELECT tru.doc_a, tru.doc_b FROM tru JOIN cand USING (doc_a, doc_b))
+        |SELECT CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true,
+        |  CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+        |  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand,
+        |  CASE WHEN (SELECT COUNT(*) FROM tru) > 0
+        |    THEN round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / (SELECT COUNT(*) FROM tru), 6)
+        |    ELSE NULL END AS recall
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // streaming replay of the same SimHash pigeonhole dedup: one row per
     // (pair, shared band) — the banded join WITHOUT the pair-level

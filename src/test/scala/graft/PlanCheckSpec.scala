@@ -185,11 +185,11 @@ class PlanCheckSpec extends SparkSpec {
       // reduced by the per-source hash aggregate first), then broadcast —
       // the q_tfidf shape twice.
       "q_mix_temperature",
-      // q_lsh_recall: a 1-row audit by definition — its three counters
-      // finalize from per-partition partials over PAIR-GRAPH-sized frames
-      // (the corpus reduces through the banded generators first), the
-      // q_compact_store shape.
-      "q_lsh_recall")
+      // q_lsh_recall / q_simhash_recall: 1-row audits by definition —
+      // their three counters finalize from per-partition partials over
+      // PAIR-GRAPH-sized frames (the corpus reduces through the banded
+      // generators first), the q_compact_store shape.
+      "q_lsh_recall", "q_simhash_recall")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
