@@ -94,12 +94,15 @@ object Bench {
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
     "q_dedup_clusters_star",
+    "q_dedup_cluster_sizes",
     "q_dedup_minhash",
     "q_minhash_est",
     "q_lsh_recall",
     "q_dedup_simhash",
     "q_simhash_recall",
+    "q_lsh_scurve",
     "q_dedup_substrings",
+    "q_dup_tokens_by_source",
     "q_bitext_mine",
     "q_bitext_mine_cells",
     "q_rrf_fusion",
@@ -151,15 +154,19 @@ object Bench {
     "q_knn_ivfpq_refine",
     "q_ivf_train",
     "q_cluster_assign",
+    "q_ivf_balance",
+    "q_embed_outliers",
     "q_cluster_source_mix",
     "q_text_quality",
     "q_quality_classifier",
+    "q_quality_calibration",
     "q_lm_logprob",
     "q_vocab_coverage",
     "q_zipf_slope",
     "q_doc_entropy",
     "q_ngram_novelty",
     "q_lang_id",
+    "q_langid_confusion",
     "q_repetition",
     "q_rep_signals",
     "q_mix_sources",

@@ -451,6 +451,20 @@ object Ext {
         maxDf = if (graft.Tables.benchMode) 64 else 0)
       ord(graft.operators.TextDedup.duplicateClustersAuto(pairs))
     }),
+    // CLUSTER-SIZE HISTOGRAM — the first chart anyone reads after a
+    // dedup pass: how many duplicate clusters of each size, and how many
+    // documents they tie up. A fat tail (one 10k-member cluster) means a
+    // boilerplate template, not organic duplication, and changes what
+    // "keep one per cluster" costs. Rides the shared session pair graph
+    // (a consumer, like the ledger); everything after the components is
+    // cluster-count-sized, then histogram-sized.
+    "q_dedup_cluster_sizes" -> ((s, dir) => {
+      val comps = graft.operators.TextDedup
+        .duplicateClustersAuto(nearDupPairs(s, dir))
+      ord(comps.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters")))
+    }),
     // PAGERANK centrality over the SAME near-dup pair graph the cluster
     // family consumes: 5 fixed iterations, damping 0.85, BIGINT
     // nano-unit fixed-point arithmetic with integral divisions only —
@@ -713,6 +727,34 @@ object Ext {
         .withColumn("recall", when(col("n_true") > 0,
           round(col("n_hit").cast("double") / col("n_true"), 6))))
     }),
+    // the EMPIRICAL S-CURVE of the minhash banding (k=32, 8 bands × 4
+    // rows): candidacy rate by true-jaccard decile — the tuning plot
+    // behind every (bands, rows) choice. q_lsh_recall collapses this to
+    // one number at the 0.2 operating point; this row shows the whole
+    // transition (theory: P(candidate) = 1-(1-j^r)^b), so a practitioner
+    // reads exactly where the banding's soft threshold sits and how much
+    // sub-threshold pair volume leaks through as verify-join load. Pair
+    // work is the same shared-shingle truth graph + banded candidate set
+    // the recall audits pay; the curve itself is a 10-row aggregate.
+    "q_lsh_scurve" -> ((s, dir) => {
+      val canon = canonicalDocs(s, dir)
+      val tru = graft.operators.TextDedup.jaccardPairs(
+        canon, "doc_id", "text", threshold = 0.0,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val cand = graft.operators.TextDedup.minhashPairs(
+        canon, "doc_id", "text", threshold = 0.0,
+        portable = !graft.Tables.benchMode,
+        maxBucket = if (graft.Tables.benchMode) 1024 else 0)
+        .select(col("doc_a"), col("doc_b")).withColumn("c", lit(1))
+      ord(tru.join(cand, Seq("doc_a", "doc_b"), "left")
+        .withColumn("bucket", least(floor(col("jaccard") * 10), lit(9)).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"), count(col("c")).as("n_cand"))
+        .withColumn("cand_rate",
+          round(col("n_cand").cast("double") / col("n_pairs"), 6)))
+    }),
     // EXACT duplicated-SUBSTRING dedup (the suffix-array rule from the
     // training-data dedup literature, keep-first-occurrence): any
     // duplicated substring of >= L tokens contains a duplicated L-token
@@ -733,6 +775,30 @@ object Ext {
     "q_dedup_substrings" -> ((s, dir) => {
       ord(graft.operators.TextDedup.substringDups(
         t(s, dir, "documents"), "doc_id", "text", minLen = 8))
+    }),
+
+    // MEMORIZATION-RISK ROLLUP — the substring-dup signal aggregated per
+    // source: how many of each feed's tokens sit inside cross-corpus
+    // duplicated >= 8-token windows. Per-doc dup_ratio (above) finds bad
+    // documents; this finds bad FEEDS — the number that decides whether a
+    // source gets substring-deduped, down-weighted, or dropped before a
+    // 100 TB run. One extra metadata-sized join + a sources-sized
+    // aggregate on top of the window pass.
+    "q_dup_tokens_by_source" -> ((s, dir) => {
+      val dups = graft.operators.TextDedup.substringDups(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 8)
+        .select(col("doc_id"), col("n_dup_tokens"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= lit("")))
+          .cast("bigint").as("n_toks"))
+      ord(docs.join(dups, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_dup_tokens")).as("n_docs_affected"),
+          sum(col("n_toks")).as("n_tokens"),
+          coalesce(sum(col("n_dup_tokens")), lit(0L)).as("n_dup_tokens"))
+        .withColumn("dup_frac",
+          round(col("n_dup_tokens").cast("double") / col("n_tokens"), 6)))
     }),
 
     // STREAMING REPLAYS: a real micro-batch StreamingQuery over a fixed
@@ -1191,6 +1257,72 @@ object Ext {
         .groupBy("cid")
         .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("rep_vec")))
     }),
+    // IVF CELL-BALANCE AUDIT — the straggler check run before trusting a
+    // trained index at scale: one row of corpus-wide skew facts (cell
+    // count, min/max population, imbalance = max/mean) plus the expected
+    // 1-probe scan fraction Σ(n_c/N)² — the fraction of the corpus an
+    // average query actually touches when queries distribute like the
+    // data. imbalance ≫ 1 means one cell serves most queries (a hot
+    // partition at 100 TB); scan_frac_1probe ≈ 1/k is the healthy value.
+    // Everything after the one assignment scan is k-row.
+    "q_ivf_balance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+      val cell = graft.operators.Similarity.assignToCentroids(e, cents)
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+      ord(cell.agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("n")).as("n_vecs"),
+          min(col("n")).as("min_cell"),
+          max(col("n")).as("max_cell"),
+          sum(col("n") * col("n")).as("__ss"))
+        .withColumn("imbalance", round(
+          col("max_cell").cast("double") * col("n_cells") / col("n_vecs"), 6))
+        .withColumn("scan_frac_1probe", round(
+          col("__ss").cast("double") / (col("n_vecs") * col("n_vecs")), 6))
+        .drop("__ss"))
+    }),
+    // EMBEDDING-SPACE OUTLIER AUDIT — per trained cell: member count,
+    // mean/std of the squared distance to the centroid, and how many
+    // members sit more than 2σ out. Far-from-every-centroid vectors are
+    // the embedding-space junk (encoder failures, off-distribution
+    // payloads) a curation pass quarantines before they poison ANN
+    // recall or semantic dedup. Determinism contract: distances round to
+    // 6 then route through DECIMAL power sums (order-free), the z and σ
+    // expressions are fixed double trees over those exact sums — so the
+    // oracle replays every comparison bit-for-bit. One assignment scan;
+    // everything after is k-row.
+    "q_embed_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+      val withDist = graft.operators.Similarity.assignToCentroids(e, cents)
+        .join(broadcast(cents), "cid")
+        .select(col("cid"), col("vec_id"),
+          round(graft.functions.VecSqDiff.vec_sqdiff(col("v"), col("cen")), 6)
+            .as("d"))
+      val dd = col("d").cast("decimal(18,6)")
+      val stats = withDist.groupBy("cid").agg(
+          count(lit(1)).as("n"),
+          sum(dd).cast("double").as("s1"),
+          sum(dd * dd).cast("double").as("s2"))
+        .withColumn("mean_d", col("s1") / col("n"))
+        .withColumn("var_d", when(col("n") > 1,
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .otherwise(lit(0.0)))
+      val zc = withDist.join(broadcast(stats), "cid")
+        .withColumn("z", when(col("var_d") > 0,
+          (col("d") - col("mean_d")) / sqrt(col("var_d"))).otherwise(lit(0.0)))
+        .groupBy("cid")
+        .agg(count(when(col("z") > 2.0, 1)).as("n_outliers"),
+          round(max(col("z")), 4).as("max_z"))
+      ord(stats.select(col("cid"), col("n").as("n_vecs"),
+          round(col("mean_d"), 6).as("mean_dist"),
+          round(when(col("var_d") > 0, sqrt(col("var_d"))).otherwise(lit(0.0)), 6)
+            .as("std_dist"))
+        .join(zc, "cid"))
+    }),
     // TOPIC × SOURCE MIXTURE — which sources dominate which embedding
     // clusters: the trained k-means cells crossed with the doc→source
     // metadata, per (cluster, source) count + within-cluster share +
@@ -1409,6 +1541,32 @@ object Ext {
             .when(col("c_de") >= col("c_fr"), "de")
             .otherwise("fr")))
     }),
+    // LANGUAGE-ID CONFUSION MATRIX — the heuristic identifier audited
+    // against the metadata lang tag, per (lang, pred_lang): count,
+    // within-language share, and the diagonal flag. The mixture queries
+    // (q_mix_lang_capped, the UniMax cap) trust lang labels; this row is
+    // the check that the cheap n-gram identifier and the upstream tags
+    // agree before either is used to route 100 TB. One corpus scan into
+    // a languages²-sized aggregate; the share window runs over that tiny
+    // frame, never the corpus.
+    "q_langid_confusion" -> ((s, dir) => {
+      val en = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+      val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+      val fr = Seq("le", "la", "les", "et", "est", "pas", "pour", "dans", "un", "une")
+      def cnt(ws: Seq[String]) = graft.functions.WordScan.word_set_count(col("text"), ws)
+      val pred = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          cnt(en).as("c_en"), cnt(de).as("c_de"), cnt(fr).as("c_fr"))
+        .withColumn("pred_lang",
+          when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
+            .when(col("c_de") >= col("c_fr"), "de")
+            .otherwise("fr"))
+      val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      ord(pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          round(col("n_docs").cast("double") / sum(col("n_docs")).over(byLang), 6))
+        .withColumn("is_correct", col("pred_lang") === col("lang")))
+    }),
     // CORPUS NATURALNESS audit: the Zipf log-log slope of each source's
     // word-frequency distribution (natural text sits near −1; templated
     // or generated feeds flatten or steepen it — a distribution-level
@@ -1515,6 +1673,35 @@ object Ext {
           col("sc").getItem(0).as("n_feats"),
           col("sc").getItem(1).as("score_fp"))
         .withColumn("keep", col("n_feats") > 0 && col("score_fp") > 0))
+    }),
+    // CALIBRATION of the feature-hashed classifier score against the
+    // heuristic quality gate: mean feature weight bucketed into ten fixed
+    // bins over its ±1000 range, per-bin document count and
+    // heuristic-keep rate. A learned filter is only trustworthy where its
+    // score MONOTONICALLY tracks an independent signal — this is that
+    // audit, run before swapping the classifier in for the heuristic at
+    // scale. Both inputs are the already-verified operators on one
+    // corpus scan each; the calibration itself is a 10-row aggregate.
+    "q_quality_calibration" -> ((s, dir) => {
+      import graft.functions.GramScore.gram_score
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+          gram_score(coalesce(col("text"), lit("")), 2, 2001, 1000).as("sc"))
+        .select(col("doc_id"),
+          col("sc").getItem(0).as("n_feats"),
+          col("sc").getItem(1).as("score_fp"))
+        .withColumn("avg_w", when(col("n_feats") > 0,
+          col("score_fp").cast("double") / col("n_feats")).otherwise(lit(0.0)))
+      val labels = qualityReasons(s, dir)
+        .select(col("doc_id"), (col("reason") === "ok").as("keep"))
+      ord(scored.join(labels, "doc_id")
+        .withColumn("bucket",
+          least(greatest(floor((col("avg_w") + 1000) / 200), lit(0)), lit(9))
+            .cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_keep"))
+        .withColumn("keep_rate",
+          round(col("n_keep").cast("double") / col("n_docs"), 6)))
     }),
     // PERPLEXITY-PROXY quality scoring (the KenLM-filter shape of CCNet/
     // RefinedWeb, model-free): train an add-1-smoothed bigram LM over the
@@ -3084,6 +3271,40 @@ object Ext {
          |    THEN round(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / (SELECT COUNT(*) FROM tru), 6)
          |    ELSE NULL END AS recall
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the recall chain WITHOUT the 0.2 truth cut, jaccard kept and
+    // decile-bucketed, candidates flagged by left join
+    "q_lsh_scurve" ->
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM canon
+         |      WHERE len(string_split_regex(text, '\\s+')) >= 3),
+         |shs AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+         |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM shs),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tru AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS j
+         |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id),
+         |hb AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS base FROM shs),
+         |sig0 AS (SELECT doc_id,
+         |  $minhashMins
+         |  FROM hb GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $minhashArr AS sig FROM sig0),
+         |banded AS (SELECT doc_id, sig, b AS band, array_to_string(sig[b*4+1:b*4+4], '_') AS bkey
+         |           FROM sig, range(8) r(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |f AS (SELECT t.j, c.doc_a IS NOT NULL AS hit
+         |      FROM tru t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+         |SELECT CAST(LEAST(floor(j * 10), 9) AS INT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_cand,
+         |  round(CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS cand_rate
+         |FROM f GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_simhash" ->
       """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
         |d AS (SELECT doc_id, list_transform(list_filter(string_split_regex(text, '\s+'), w -> w != ''),
@@ -3368,6 +3589,55 @@ object Ext {
          |fin AS (${ivfAssignSql("v", "c2")})
          |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members, min(vec_id) AS rep_vec
          |FROM fin GROUP BY cid ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the Lloyd chain + per-cell counts collapsed to the one-row skew
+    // summary
+    "q_ivf_balance" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |cell AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM fin GROUP BY cid)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |  CAST(MIN(n) AS BIGINT) AS min_cell,
+         |  CAST(MAX(n) AS BIGINT) AS max_cell,
+         |  round(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6) AS imbalance,
+         |  round(CAST(SUM(n * n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * SUM(n)), 6) AS scan_frac_1probe
+         |FROM cell ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the Lloyd chain + per-vector squared distance to the final
+    // centroid (rounded to 6), DECIMAL power sums, fixed double z tree
+    "q_embed_outliers" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |wd AS (SELECT f.cid, f.vec_id,
+         |  round(list_sum([(f.v[i] - c.cen[i]) * (f.v[i] - c.cen[i]) FOR i IN range(1, len(f.v) + 1)]), 6) AS d
+         |  FROM fin f JOIN c2 c USING (cid)),
+         |st AS (SELECT cid, COUNT(*) AS n,
+         |  CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         |  CAST(SUM(CAST(d AS DECIMAL(18,6)) * CAST(d AS DECIMAL(18,6))) AS DOUBLE) AS s2
+         |  FROM wd GROUP BY cid),
+         |ms AS (SELECT cid, n, s1 / n AS mean_d,
+         |  CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1) ELSE 0.0 END AS var_d
+         |  FROM st),
+         |z AS (SELECT wd.cid,
+         |  CASE WHEN var_d > 0 THEN (d - mean_d) / sqrt(var_d) ELSE 0.0 END AS z
+         |  FROM wd JOIN ms USING (cid)),
+         |zc AS (SELECT cid,
+         |  CAST(COUNT(CASE WHEN z > 2.0 THEN 1 END) AS BIGINT) AS n_outliers,
+         |  round(MAX(z), 4) AS max_z FROM z GROUP BY cid)
+         |SELECT m.cid, CAST(m.n AS BIGINT) AS n_vecs,
+         |  round(m.mean_d, 6) AS mean_dist,
+         |  round(CASE WHEN m.var_d > 0 THEN sqrt(m.var_d) ELSE 0.0 END, 6) AS std_dist,
+         |  zc.n_outliers, zc.max_z
+         |FROM ms m JOIN zc USING (cid) ORDER BY ALL NULLS FIRST""".stripMargin,
     // the q_knn_ivf_trained Lloyd chain + doc->source metadata join +
     // per-cluster share/dominance windows
     "q_cluster_source_mix" ->
@@ -4211,6 +4481,45 @@ object Ext {
         |  COALESCE(a.n_feats, 0) > 0 AND COALESCE(a.score_fp, 0) > 0 AS keep
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the classifier's hashed-feature chain + the heuristic gate's
+    // reason chain, joined and decile-bucketed over the ±1000 mean-weight
+    // range
+    "q_quality_calibration" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15) AS BIGINT) % 2001 - 1000 AS wt
+        |  FROM ws, unnest(range(1, len(w))) AS u(i)),
+        |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |             CAST(SUM(wt) AS BIGINT) AS score_fp
+        |      FROM g GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id,
+        |  CASE WHEN COALESCE(a.n_feats, 0) > 0
+        |    THEN CAST(COALESCE(a.score_fp, 0) AS DOUBLE) / COALESCE(a.n_feats, 0)
+        |    ELSE 0.0 END AS avg_w
+        |  FROM documents d LEFT JOIN a USING (doc_id)),
+        |m AS (SELECT doc_id, length(text) AS n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |    len(regexp_extract_all(text, '\s')) AS ws_chars,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS n_stop,
+        |    len(regexp_extract_all(text, '\b\w{1,2}\b')) AS n_short
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    CASE WHEN n_tokens < 10 THEN 'too_short'
+        |         WHEN (n_chars - ws_chars) / CAST(n_chars AS DOUBLE) < 0.7 THEN 'low_alpha'
+        |         WHEN n_short / CAST(n_tokens AS DOUBLE) > 0.4 THEN 'high_short'
+        |         WHEN n_stop / CAST(n_tokens AS DOUBLE) < 0.01 THEN 'no_stopwords'
+        |         ELSE 'ok' END AS reason
+        |  FROM m),
+        |j AS (SELECT sc.avg_w, r.reason = 'ok' AS keep
+        |      FROM sc JOIN r USING (doc_id))
+        |SELECT CAST(LEAST(GREATEST(floor((avg_w + 1000) / 200), 0), 9) AS INT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_keep,
+        |  round(CAST(COUNT(CASE WHEN keep THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+        |FROM j GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // the bigram-LM replay: same tokenization, add-1 smoothing, per-term
     // round(ln, 6), DECIMAL(18,6)-routed mean; left join restores
     // sub-2-token docs as (0, NULL)
@@ -4366,6 +4675,35 @@ object Ext {
         |SELECT a.doc_id, n_dup_windows, n_spans, n_dup_tokens,
         |  round(n_dup_tokens / CAST(len(w) AS DOUBLE), 6) AS dup_ratio
         |FROM agg a JOIN ws USING (doc_id) ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_dedup_substrings window chain rolled up per source (left
+    // join restores unaffected docs as zero-dup)
+    "q_dup_tokens_by_source" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS p,
+        |        CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT) AS s
+        |      FROM ws, unnest(range(1, len(w) - 6)) AS u(i)),
+        |inst AS (SELECT doc_id, p,
+        |           COUNT(*) OVER (PARTITION BY s) AS tf,
+        |           ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, p) AS rn
+        |         FROM g),
+        |dup AS (SELECT doc_id, p FROM inst WHERE tf >= 2 AND rn > 1),
+        |m AS (SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM dup),
+        |agg AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN prev IS NULL THEN 8 ELSE least(8, p - prev) END) AS BIGINT) AS n_dup_tokens
+        |        FROM m GROUP BY doc_id),
+        |tok AS (SELECT d.doc_id, d.source,
+        |          CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_toks
+        |        FROM documents d)
+        |SELECT t.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(a.n_dup_tokens) AS BIGINT) AS n_docs_affected,
+        |  CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(SUM(a.n_dup_tokens), 0) AS BIGINT) AS n_dup_tokens,
+        |  round(CAST(COALESCE(SUM(a.n_dup_tokens), 0) AS DOUBLE) / SUM(t.n_toks), 6) AS dup_frac
+        |FROM tok t LEFT JOIN agg a USING (doc_id)
+        |GROUP BY t.source ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_fingerprint" ->
       s"""WITH canon AS (
          |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
@@ -4410,6 +4748,40 @@ object Ext {
         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src)
         |SELECT src AS member, min(lbl) AS cluster_rep
         |FROM reach GROUP BY src
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_dedup_clusters recursive components, grouped twice: per
+    // cluster -> size, per size -> histogram
+    "q_dedup_cluster_sizes" ->
+      """WITH RECURSIVE canon AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |  WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |    SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+        |    FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach(src, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+        |cl AS (SELECT src AS member, min(lbl) AS cluster_rep FROM reach GROUP BY src),
+        |sz AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |       FROM cl GROUP BY cluster_rep)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the q_dedup_clusters edge CTEs + 5 UNROLLED PageRank iterations
     // (fixed-point BIGINT nano-units, integral divisions — replays
@@ -5082,6 +5454,25 @@ object Ext {
         |  CASE WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
         |       WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred_lang
         |FROM c ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_lang_id prediction chain grouped into the (lang, pred_lang)
+    // confusion matrix with within-language shares
+    "q_langid_confusion" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is|for|on|with)\b')) AS INT) AS c_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS INT) AS c_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|pas|pour|dans|un|une)\b')) AS INT) AS c_fr
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_fr THEN 'en'
+        |       WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |  FROM c),
+        |m AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang), 6) AS share,
+        |  pred_lang = lang AS is_correct
+        |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_udf_tokenize" ->
       """SELECT md5(text) AS h,
         |  CASE

@@ -189,7 +189,12 @@ class PlanCheckSpec extends SparkSpec {
       // their three counters finalize from per-partition partials over
       // PAIR-GRAPH-sized frames (the corpus reduces through the banded
       // generators first), the q_compact_store shape.
-      "q_lsh_recall", "q_simhash_recall")
+      "q_lsh_recall", "q_simhash_recall",
+      // q_ivf_balance: a 1-row skew summary by definition — the frame
+      // entering the serial exchange is the k-row (k=8) per-cell count
+      // aggregate (the corpus reduces through the hash-partitioned
+      // groupBy(cid) first), the q_compact_store shape.
+      "q_ivf_balance")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
