@@ -66,6 +66,7 @@ object Bench {
     "q_join_interval",
     "q_join_pit",
     "q_cdc_apply",
+    "q_set_ops_all",
     "q_window_rank",
     "q_window_rank_global",
     "q_topk_pergroup",
@@ -78,6 +79,7 @@ object Bench {
     "q_cohort_retention",
     "q_window_time_range",
     "q_time_weighted_avg",
+    "q_interp_linear",
     "q_window_lag_lead",
     "q_window_distinct_running",
     "q_explode_tokens",

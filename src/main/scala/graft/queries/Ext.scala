@@ -280,6 +280,18 @@ object Ext {
         segmentedDocs(s, dir), "doc_id", "segs"))
     }),
     // the SAME segment dedup as a driver-checked STREAMING REPLAY (the
+    // 6th replay row — the map-state shape: per-window heavy-hitter
+    // TOP-K at ingest (flatMapGroupsWithState keyed on the window start,
+    // one counter per distinct type per open window, RANKED k-row
+    // emission fired by the event-time timeout at window close). The
+    // other replays cover scalar/session/window-agg/join/dedup state;
+    // this one proves bounded-map state + multi-row ranked timeout
+    // emission — the dashboard/alerting contract where the sink gets
+    // exactly k rows per window. Oracle: the batch per-window top-3.
+    "q_stream_topk_replay" -> ((s, dir) => {
+      ord(graft.streaming.Streams.replayTopkPerWindow(t(s, dir, "events"))
+        .select(col("wstart_us"), col("event_type"), col("n"), col("rk")))
+    }),
     // 5th replay row): (doc_id, pos)-ordered micro-batches through
     // streamingSegmentDedup's keyed boolean state, emitted keep flags
     // re-aggregated to q_dedup_lines' exact per-doc shape — so the
@@ -3387,6 +3399,17 @@ object Ext {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS wstart_us, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the batch per-window top-3 the ranked timeout emission must equal
+    "q_stream_topk_replay" ->
+      """WITH c AS (
+        |  SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS wstart_us, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT wstart_us, event_type, n,
+        |  CAST(row_number() OVER (PARTITION BY wstart_us ORDER BY n DESC, event_type) AS INT) AS rk
+        |  FROM c)
+        |SELECT wstart_us, event_type, n, rk FROM r WHERE rk <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // streaming replay of the watermarked interval stream-stream join:
     // under no-late-data the emitted set equals the batch interval join
     "q_stream_join_replay" ->

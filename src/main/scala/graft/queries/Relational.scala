@@ -814,6 +814,21 @@ object Relational {
     "q_dropdup" -> ((s, dir) => {
       ord(t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates())
     }),
+    // BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicities
+    // survive — with a (user, type) row appearing 5× in one half and 3×
+    // in the other, INTERSECT ALL keeps 3 instances and EXCEPT ALL keeps
+    // 2, which is the instance-accounting dedup ledgers need and the
+    // DISTINCT forms (q_intersect/q_except) erase. Both compile to one
+    // hash aggregate per side + count-replicating generate — one shuffle
+    // each on the row key, no joins.
+    "q_set_ops_all" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"))
+      val a = e.filter(col("event_id") % 2 === 0).select("user_id", "event_type")
+      val b = e.filter(col("event_id") % 2 === 1).select("user_id", "event_type")
+      ord(a.exceptAll(b).withColumn("tag", lit("except_all"))
+        .unionByName(a.intersectAll(b).withColumn("tag", lit("intersect_all"))))
+    }),
 
     // ---- scalar functions: string ----
     "q_str_funcs" -> ((s, dir) => {
@@ -1233,6 +1248,47 @@ object Relational {
           explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
       ord(hours.join(cnt, Seq("user_id", "h"), "left")
         .select(col("user_id"), col("h"), coalesce(col("n"), lit(0L)).as("n")))
+    }),
+
+    // LINEAR INTERPOLATION over the gap-filled grid — q_gap_fill puts
+    // zeros in missing hours; this reconstructs a VALUE series the way a
+    // feature pipeline actually does: per-(user, hour) mean, then each
+    // missing hour takes the time-weighted blend of its two nearest known
+    // hours (running last(ignoreNulls) in both directions — two
+    // frame-bounded windows per user partition, no self-join, no
+    // corpus-wide sort). Grid edges are known hours by construction (the
+    // grid spans min..max known), so interior nulls always have both
+    // neighbors. Every quantity is BIGINT fixed-point micro-units
+    // (decimal-scaled values, hour-index weights, truncating division —
+    // the q_pagerank nano-units discipline): a double interpolation
+    // rounds differently at half-ULP ties cross-engine (measured:
+    // 32.5578125 → .557813 vs .557812), an integer one cannot.
+    "q_interp_linear" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          (col("value").cast("decimal(18,4)") * lit(10000)).cast("bigint").as("vfp"))
+        .groupBy("user_id", "h")
+        .agg(expr("(sum(vfp) * 100) div count(1)").as("hv_u"))
+      val grid = hourly.groupBy("user_id")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val g = grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("hi", expr("unix_micros(h) div 3600000000"))
+      val wAsc = Window.partitionBy("user_id").orderBy(col("h"))
+      val wDesc = Window.partitionBy("user_id").orderBy(col("h").desc)
+      ord(g
+        .withColumn("pv", last(col("hv_u"), ignoreNulls = true).over(wAsc))
+        .withColumn("ph", last(when(col("hv_u").isNotNull, col("hi")), ignoreNulls = true).over(wAsc))
+        .withColumn("nv", last(col("hv_u"), ignoreNulls = true).over(wDesc))
+        .withColumn("nh", last(when(col("hv_u").isNotNull, col("hi")), ignoreNulls = true).over(wDesc))
+        .withColumn("v_interp_u",
+          when(col("hv_u").isNotNull, col("hv_u"))
+            .otherwise(expr(
+              "(pv * (nh - hi) + nv * (hi - ph)) div (nh - ph)")))
+        .withColumn("filled", col("hv_u").isNull)
+        .select(col("user_id"), unix_micros(col("h")).as("h_us"),
+          col("v_interp_u"), col("filled")))
     }),
 
     // ---- JSON struct parsing + map functions ----
@@ -1851,6 +1907,41 @@ object Relational {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dropdup" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY ALL NULLS FIRST",
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 1)
+        |SELECT user_id, event_type, 'except_all' AS tag
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT user_id, event_type, 'intersect_all' AS tag
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_interp_linear" ->
+      """WITH hv AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    (SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) * 100) // COUNT(*) AS hv_u
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hv GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM sp),
+        |g AS (SELECT grid.user_id, grid.h, hv.hv_u,
+        |        epoch_us(grid.h) // 3600000000 AS hi
+        |      FROM grid LEFT JOIN hv USING (user_id, h)),
+        |p AS (SELECT user_id, h, hv_u, hi,
+        |  last_value(hv_u IGNORE NULLS) OVER w AS pv,
+        |  last_value(CASE WHEN hv_u IS NOT NULL THEN hi END IGNORE NULLS) OVER w AS ph,
+        |  last_value(hv_u IGNORE NULLS) OVER wd AS nv,
+        |  last_value(CASE WHEN hv_u IS NOT NULL THEN hi END IGNORE NULLS) OVER wd AS nh
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wd AS (PARTITION BY user_id ORDER BY h DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, epoch_us(h) AS h_us,
+        |  CAST(CASE WHEN hv_u IS NOT NULL THEN hv_u
+        |    ELSE (pv * (nh - hi) + nv * (hi - ph)) // (nh - ph) END AS BIGINT) AS v_interp_u,
+        |  hv_u IS NULL AS filled
+        |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_str_funcs" ->
       """SELECT c_custkey,
         |  c_name || '-' || c_mktsegment AS cn,

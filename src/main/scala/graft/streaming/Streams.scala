@@ -69,6 +69,53 @@ object Streams {
   final case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Long)
   final case class ClosedSession(user_id: Long, start: java.sql.Timestamp, n: Long)
 
+  final case class TopkRow(wstart_us: Long, event_type: String, n: Long, rk: Int)
+  final case class WindowTypeCounts(counts: Map[String, Long])
+
+  /** Per-window TOP-K heavy hitters AT INGEST — the streaming-state shape
+    * the other replays don't cover: MAP-valued keyed state (one counter
+    * per distinct type per open window, bounded by the type cardinality ×
+    * open windows, never the event volume) with a RANKED multi-row
+    * emission fired by the event-time timeout at window close. Unlike
+    * [[tumblingCounts]] (which must emit every (window, type) row and
+    * leave ranking to the reader), the rank happens inside the state
+    * operator, so the sink receives exactly k rows per window — the
+    * dashboard/alerting contract. Emission is exactly-once per window
+    * (timeout fires when the watermark passes the window end; state is
+    * removed on emit), and under a no-late-data feed the counts are a
+    * property of the data, not the schedule — what lets the batch SQL
+    * oracle replay the ranked result verbatim. */
+  def topkPerWindow(events: Dataset[Event], windowMs: Long = 3600 * 1000L,
+      k: Int = 3, watermark: String = "10 minutes"): Dataset[TopkRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(e => (e.ts.getTime / windowMs) * windowMs)
+      .flatMapGroupsWithState[WindowTypeCounts, TopkRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (wstart, batch, state: GroupState[WindowTypeCounts]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toList.flatMap { s =>
+              s.counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+                .zipWithIndex.map { case ((t, n), i) =>
+                  TopkRow(wstart * 1000L, t, n, i + 1) }
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val m = scala.collection.mutable.Map.empty[String, Long]
+            state.getOption.foreach(s => m ++= s.counts)
+            batch.foreach(e =>
+              m.update(e.event_type, m.getOrElse(e.event_type, 0L) + 1L))
+            state.update(WindowTypeCounts(m.toMap))
+            // safe: an ordered feed keeps the watermark behind every open
+            // window's end (see replayTopkPerWindow's ordering contract)
+            state.setTimeoutTimestamp(wstart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Sessionization with explicit state + event-time timeout via
     * flatMapGroupsWithState: emits a session only when it CLOSES (gap
     * exceeded or state timed out past the watermark) — the pattern for
@@ -875,6 +922,34 @@ object Streams {
       tumblingCounts(ds.toDF()
         .withColumn("value", col("value").cast("decimal(18,4)")))
     }.filter(col("event_type") =!= "flush")
+  }
+
+  /** Replay `events` through [[topkPerWindow]] (map-valued window state,
+    * ranked timeout emission) in `batches` event-time-ordered micro-batches
+    * plus a sentinel past every window end, so each window times out and
+    * emits its top-k exactly once. The ordering contract that makes the
+    * timeout timestamps legal AND the counts schedule-independent: chunks
+    * are event-time-ordered, so when a window still has pending events the
+    * watermark (prev-chunk max − delay) is necessarily behind that
+    * window's end — no event is ever late to its own window, and the
+    * emitted ranks equal the batch per-window top-k. */
+  def replayTopkPerWindow(events: DataFrame, windowMs: Long = 3600 * 1000L,
+      k: Int = 3, batches: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "replay needs at least one event")
+    val flushTs = new java.sql.Timestamp(
+      rows.last.ts.getTime + windowMs + 48L * 3600 * 1000)
+    val sentinel = Seq(Event(-1L, flushTs, -1L, "flush", 0.0))
+    val chunkSize = math.max(1, (rows.length + batches - 1) / batches)
+    val feed = rows.toSeq.grouped(chunkSize) ++ Iterator(sentinel)
+    runReplay(spark, feed)(ds => topkPerWindow(ds, windowMs, k).toDF())
+      .filter(col("event_type") =!= "flush")
   }
 
   /** Replay two event-type slices of `events` through

@@ -887,5 +887,26 @@ class StreamingSpec extends SparkSpec {
     val j1 = jn(1)
     assert(j1 == jn(2) && j1 == jn(4), "join replay must not depend on batching")
     assert(j1 == Set((1L, 2L)), s"pairs: $j1")
+
+    // per-window top-k: count ties break by type name, rank 4 is cut,
+    // an hour with no events emits nothing (no state, no window)
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 02:05:00")
+    val tev = Seq(
+      (1L, ts(0), 1L, "a", 1.0), (2L, ts(1), 1L, "a", 1.0),
+      (3L, ts(2), 1L, "a", 1.0), (4L, ts(3), 1L, "b", 1.0),
+      (5L, ts(4), 1L, "b", 1.0), (6L, ts(5), 1L, "c", 1.0),
+      (7L, ts(6), 1L, "c", 1.0), (8L, ts(7), 1L, "d", 1.0),
+      (9L, t2, 1L, "e", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    def tk(b: Int) = Streams.replayTopkPerWindow(tev, k = 3, batches = b)
+      .select("wstart_us", "event_type", "n", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    def wus(t: java.sql.Timestamp) = (t.getTime / 3600000L) * 3600000000L
+    val k1 = tk(1)
+    assert(k1 == tk(2) && k1 == tk(5), "top-k replay must not depend on batching")
+    assert(k1 == Set(
+      (wus(ts(0)), "a", 3L, 1), (wus(ts(0)), "b", 2L, 2),
+      (wus(ts(0)), "c", 2L, 3), (wus(t2), "e", 1L, 1)),
+      s"top-k rows: $k1")
   }
 }
