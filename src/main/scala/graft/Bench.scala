@@ -60,6 +60,7 @@ object Bench {
     "q_join_bucketed",
     "q_sql_tpch_q5",
     "q_join_skew_salted",
+    "q_skew_report",
     "q_join_bloom",
     "q_join_dpp",
     "q_join_asof",
@@ -146,6 +147,7 @@ object Bench {
     "q_knn_mrl",
     "q_knn_ivf_probed",
     "q_ann_recall",
+    "q_ann_recall_curve",
     "q_knn_ivf_trained",
     "q_knn_ivf_sampled",
     "q_pq_encode",
@@ -160,6 +162,7 @@ object Bench {
     "q_embed_outliers",
     "q_cluster_source_mix",
     "q_text_quality",
+    "q_readability",
     "q_quality_classifier",
     "q_quality_calibration",
     "q_lm_logprob",

@@ -1418,6 +1418,44 @@ object Ext {
           (coalesce(col("nm"), lit(0L)).cast("double") / col("k")).as("recall")))
     }),
 
+    // the RECALL-vs-COST CURVE over the nprobe knob (1 → 2 → 4 of 8
+    // cells): corpus-level recall@5 of the probed search at each
+    // setting — the actual tradeoff table a vector deployment reads
+    // before fixing nprobe (q_ann_recall is one point of this curve;
+    // scan cost grows ~nprobe/cells while recall saturates). The exact
+    // arm derives once and each probed arm is the existing one-scan
+    // operator; every frame meeting in the recall joins is
+    // |queries|·k rows, and the three per-nprobe 1-row aggregates
+    // union into the 3-row curve. Frames stay lazy: the repeated
+    // corpus scans are cheap columnar reads, while checkpointing the
+    // corpus-sized assignment would trade a scan for a full
+    // materialization (the q_minhash_est measurement).
+    "q_ann_recall_curve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val exact = graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5)
+        .select(col("q_id"), col("neighbor"))
+      val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
+      val assigned = graft.operators.Similarity.assignToCentroids(e, cents)
+      val ks = exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      val curve = Seq(1, 2, 4).map { np =>
+        val approx = graft.operators.Similarity.knnIvfProbed(
+            assigned, cents, col("vec_id") < 10, k = 5, nprobe = np)
+          .select(col("q_id"), col("neighbor"))
+        val m = exact.join(approx, Seq("q_id", "neighbor"))
+          .groupBy("q_id").agg(count(lit(1)).as("nm"))
+        ks.join(m, Seq("q_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(coalesce(col("nm"), lit(0L))).as("n_match"),
+            sum(col("k")).as("n_true"))
+          .withColumn("nprobe", lit(np))
+      }
+      ord(curve.reduce(_ unionByName _)
+        .withColumn("recall",
+          round(col("n_match").cast("double") / col("n_true"), 6))
+        .select(col("nprobe"), col("n_queries"), col("n_match"),
+          col("n_true"), col("recall")))
+    }),
     // the SAMPLE-TRAIN / FULL-ENCODE split that makes quantizer training
     // affordable at 100 TB (training cost is per-iteration corpus scans;
     // quality saturates at a few hundred points per centroid): Lloyd
@@ -1612,6 +1650,29 @@ object Ext {
           round((col("nd") * col("sxy") - col("sx") * col("sy")) /
             (col("nd") * col("sxx") - col("sx") * col("sx")), 6)
             .as("zipf_slope")))
+    }),
+    // READABILITY (Flesch reading ease) in fixed-point milli-points —
+    // the classic audience-level quality signal next to the
+    // distributional ones: 206.835 − 1.015·(words/sentences) −
+    // 84.6·(syllables/words), with syllables approximated as vowel-group
+    // runs (the standard regex proxy) and sentences as [.!?]+ runs
+    // (min 1). Every ratio is BIGINT scaled integer division (the
+    // q_interp_linear/q_pagerank discipline), so the score is
+    // bit-identical cross-engine — no double rounding ties. One
+    // codegen'd regex scan per doc, zero shuffles beyond presentation.
+    "q_readability" -> ((s, dir) => {
+      val w = size(filter(split(col("text"), "\\s+"), x => x =!= lit("")))
+        .cast("bigint")
+      val sent = greatest(lit(1L),
+        coalesce(regexp_count(col("text"), lit("[.!?]+")).cast("bigint"), lit(0L)))
+      val syl = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("bigint")
+      ord(t(s, dir, "documents")
+        .select(col("doc_id"), w.as("n_words"), sent.as("n_sentences"),
+          syl.as("n_syllables"))
+        .withColumn("flesch_milli", when(col("n_words") > 0,
+          lit(206835L) -
+            expr("(1015 * ((n_words * 1000) div n_sentences)) div 1000") -
+            expr("(84600 * ((n_syllables * 1000) div n_words)) div 1000"))))
     }),
     // PER-DOCUMENT TOKEN ENTROPY: Shannon entropy (nats) of the doc's
     // word distribution — the information-density quality signal (a
@@ -3761,6 +3822,54 @@ object Ext {
          |  CAST(coalesce(m.nm, 0) AS DOUBLE) / 5 AS recall
          |FROM q0 LEFT JOIN m ON q0.q_id = m.q_id
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_ann_recall chain with the probe cut parameterized: one
+    // shared exact arm (bt/bk), three probed arms, 3-row union
+    "q_ann_recall_curve" -> {
+      val arms = Seq(1, 2, 4).map { np =>
+        s"""p$np AS (
+           |  SELECT q_id, qv, qn, cid AS qb FROM (
+           |    SELECT q.q_id, q.qv, q.qn, s.cid,
+           |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |        list_sum([(q.qv[d] - s.cen[d]) * (q.qv[d] - s.cen[d]) FOR d IN range(1, len(q.qv) + 1)]), s.cid) AS rn
+           |    FROM q0 q, c2 s) WHERE rn <= $np),
+           |s$np AS (
+           |  SELECT q_id, vec_id,
+           |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+           |  FROM n JOIN p$np ON cid = qb AND vec_id <> q_id),
+           |r$np AS (SELECT q_id, vec_id AS neighbor,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s$np),
+           |i$np AS (SELECT q_id, neighbor FROM r$np WHERE rk <= 5),
+           |m$np AS (SELECT bt.q_id AS q_id, COUNT(*) AS nm
+           |      FROM bt JOIN i$np ON bt.q_id = i$np.q_id AND bt.neighbor = i$np.neighbor
+           |      GROUP BY bt.q_id),
+           |g$np AS (SELECT $np AS nprobe, COUNT(*) AS n_queries,
+           |  SUM(COALESCE(m$np.nm, 0)) AS n_match, SUM(bk.k) AS n_true
+           |  FROM bk LEFT JOIN m$np USING (q_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cen FROM v ORDER BY vec_id LIMIT 8),
+         |a1 AS (${ivfAssignSql("v", "c0")}),
+         |c1 AS (${ivfUpdateSql("a1")}),
+         |a2 AS (${ivfAssignSql("v", "c1")}),
+         |c2 AS (${ivfUpdateSql("a2")}),
+         |fin AS (${ivfAssignSql("v", "c2")}),
+         |n AS (SELECT vec_id, v, cid, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM fin),
+         |q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+         |bscored AS (
+         |  SELECT q_id, vec_id,
+         |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+         |  FROM n JOIN q0 ON vec_id <> q_id),
+         |branked AS (SELECT q_id, vec_id AS neighbor,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM bscored),
+         |bt AS (SELECT q_id, neighbor FROM branked WHERE rk <= 5),
+         |bk AS (SELECT q_id, COUNT(*) AS k FROM bt GROUP BY q_id),
+         |$arms
+         |SELECT CAST(nprobe AS INT) AS nprobe, CAST(n_queries AS BIGINT) AS n_queries,
+         |  CAST(n_match AS BIGINT) AS n_match, CAST(n_true AS BIGINT) AS n_true,
+         |  round(CAST(n_match AS DOUBLE) / n_true, 6) AS recall
+         |FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g4)
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
     "q_knn_ivf_sampled" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |vt AS (SELECT vec_id, v FROM v WHERE vec_id % 4 = 0),
@@ -4471,6 +4580,21 @@ object Ext {
         |  CAST(max(n_distinct) AS BIGINT) AS n_distinct,
         |  round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
         |FROM tm GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the same integer Flesch chain: vowel-group syllable proxy,
+    // [.!?]+ sentence runs (min 1), scaled BIGINT divisions only
+    "q_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_words,
+        |    GREATEST(1, COALESCE(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 0)) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(CASE WHEN n_words > 0 THEN
+        |    206835 - (1015 * ((n_words * 1000) // n_sentences)) // 1000
+        |           - (84600 * ((n_syllables * 1000) // n_words)) // 1000
+        |  END AS BIGINT) AS flesch_milli
+        |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
     // the jaccard family's sh chain over RAW docs (an exact copy's
     // novelty is zero — that is the signal), plus the first-posting min
     "q_ngram_novelty" ->

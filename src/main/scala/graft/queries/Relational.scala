@@ -814,6 +814,30 @@ object Relational {
     "q_dropdup" -> ((s, dir) => {
       ord(t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates())
     }),
+    // PRE-FLIGHT SKEW REPORT — the diagnostic a 100 TB job runs on a
+    // join/aggregation key BEFORE choosing a strategy (broadcast? salt?
+    // how many salts? AQE skew thresholds?): per-key frequency
+    // distribution collapsed to one row of shape facts — key count, row
+    // count, min/max key population, p50/p99, and the integer skew
+    // factor max·keys/rows (=1 for uniform) with the salt suggestion
+    // Skew.saltedJoin would consume. The corpus reduces through the
+    // hash-partitioned groupBy(key) first; the serial finalize sees a
+    // key-cardinality frame only.
+    "q_skew_report" -> ((s, dir) => {
+      val freq = t(s, dir, "events")
+        .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
+      ord(freq.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"),
+          min(col("n")).as("min_key_rows"),
+          max(col("n")).as("max_key_rows"),
+          round(expr("percentile(n, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n, 0.99)"), 6).as("p99"))
+        .withColumn("skew_factor",
+          expr("(max_key_rows * n_keys) div n_rows"))
+        .withColumn("suggested_salts",
+          expr("least(32L, greatest(1L, (max_key_rows * n_keys) div n_rows))")))
+    }),
     // BAG-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicities
     // survive — with a (user, type) row appearing 5× in one half and 3×
     // in the other, INTERSECT ALL keeps 3 instances and EXCEPT ALL keeps
@@ -1907,6 +1931,17 @@ object Relational {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dropdup" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY ALL NULLS FIRST",
+    "q_skew_report" ->
+      """WITH f AS (SELECT user_id AS key, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(MIN(n) AS BIGINT) AS min_key_rows,
+        |  CAST(MAX(n) AS BIGINT) AS max_key_rows,
+        |  round(quantile_cont(n, 0.5), 6) AS p50,
+        |  round(quantile_cont(n, 0.99), 6) AS p99,
+        |  CAST((MAX(n) * COUNT(*)) // SUM(n) AS BIGINT) AS skew_factor,
+        |  CAST(LEAST(32, GREATEST(1, (MAX(n) * COUNT(*)) // SUM(n))) AS BIGINT) AS suggested_salts
+        |FROM f ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_set_ops_all" ->
       """WITH a AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 0),
         |b AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 1)

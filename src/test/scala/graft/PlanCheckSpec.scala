@@ -194,7 +194,17 @@ class PlanCheckSpec extends SparkSpec {
       // entering the serial exchange is the k-row (k=8) per-cell count
       // aggregate (the corpus reduces through the hash-partitioned
       // groupBy(cid) first), the q_compact_store shape.
-      "q_ivf_balance")
+      "q_ivf_balance",
+      // q_skew_report: the same 1-row-summary shape over the join-key
+      // frequency frame — the corpus reduces through groupBy(key)
+      // first, so the serial finalize sees key-cardinality rows (and
+      // the percentile buffers hold that frame, not the corpus).
+      "q_skew_report",
+      // q_ann_recall_curve: three 1-row per-nprobe aggregates over
+      // |queries|·k recall-join frames (the corpus reduces through the
+      // existing one-scan knn operators first), unioned into the 3-row
+      // curve — the q_lsh_recall shape, three times.
+      "q_ann_recall_curve")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
