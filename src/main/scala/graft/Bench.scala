@@ -104,6 +104,7 @@ object Bench {
     "q_dedup_simhash",
     "q_simhash_recall",
     "q_lsh_scurve",
+    "q_shingle_df_hist",
     "q_dedup_substrings",
     "q_dup_tokens_by_source",
     "q_bitext_mine",
@@ -200,6 +201,7 @@ object Bench {
     "q_bpe_fertility",
     "q_fingerprint",
     "q_mm_frame_dedup",
+    "q_mm_scene_cut",
     "q_mm_phash",
     "q_mm_audio",
     "q_mm_decode")

@@ -767,6 +767,28 @@ object Ext {
         .withColumn("cand_rate",
           round(col("n_cand").cast("double") / col("n_pairs"), 6)))
     }),
+    // SHINGLE DOCUMENT-FREQUENCY HISTOGRAM — the audit behind the maxDf
+    // pruning knob every inverted-index pair generator here exposes: how
+    // the 3-token shingle vocabulary distributes over log2 df buckets
+    // (bucket = bit-length of df), with the posting mass sitting above
+    // the df=64 cap called out per bucket. A shingle in d docs
+    // contributes O(d²) candidate pairs — this row is the measurement
+    // that says what a cap costs in postings (and therefore what it
+    // saves in pairs) BEFORE a 100 TB dedup pass commits to it. One
+    // shingle pass + a vocabulary-scale groupBy + a ~20-row histogram.
+    "q_shingle_df_hist" -> ((s, dir) => {
+      import graft.functions.BandGenerators.shingle_posts
+      val sh = canonicalDocs(s, dir).select(col("doc_id"),
+        shingle_posts(col("text"), !graft.Tables.benchMode))
+      ord(sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .groupBy(length(conv(col("df"), 10, 2)).cast("int").as("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(col("df")).as("n_postings"),
+          min(col("df")).as("min_df"),
+          max(col("df")).as("max_df"),
+          sum(when(col("df") > 64, col("df")).otherwise(0L))
+            .as("postings_over_cap")))
+    }),
     // EXACT duplicated-SUBSTRING dedup (the suffix-array rule from the
     // training-data dedup literature, keep-first-occurrence): any
     // duplicated substring of >= L tokens contains a duplicated L-token
@@ -2706,6 +2728,31 @@ object Ext {
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_frames") > 1))
     }),
+    // SCENE-CUT segmentation over the sampled frame stream — the video
+    // third of frame analytics (q_mm_frames samples, q_mm_frame_dedup
+    // finds cross-payload repeats; this finds WITHIN-payload structure):
+    // a cut wherever the frame fingerprint changes, per-payload segment
+    // count and the longest static run (a long run of identical frames =
+    // a static card / freeze — the trim-before-training signal). One
+    // frame pass + doc-partitioned lag/running-sum windows (the
+    // gaps-and-islands shape, never corpus-wide), then segment-sized
+    // aggregates.
+    "q_mm_scene_cut" -> ((s, dir) => {
+      val fr = graft.operators.Multimodal.sampleFrames(
+        mmPayloads(s, dir), frameLen = 64, stride = 128)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_no")
+      val lagFp = lag(col("frame_fp"), 1).over(w)
+      val marked = fr
+        .withColumn("chg",
+          when(lagFp.isNull || col("frame_fp") =!= lagFp, 1L).otherwise(0L))
+        .withColumn("seg", sum(col("chg")).over(w))
+      ord(marked.groupBy("doc_id", "seg").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id")
+        .agg(sum(col("run")).as("n_frames"),
+          count(lit(1)).as("n_segments"),
+          max(col("run")).as("max_static_run")))
+    }),
     // multimodal feature extraction: per-batch featurizer over the opaque
     // payload — the default 8-bin byte histogram stands in for an
     // image/audio feature extractor behind the Featurizer seam
@@ -3378,6 +3425,21 @@ object Ext {
          |  CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_cand,
          |  round(CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS cand_rate
          |FROM f GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the jaccard sh chain's per-shingle df, bucketed by bit length
+    "q_shingle_df_hist" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |      WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+        |d AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY h)
+        |SELECT CAST(length(bin(df)) AS INT) AS df_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(df) AS BIGINT) AS n_postings,
+        |  CAST(MIN(df) AS BIGINT) AS min_df,
+        |  CAST(MAX(df) AS BIGINT) AS max_df,
+        |  CAST(COALESCE(SUM(CASE WHEN df > 64 THEN df ELSE 0 END), 0) AS BIGINT) AS postings_over_cap
+        |FROM d GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_simhash" ->
       """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
         |d AS (SELECT doc_id, list_transform(list_filter(string_split_regex(text, '\s+'), w -> w != ''),
@@ -4378,6 +4440,30 @@ object Ext {
          |SELECT frame_fp, CAST(COUNT(*) AS BIGINT) AS n_frames,
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
          |FROM sg GROUP BY frame_fp HAVING COUNT(*) > 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the q_mm_frames fingerprint chain + doc-partitioned lag/running-sum
+    // islands (fp equality is fpu equality — no signed conversion needed)
+    "q_mm_scene_cut" ->
+      s"""WITH d AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+         |bytes AS (SELECT doc_id, n, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(n)] AS bs FROM d),
+         |f AS (SELECT doc_id, bs, i AS frame_no, i * 128 AS off
+         |      FROM bytes, unnest(range((n - 64) // 128 + 1)) AS u(i)
+         |      WHERE n >= 64),
+         |fp AS (SELECT doc_id, frame_no,
+         |  list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(bs[off + 1 : off + 64], b -> CAST(b AS HUGEINT))),
+         |              (a, b) -> (a * 1000003 + b) % $M64) AS fpu
+         |  FROM f),
+         |m AS (SELECT doc_id, frame_no,
+         |  CASE WHEN lag(fpu) OVER (PARTITION BY doc_id ORDER BY frame_no) IS NULL
+         |         OR fpu <> lag(fpu) OVER (PARTITION BY doc_id ORDER BY frame_no)
+         |       THEN 1 ELSE 0 END AS chg FROM fp),
+         |sgm AS (SELECT doc_id,
+         |  SUM(chg) OVER (PARTITION BY doc_id ORDER BY frame_no
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM m),
+         |r AS (SELECT doc_id, seg, COUNT(*) AS run FROM sgm GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_frames,
+         |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |  CAST(MAX(run) AS BIGINT) AS max_static_run
+         |FROM r GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_mm_features" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
         |bins AS (SELECT doc_id, nb,
