@@ -64,6 +64,7 @@ object Bench {
     "q_join_bloom",
     "q_join_dpp",
     "q_join_asof",
+    "q_join_asof_nearest",
     "q_join_interval",
     "q_join_pit",
     "q_cdc_apply",

@@ -624,6 +624,34 @@ object Relational {
           when(col("raw_ts") >= col("ts") - expr("INTERVAL 1 HOUR"), col("raw_ts")))
         .select("event_id", "user_id", "ts", "last_error_ts"))
     }),
+    // As-of join, NEAREST direction (pandas merge_asof(direction=
+    // 'nearest') — the sensor-alignment form): each purchase matches the
+    // error closest in time on EITHER side, ties to the earlier one.
+    // Same one-shuffle interleaved-window shape as q_join_asof run both
+    // ways (running last(ignoreNulls) ascending = nearest before,
+    // descending = nearest after), then an exact integer µs comparison
+    // picks the side — no second scan, no self-join; the oracle checks
+    // it with independent correlated min/max subqueries.
+    "q_join_asof_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val errTs = when(col("event_type") === "error", col("ts"))
+      val wA = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wD = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ord(e
+        .withColumn("prev_err", last(errTs, ignoreNulls = true).over(wA))
+        .withColumn("next_err", last(errTs, ignoreNulls = true).over(wD))
+        .filter(col("event_type") === "purchase")
+        .withColumn("nearest_error_ts",
+          when(col("prev_err").isNull, col("next_err"))
+            .when(col("next_err").isNull, col("prev_err"))
+            .when(unix_micros(col("ts")) - unix_micros(col("prev_err")) <=
+              unix_micros(col("next_err")) - unix_micros(col("ts")),
+              col("prev_err"))
+            .otherwise(col("next_err")))
+        .select("event_id", "user_id", "ts", "nearest_error_ts"))
+    }),
     // INTERVAL-OVERLAP join (genomics/temporal overlap shape): all
     // (purchase-window, error-window) interval pairs that intersect,
     // across users — a genuine non-equi interval join. The naive form is
@@ -1828,6 +1856,23 @@ object Relational {
         |     AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id))
         |     AND e2.ts >= e.ts - INTERVAL 1 HOUR) AS last_error_ts
         |FROM events e WHERE event_type = 'purchase' ORDER BY ALL NULLS FIRST""".stripMargin,
+    // independent correlated min/max form of the nearest-direction rule
+    "q_join_asof_nearest" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_err IS NULL THEN next_err
+        |       WHEN next_err IS NULL THEN prev_err
+        |       WHEN epoch_us(ts) - epoch_us(prev_err) <= epoch_us(next_err) - epoch_us(ts)
+        |         THEN prev_err ELSE next_err END AS nearest_error_ts
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |    (SELECT max(e2.ts) FROM events e2
+        |     WHERE e2.user_id = e.user_id AND e2.event_type = 'error'
+        |       AND (e2.ts < e.ts OR (e2.ts = e.ts AND e2.event_id <= e.event_id))) AS prev_err,
+        |    (SELECT min(e2.ts) FROM events e2
+        |     WHERE e2.user_id = e.user_id AND e2.event_type = 'error'
+        |       AND (e2.ts > e.ts OR (e2.ts = e.ts AND e2.event_id >= e.event_id))) AS next_err
+        |  FROM events e WHERE event_type = 'purchase')
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the naive theta form the bucketed equi join must reproduce
     "q_join_interval" ->
       """WITH a AS (SELECT event_id AS a_id, ts AS a_s, ts + INTERVAL 1 HOUR AS a_e
