@@ -99,6 +99,8 @@ object Bench {
     "q_dedup_clusters",
     "q_dedup_clusters_star",
     "q_dedup_cluster_sizes",
+    "q_graph_degree_hist",
+    "q_graph_triangles",
     "q_dedup_minhash",
     "q_minhash_est",
     "q_lsh_recall",

@@ -477,6 +477,50 @@ object Ext {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .withColumn("n_docs", col("cluster_size") * col("n_clusters")))
     }),
+    // TRIANGLE CENSUS over the near-dup pair graph — per-node triangle
+    // count, degree, and local clustering coefficient in fixed-point ppm
+    // (2·T·10⁶ div d(d−1), the q_pagerank integer discipline):
+    // triangle-dense neighborhoods are true duplicate CLIQUES (every
+    // member near-dups every other — keep-one is safe), while
+    // triangle-free hubs are threshold-transitivity artifacts (A~B~C
+    // without A~C) where keep-one-per-component overdeletes — the
+    // structural evidence behind a component-level dedup decision.
+    // Shape: the a<b<c wedge join (two graph-sized equi-joins + the
+    // closing edge lookup) — at 100 TB enumerate wedges from the
+    // lower-degree endpoint (the standard distributed triangle count)
+    // and the maxDf/maxBucket caps already bound the degree tail.
+    // Rides the shared session pair graph like the other consumers.
+    "q_graph_triangles" -> ((s, dir) => {
+      val p = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val ab = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val bc = p.select(col("doc_a").as("b"), col("doc_b").as("c"))
+      val ac = p.select(col("doc_a").as("a"), col("doc_b").as("c"))
+      val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+      val triPerNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("nt"))
+      val deg = p.select(col("doc_a").as("node"))
+        .unionAll(p.select(col("doc_b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      ord(deg.join(triPerNode, Seq("node"), "left")
+        .select(col("node").as("doc_id"), col("degree"),
+          coalesce(col("nt"), lit(0L)).as("n_triangles"))
+        .withColumn("clustering_ppm",
+          when(col("degree") > 1,
+            expr("(2000000 * n_triangles) div (degree * (degree - 1))"))
+            .otherwise(lit(0L))))
+    }),
+    // DEGREE HISTOGRAM of the same graph — the one-pass shape summary
+    // behind TextDedup.chooseStar's propagation-vs-star decision (a
+    // heavy tail means hubs; a flat degree-2 line means chains) and the
+    // first thing read when a banding change shifts pair volume.
+    "q_graph_degree_hist" -> ((s, dir) => {
+      val p = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      ord(p.select(col("doc_a").as("node"))
+        .unionAll(p.select(col("doc_b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes")))
+    }),
     // PAGERANK centrality over the SAME near-dup pair graph the cluster
     // family consumes: 5 fixed iterations, damping 0.85, BIGINT
     // nano-unit fixed-point arithmetic with integral divisions only —
@@ -4982,6 +5026,58 @@ object Ext {
         |SELECT src AS member, min(lbl) AS cluster_rep
         |FROM reach GROUP BY src
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the jaccard pair chain + the a<b<c wedge join and per-node
+    // degree/triangle rollup, ppm clustering coefficient in integer math
+    "q_graph_triangles" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |      WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |tri AS (SELECT e1.a, e1.b, e2.c
+        |  FROM (SELECT doc_a AS a, doc_b AS b FROM p) e1
+        |  JOIN (SELECT doc_a AS b, doc_b AS c FROM p) e2 USING (b)
+        |  JOIN (SELECT doc_a AS a, doc_b AS c FROM p) e3 USING (a, c)),
+        |tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS nt FROM (
+        |  SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node),
+        |d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |  SELECT doc_a AS node FROM p UNION ALL SELECT doc_b FROM p) GROUP BY node)
+        |SELECT d.node AS doc_id, d.degree,
+        |  CAST(COALESCE(tn.nt, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN d.degree > 1
+        |    THEN (2000000 * COALESCE(tn.nt, 0)) // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS BIGINT) AS clustering_ppm
+        |FROM d LEFT JOIN tn ON d.node = tn.node
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the same pair chain's per-node degree, bucketed
+    "q_graph_degree_hist" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |      WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s FROM (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= 0.2),
+        |d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |  SELECT doc_a AS node FROM p UNION ALL SELECT doc_b FROM p) GROUP BY node)
+        |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY degree ORDER BY ALL NULLS FIRST""".stripMargin,
     // the q_dedup_clusters recursive components, grouped twice: per
     // cluster -> size, per size -> histogram
     "q_dedup_cluster_sizes" ->
