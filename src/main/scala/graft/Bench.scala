@@ -171,6 +171,7 @@ object Bench {
     "q_quality_calibration",
     "q_lm_logprob",
     "q_vocab_coverage",
+    "q_vocab_oov",
     "q_zipf_slope",
     "q_doc_entropy",
     "q_ngram_novelty",
@@ -184,6 +185,7 @@ object Bench {
     "q_mix_cluster_capped",
     "q_token_budget_epochs",
     "q_pack_sequences",
+    "q_pack_efficiency",
     "q_pack_bpe",
     "q_chunk_docs",
     "q_chunk_cdc",

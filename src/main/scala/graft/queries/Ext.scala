@@ -2025,6 +2025,33 @@ object Ext {
         .groupBy(split.as("split"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")))
     }),
+    // HELD-OUT OOV AUDIT — the vocabulary-generalization check next to
+    // q_vocab_coverage's sizing curve: the train split's word vocabulary
+    // scored against the valid/test token streams — token-level OOV rate
+    // and distinct unseen types per held-out split. High held-out OOV =
+    // a vocabulary overfit to train sources (coverage on train says
+    // nothing about it). Same md5 split rule as q_split_train_test; the
+    // only big exchange is the token stream joining the vocab on the
+    // word key (the LM-scoring shape); everything after is splits-sized.
+    "q_vocab_oov" -> ((s, dir) => {
+      val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("bigint") % 100
+      val spl = when(draw < 80, "train").when(draw < 90, "valid")
+        .otherwise("test")
+      val toks = t(s, dir, "documents")
+        .select(spl.as("split"),
+          explode(filter(split(col("text"), "\\s+"), w => w =!= lit(""))).as("w"))
+      val vocab = toks.filter(col("split") === "train").select("w").distinct()
+        .withColumn("in_vocab", lit(1))
+      ord(toks.filter(col("split") =!= "train")
+        .join(vocab, Seq("w"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"),
+          countDistinct(when(col("in_vocab").isNull, col("w"))).as("n_oov_types"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6)))
+    }),
     // SPLIT-LEAKAGE AUDIT: duplicate evidence CROSSING the deterministic
     // train/valid/test boundary (q_split_train_test's md5 draw) — the
     // eval-integrity check every training pipeline runs before trusting
@@ -2323,6 +2350,32 @@ object Ext {
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc")))
+    }),
+    // PACKING-EFFICIENCY audit of the q_pack_sequences layout: the bins
+    // against their 2048-token budget — overflow bins (a doc longer than
+    // the budget overruns its bin by design in concat-then-split-at-
+    // boundary packing), fill extremes, the total padding a trainer
+    // would pay, and the integer ppm fill rate. The utilization number
+    // read before choosing budget/packing strategy at scale. Same
+    // distributed running-sum lineage; the 1-row summary finalizes from
+    // per-partition partials over the pack-id aggregate.
+    "q_pack_efficiency" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= lit(""))).as("n"))
+      val cum = graft.operators.ScalableWindows.withGlobalRunningSum(
+        toks, col("n").cast("bigint"), Seq(col("doc_id")), "cum", partitions = 8)
+      val packs = cum.withColumn("pack_id", expr("(cum - n) div 2048"))
+        .groupBy("pack_id").agg(sum(col("n")).as("n_tokens"))
+      ord(packs.agg(
+          count(lit(1)).as("n_packs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          count(when(col("n_tokens") > 2048, 1)).as("n_overflow"),
+          max(col("n_tokens")).as("max_fill"),
+          min(col("n_tokens")).as("min_fill"),
+          sum(when(col("n_tokens") < 2048, lit(2048L) - col("n_tokens"))
+            .otherwise(0L)).as("padding_tokens"))
+        .withColumn("fill_ppm",
+          expr("(1000000 * n_tokens) div (n_packs * 2048)")))
     }),
     // SYSTEMATIC PPS SAMPLING (probability-proportional-to-size, the
     // survey-sampling method): k evenly spaced integer thresholds over
@@ -4354,6 +4407,26 @@ object Ext {
         |  CAST(MIN(j) AS INT) AS first_draw
         |FROM c JOIN th ON th.t > c.cw - c.w AND th.t <= c.cw
         |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the pack chain collapsed to the one-row utilization summary
+    "q_pack_efficiency" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, sum(n) OVER (
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |p AS (SELECT (cum - n) // 2048 AS pack_id, CAST(SUM(n) AS BIGINT) AS n_tokens
+        |      FROM c GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(CASE WHEN n_tokens > 2048 THEN 1 END) AS BIGINT) AS n_overflow,
+        |  CAST(MAX(n_tokens) AS BIGINT) AS max_fill,
+        |  CAST(MIN(n_tokens) AS BIGINT) AS min_fill,
+        |  CAST(SUM(CASE WHEN n_tokens < 2048 THEN 2048 - n_tokens ELSE 0 END) AS BIGINT) AS padding_tokens,
+        |  CAST((1000000 * SUM(n_tokens)) // (COUNT(*) * 2048) AS BIGINT) AS fill_ppm
+        |FROM p ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -4569,6 +4642,24 @@ object Ext {
         |SELECT CASE WHEN draw < 80 THEN 'train' WHEN draw < 90 THEN 'valid' ELSE 'test' END AS split,
         |  source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM d GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the same md5 split + token-stream × train-vocab left join
+    "q_vocab_oov" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS draw
+        |  FROM documents),
+        |tk AS (SELECT CASE WHEN draw < 80 THEN 'train' WHEN draw < 90 THEN 'valid'
+        |         ELSE 'test' END AS split,
+        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS w
+        |  FROM d),
+        |v AS (SELECT DISTINCT w FROM tk WHERE split = 'train'),
+        |h AS (SELECT tk.split, tk.w, v.w IS NOT NULL AS iv
+        |      FROM tk LEFT JOIN v ON tk.w = v.w
+        |      WHERE tk.split <> 'train')
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(CASE WHEN NOT iv THEN 1 END) AS BIGINT) AS n_oov,
+        |  CAST(COUNT(DISTINCT CASE WHEN NOT iv THEN w END) AS BIGINT) AS n_oov_types,
+        |  round(CAST(COUNT(CASE WHEN NOT iv THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        |FROM h GROUP BY split ORDER BY ALL NULLS FIRST""".stripMargin,
     // exact tier: text-family member counts per split, pair mass across
     // split pairs; near tier: the canonical jaccard pairs crossing the
     // same md5 split rule

@@ -204,7 +204,12 @@ class PlanCheckSpec extends SparkSpec {
       // |queries|·k recall-join frames (the corpus reduces through the
       // existing one-scan knn operators first), unioned into the 3-row
       // curve — the q_lsh_recall shape, three times.
-      "q_ann_recall_curve")
+      "q_ann_recall_curve",
+      // q_pack_efficiency: the q_pack_sequences running-sum lineage plus
+      // a 1-row utilization summary finalizing from per-partition
+      // partials over the pack-id aggregate — the q_tfidf shape on top
+      // of the already-allowed pack chain.
+      "q_pack_efficiency")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
