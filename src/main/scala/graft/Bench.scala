@@ -108,6 +108,7 @@ object Bench {
     "q_simhash_recall",
     "q_lsh_scurve",
     "q_shingle_df_hist",
+    "q_pair_volume_forecast",
     "q_dedup_substrings",
     "q_dup_tokens_by_source",
     "q_bitext_mine",
@@ -186,6 +187,7 @@ object Bench {
     "q_token_budget_epochs",
     "q_pack_sequences",
     "q_pack_efficiency",
+    "q_context_truncation",
     "q_pack_bpe",
     "q_chunk_docs",
     "q_chunk_cdc",

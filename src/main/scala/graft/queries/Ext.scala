@@ -833,6 +833,24 @@ object Ext {
           sum(when(col("df") > 64, col("df")).otherwise(0L))
             .as("postings_over_cap")))
     }),
+    // PAIR-VOLUME FORECAST — the cost side of q_shingle_df_hist's
+    // evidence: candidate pairs the inverted-index join will enumerate,
+    // Σ d(d−1)/2 over the shingle df distribution, uncapped vs under the
+    // maxDf=64 cap, per log2 bucket. THE pre-flight estimate that says
+    // whether a 100 TB jaccard pass is affordable as-is or needs the cap
+    // (the analogous forecast for banded generators is bands·Σ per-bucket
+    // volume). Same vocabulary-scale frame; integer arithmetic only.
+    "q_pair_volume_forecast" -> ((s, dir) => {
+      import graft.functions.BandGenerators.shingle_posts
+      val sh = canonicalDocs(s, dir).select(col("doc_id"),
+        shingle_posts(col("text"), !graft.Tables.benchMode))
+      ord(sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .withColumn("cdf", least(col("df"), lit(64L)))
+        .groupBy(length(conv(col("df"), 10, 2)).cast("int").as("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(expr("(df * (df - 1)) div 2")).as("pairs_uncapped"),
+          sum(expr("(cdf * (cdf - 1)) div 2")).as("pairs_capped")))
+    }),
     // EXACT duplicated-SUBSTRING dedup (the suffix-array rule from the
     // training-data dedup literature, keep-first-occurrence): any
     // duplicated substring of >= L tokens contains a duplicated L-token
@@ -2350,6 +2368,29 @@ object Ext {
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc")))
+    }),
+    // CONTEXT-WINDOW TRUNCATION audit — what each candidate context
+    // length costs in lost tokens if documents are truncated (not
+    // packed): per budget L ∈ {512, 2048, 8192}, how many docs exceed L
+    // and what token mass falls past it. The table read next to
+    // q_pack_efficiency when choosing truncate-vs-pack and the window
+    // size itself. One token-count scan crossed with the 3-row budget
+    // frame (broadcast), then a budgets-sized aggregate.
+    "q_context_truncation" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents").select(
+        size(filter(split(col("text"), "\\s+"), x => x =!= lit("")))
+          .cast("bigint").as("n"))
+      val budgets = Seq(512L, 2048L, 8192L).toDF("budget")
+      ord(toks.crossJoin(broadcast(budgets))
+        .groupBy("budget")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("n_tokens"),
+          count(when(col("n") > col("budget"), 1)).as("n_docs_truncated"),
+          sum(when(col("n") > col("budget"), col("n") - col("budget"))
+            .otherwise(0L)).as("tokens_lost"))
+        .withColumn("loss_ppm",
+          expr("(1000000 * tokens_lost) div n_tokens")))
     }),
     // PACKING-EFFICIENCY audit of the q_pack_sequences layout: the bins
     // against their 2048-token budget — overflow bins (a doc longer than
@@ -4407,6 +4448,34 @@ object Ext {
         |  CAST(MIN(j) AS INT) AS first_draw
         |FROM c JOIN th ON th.t > c.cw - c.w AND th.t <= c.cw
         |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the token-count scan × 3-row budget frame, truncation arithmetic
+    // in integers
+    "q_context_truncation" ->
+      """WITH t AS (
+        |  SELECT CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT unnest([512, 2048, 8192]) AS budget)
+        |SELECT CAST(budget AS BIGINT) AS budget,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(CASE WHEN n > budget THEN 1 END) AS BIGINT) AS n_docs_truncated,
+        |  CAST(COALESCE(SUM(CASE WHEN n > budget THEN n - budget ELSE 0 END), 0) AS BIGINT) AS tokens_lost,
+        |  CAST((1000000 * COALESCE(SUM(CASE WHEN n > budget THEN n - budget ELSE 0 END), 0)) // SUM(n) AS BIGINT) AS loss_ppm
+        |FROM t, b GROUP BY budget ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the df chain + exact pair-count arithmetic, capped and not
+    "q_pair_volume_forecast" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |      WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+        |d AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY h),
+        |dd AS (SELECT df, LEAST(df, 64) AS cdf FROM d)
+        |SELECT CAST(length(bin(df)) AS INT) AS df_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM((df * (df - 1)) // 2) AS BIGINT) AS pairs_uncapped,
+        |  CAST(SUM((cdf * (cdf - 1)) // 2) AS BIGINT) AS pairs_capped
+        |FROM dd GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // the pack chain collapsed to the one-row utilization summary
     "q_pack_efficiency" ->
       """WITH t AS (
