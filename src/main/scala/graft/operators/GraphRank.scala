@@ -150,4 +150,39 @@ object GraphRank {
     import spark.implicits._
     moves.toSeq.toDF("iter", "moved_nano", "max_move_nano")
   }
+
+  /** Triangle census over an undirected pair graph (`doc_a < doc_b` rows):
+    * per node — degree, triangle count, and the local clustering
+    * coefficient in fixed-point ppm (2·T·10⁶ div d(d−1), integral — the
+    * pagerank nano-unit discipline, so the number is bit-identical on any
+    * engine). Triangle-dense neighborhoods are true duplicate CLIQUES
+    * (keep-one-per-component is safe); triangle-free hubs are
+    * threshold-transitivity chains where keep-one overdeletes.
+    *
+    * Plan: the a<b<c wedge join — two graph-sized equi-joins plus the
+    * closing-edge lookup — so every triangle is enumerated exactly once
+    * from its ordered corner. At 100 TB enumerate wedges from the
+    * lower-degree endpoint (the standard distributed triangle count) and
+    * let the pair generator's maxDf/maxBucket caps bound the degree tail.
+    * Returns (doc_id, degree, n_triangles, clustering_ppm). */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val ab = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val bc = p.select(col("doc_a").as("b"), col("doc_b").as("c"))
+    val ac = p.select(col("doc_a").as("a"), col("doc_b").as("c"))
+    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("nt"))
+    val deg = p.select(col("doc_a").as("node"))
+      .unionAll(p.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"), col("degree"),
+        coalesce(col("nt"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_ppm",
+        when(col("degree") > 1,
+          expr("(2000000 * n_triangles) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -491,24 +491,7 @@ object Ext {
     // and the maxDf/maxBucket caps already bound the degree tail.
     // Rides the shared session pair graph like the other consumers.
     "q_graph_triangles" -> ((s, dir) => {
-      val p = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val ab = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val bc = p.select(col("doc_a").as("b"), col("doc_b").as("c"))
-      val ac = p.select(col("doc_a").as("a"), col("doc_b").as("c"))
-      val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
-      val triPerNode = tri
-        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("nt"))
-      val deg = p.select(col("doc_a").as("node"))
-        .unionAll(p.select(col("doc_b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("degree"))
-      ord(deg.join(triPerNode, Seq("node"), "left")
-        .select(col("node").as("doc_id"), col("degree"),
-          coalesce(col("nt"), lit(0L)).as("n_triangles"))
-        .withColumn("clustering_ppm",
-          when(col("degree") > 1,
-            expr("(2000000 * n_triangles) div (degree * (degree - 1))"))
-            .otherwise(lit(0L))))
+      ord(graft.operators.GraphRank.triangleCensus(nearDupPairs(s, dir)))
     }),
     // DEGREE HISTOGRAM of the same graph — the one-pass shape summary
     // behind TextDedup.chooseStar's propagation-vs-star decision (a

@@ -93,4 +93,43 @@ class GraphRankSpec extends SparkSpec {
     assert(live.isEmpty,
       s"pagerankTrace returns only a local frame — leaked: ${live.size}")
   }
+
+  test("triangleCensus: triangle is a clique (ppm 1e6), chain and star " +
+    "are triangle-free, each triangle counted once per corner") {
+    import spark.implicits._
+    // triangle 1-2-3 ∪ chain 4-5-6 ∪ star 7-(8,9,10), disjoint
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (5L, 6L),
+      (7L, 8L), (7L, 9L), (7L, 10L)
+    ).toDF("doc_a", "doc_b")
+    val r = GraphRank.triangleCensus(pairs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // triangle corners: degree 2, ONE triangle each, clustering 1.0
+    for (n <- Seq(1L, 2L, 3L))
+      assert(r(n) == ((2L, 1L, 1000000L)), s"corner $n: ${r(n)}")
+    // chain: middle degree 2 with no closing edge -> clustering 0
+    assert(r(5L) == ((2L, 0L, 0L)) && r(4L) == ((1L, 0L, 0L)), s"$r")
+    // star: hub degree 3, no leaf-leaf edges -> 0 of d(d-1)/2=3 wedges
+    // close; leaves degree 1 (coefficient defined as 0)
+    assert(r(7L) == ((3L, 0L, 0L)) && r(8L) == ((1L, 0L, 0L)), s"$r")
+    // global: exactly one triangle, counted once per corner
+    assert(r.values.map(_._2).sum == 3L, s"triangle corner sum: $r")
+  }
+
+  test("triangleCensus: two triangles sharing an edge — shared nodes " +
+    "count both, ppm is the exact integral ratio") {
+    import spark.implicits._
+    // K4 minus one edge: triangles (1,2,3) and (1,2,4); edge 3-4 absent
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val r = GraphRank.triangleCensus(pairs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // nodes 1,2: degree 3, in BOTH triangles, cc = 2*2e6/(3*2) = 666666
+    assert(r(1L) == ((3L, 2L, 666666L)) && r(2L) == ((3L, 2L, 666666L)), s"$r")
+    // nodes 3,4: degree 2, one triangle, clique-local -> 1e6
+    assert(r(3L) == ((2L, 1L, 1000000L)) && r(4L) == ((2L, 1L, 1000000L)), s"$r")
+  }
 }
