@@ -34,7 +34,8 @@ object Verify {
     "q_dedup_clusters_star", "q_mmr_rerank", "q_bitext_mine",
     "q_stream_join_replay", "q_stream_neardup_replay",
     "q_stream_session_replay", "q_stream_tumbling_replay",
-    "q_stream_segment_replay", "q_stream_topk_replay")
+    "q_stream_segment_replay", "q_stream_topk_replay",
+    "q_stream_sliding_replay")
 
   /** Run the selected catalog queries against `sfDir`, writing one parquet
     * directory per query under `outDir`, plus `oracle_sql.json` and

@@ -280,6 +280,14 @@ object Ext {
         segmentedDocs(s, dir), "doc_id", "segs"))
     }),
     // the SAME segment dedup as a driver-checked STREAMING REPLAY (the
+    // 7th replay row — OVERLAPPING windowed-aggregation state: each
+    // event feeds width/slide = 2 sliding windows, the multi-assignment
+    // shape the tumbling replay can't exercise; emitted per-window
+    // counts equal the batch two-windows-per-event expansion.
+    "q_stream_sliding_replay" -> ((s, dir) => {
+      ord(graft.streaming.Streams.replaySlidingCounts(t(s, dir, "events"))
+        .select(expr("unix_micros(wstart)").as("wstart_us"), col("n")))
+    }),
     // 6th replay row — the map-state shape: per-window heavy-hitter
     // TOP-K at ingest (flatMapGroupsWithState keyed on the window start,
     // one counter per distinct type per open window, RANKED k-row
@@ -3643,6 +3651,13 @@ object Ext {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS wstart_us, event_type,
         |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the two-windows-per-event expansion (1h width, 30min slide)
+    "q_stream_sliding_replay" ->
+      """WITH x AS (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |  time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS wstart
+        |  FROM events)
+        |SELECT epoch_us(wstart) AS wstart_us, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM x GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // the batch per-window top-3 the ranked timeout emission must equal
     "q_stream_topk_replay" ->
       """WITH c AS (

@@ -952,6 +952,33 @@ object Streams {
       .filter(col("event_type") =!= "flush")
   }
 
+  /** Replay `events` through [[slidingCounts]] (watermarked OVERLAPPING
+    * windowed aggregation — each event feeds width/slide windows, the
+    * state shape [[replayTumblingCounts]] doesn't exercise) in `batches`
+    * event-time-ordered micro-batches plus the sentinel flush past every
+    * window end. Counts are pure event-time set properties, so the
+    * emitted rows equal the batch two-windows-per-event expansion
+    * whatever the schedule — a plain SQL oracle replays them. */
+  def replaySlidingCounts(events: DataFrame, batches: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .select(col("event_id").cast("long"), col("ts"),
+        col("user_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    require(rows.nonEmpty, "replay needs at least one event")
+    val flushTs = new java.sql.Timestamp(rows.last.ts.getTime + 48L * 3600 * 1000)
+    val sentinel = Seq(Event(-1L, flushTs, -1L, "flush", 0.0))
+    val chunkSize = math.max(1, (rows.length + batches - 1) / batches)
+    val feed = rows.toSeq.grouped(chunkSize) ++ Iterator(sentinel)
+    // the sentinel's own two windows are the only ones holding it: drop
+    // windows that start after the last real event
+    val lastReal = rows.last.ts
+    runReplay(spark, feed)(ds => slidingCounts(ds.toDF()))
+      .filter(col("wstart") <= lastReal)
+  }
+
   /** Replay two event-type slices of `events` through
     * [[streamStreamJoin]] (watermarked interval stream-stream join) in
     * lockstep event-time-ordered micro-batches: per chunk, the left slice

@@ -908,5 +908,20 @@ class StreamingSpec extends SparkSpec {
       (wus(ts(0)), "a", 3L, 1), (wus(ts(0)), "b", 2L, 2),
       (wus(ts(0)), "c", 2L, 3), (wus(t2), "e", 1L, 1)),
       s"top-k rows: $k1")
+
+    // sliding windows (1h width, 30min slide): each event lands in TWO
+    // windows; the hand expansion is exact
+    val sev = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(10), 1L, "view", 1.0),
+      (3L, ts(40), 1L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    def sl(b: Int) = Streams.replaySlidingCounts(sev, batches = b)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+    val s30 = 30L * 60 * 1000
+    val base = ts(0).getTime // 2024-01-01 00:00, 30-min aligned
+    val sl1 = sl(1)
+    assert(sl1 == sl(2) && sl1 == sl(3), "sliding replay must not depend on batching")
+    assert(sl1 == Set((base - s30, 2L), (base, 3L), (base + s30, 1L)),
+      s"sliding rows: $sl1")
   }
 }
