@@ -159,24 +159,51 @@ object GraphRank {
     * (keep-one-per-component is safe); triangle-free hubs are
     * threshold-transitivity chains where keep-one overdeletes.
     *
-    * Plan: the a<b<c wedge join — two graph-sized equi-joins plus the
-    * closing-edge lookup — so every triangle is enumerated exactly once
-    * from its ordered corner. At 100 TB enumerate wedges from the
-    * lower-degree endpoint (the standard distributed triangle count) and
-    * let the pair generator's maxDf/maxBucket caps bound the degree tail.
+    * Plan: DEGREE-ORIENTED wedge enumeration (the standard distributed
+    * triangle count). Each undirected edge is directed from its lower
+    * (degree, id) endpoint; wedges are then two out-edges of one corner,
+    * closed by a lookup against the undirected edge list. Orientation
+    * gives every node out-degree O(√m) regardless of its real degree, so
+    * a hub with degree d contributes O(m) wedge work instead of O(d²) —
+    * at 100 TB this is what makes the census hub-safe independent of the
+    * pair generator's maxDf/maxBucket caps. Every triangle is enumerated
+    * exactly once: its (degree, id)-minimal node owns both out-edges into
+    * the other two. Costs one extra degree equi-join vs the naive
+    * id-ordered corner.
+    *
+    * Input is normalized defensively (least/greatest + distinct, advisor
+    * round 15): the doc_a < doc_b distinct-edge contract was previously
+    * only stated in this doc — a duplicate or reversed row from a future
+    * caller would have silently inflated degrees and multiplied triangle
+    * counts. Self-loops are dropped.
     * Returns (doc_id, degree, n_triangles, clustering_ppm). */
   def triangleCensus(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    val ab = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val bc = p.select(col("doc_a").as("b"), col("doc_b").as("c"))
-    val ac = p.select(col("doc_a").as("a"), col("doc_b").as("c"))
-    val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
-    val triPerNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("nt"))
+    val p = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b")).distinct()
     val deg = p.select(col("doc_a").as("node"))
       .unionAll(p.select(col("doc_b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient: src = the (degree, id)-smaller endpoint of each edge
+    val withDeg = p
+      .join(deg.select(col("node").as("doc_a"), col("degree").as("da")), "doc_a")
+      .join(deg.select(col("node").as("doc_b"), col("degree").as("db")), "doc_b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+    // wedges at each corner: unordered out-neighbor pairs (v < w by id)
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"))
+    val wedges = e1.join(e2, "u").where(col("v") < col("w"))
+    // close against the undirected id-ordered edge list
+    val tri = wedges.join(
+      p.select(col("doc_a").as("v"), col("doc_b").as("w")), Seq("v", "w"))
+    val triPerNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("nt"))
     deg.join(triPerNode, Seq("node"), "left")
       .select(col("node").as("doc_id"), col("degree"),
         coalesce(col("nt"), lit(0L)).as("n_triangles"))

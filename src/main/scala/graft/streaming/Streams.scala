@@ -108,9 +108,14 @@ object Streams {
             batch.foreach(e =>
               m.update(e.event_type, m.getOrElse(e.event_type, 0L) + 1L))
             state.update(WindowTypeCounts(m.toMap))
-            // safe: an ordered feed keeps the watermark behind every open
-            // window's end (see replayTopkPerWindow's ordering contract)
-            state.setTimeoutTimestamp(wstart + windowMs)
+            // clamp to the watermark (advisor round 15): on an unordered
+            // live feed a late event for an already-passed window would
+            // otherwise make Spark throw (timeout earlier than watermark)
+            // instead of letting the window flush on the next trigger —
+            // the same clamp the TTL-state operators use. Under the
+            // replay caller's ordering contract the max() is a no-op.
+            state.setTimeoutTimestamp(math.max(wstart + windowMs,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
@@ -150,7 +155,11 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+              // watermark clamp, same rationale as topkPerWindow: a late
+              // batch whose session already expired must not set a
+              // timeout behind the watermark (Spark throws)
+              state.setTimeoutTimestamp(math.max(s.last.getTime + gapMs,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
