@@ -284,8 +284,16 @@ object Ext {
     // event feeds width/slide = 2 sliding windows, the multi-assignment
     // shape the tumbling replay can't exercise; emitted per-window
     // counts equal the batch two-windows-per-event expansion.
+    // batches=4 across the replay rows (round 16, like the stream-stream
+    // join row before them): the emitted sets are schedule-independent by
+    // each operator's no-late-data contract — fewer micro-batches test
+    // identical semantics with cross-batch state still exercised on every
+    // boundary — and the per-trigger fixed cost (state store commits ×
+    // partitions) dominated the verify loop's sequential tail (~35 s of
+    // 90 s).
     "q_stream_sliding_replay" -> ((s, dir) => {
-      ord(graft.streaming.Streams.replaySlidingCounts(t(s, dir, "events"))
+      ord(graft.streaming.Streams.replaySlidingCounts(t(s, dir, "events"),
+        batches = 4)
         .select(expr("unix_micros(wstart)").as("wstart_us"), col("n")))
     }),
     // 6th replay row — the map-state shape: per-window heavy-hitter
@@ -297,7 +305,8 @@ object Ext {
     // emission — the dashboard/alerting contract where the sink gets
     // exactly k rows per window. Oracle: the batch per-window top-3.
     "q_stream_topk_replay" -> ((s, dir) => {
-      ord(graft.streaming.Streams.replayTopkPerWindow(t(s, dir, "events"))
+      ord(graft.streaming.Streams.replayTopkPerWindow(t(s, dir, "events"),
+        batches = 4)
         .select(col("wstart_us"), col("event_type"), col("n"), col("rk")))
     }),
     // 5th replay row): (doc_id, pos)-ordered micro-batches through
@@ -307,7 +316,7 @@ object Ext {
     "q_stream_segment_replay" -> ((s, dir) => {
       val segs = segmentedDocs(s, dir)
         .select(col("doc_id"), posexplode(col("segs")).as(Seq("pos", "seg")))
-      val emitted = graft.streaming.Streams.replaySegmentDedup(segs)
+      val emitted = graft.streaming.Streams.replaySegmentDedup(segs, batches = 4)
       ord(emitted.groupBy("doc_id").agg(
         count(lit(1)).as("n_segs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -895,18 +904,22 @@ object Ext {
     // sentinel watermark flush, each emitted set is a property of the
     // DATA, not the schedule (see Streams.replay* docs), which is what
     // makes a batch-SQL oracle exact.
+    // batches=4 here and on the sibling replay rows: schedule-independent
+    // emitted sets, halved per-trigger fixed cost (see the sliding-replay
+    // comment)
     "q_stream_neardup_replay" -> ((s, dir) => {
       ord(graft.streaming.Streams.replayNearDups(
-        canonicalDocs(s, dir), maxHamming = 3, portable = true))
+        canonicalDocs(s, dir), maxHamming = 3, portable = true, batches = 4))
     }),
     "q_stream_session_replay" -> ((s, dir) => {
       ord(graft.streaming.Streams.replayClosedSessions(
-        t(s, dir, "events"), gapMs = 15 * 60 * 1000L)
+        t(s, dir, "events"), gapMs = 15 * 60 * 1000L, batches = 4)
         .select(col("user_id"), expr("unix_micros(start)").as("start_us"),
           col("n")))
     }),
     "q_stream_tumbling_replay" -> ((s, dir) => {
-      ord(graft.streaming.Streams.replayTumblingCounts(t(s, dir, "events"))
+      ord(graft.streaming.Streams.replayTumblingCounts(t(s, dir, "events"),
+        batches = 4)
         .select(expr("unix_micros(wstart)").as("wstart_us"), col("event_type"),
           col("n"), col("sum_value").cast("double").as("sum_value")))
     }),
