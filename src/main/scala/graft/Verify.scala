@@ -207,13 +207,36 @@ object Verify {
     * SPARK_GRAFT_VERIFY_BUDGET_SEC. */
   private[graft] val driverDefaultBudgetSec = 150.0
 
+  /** Budget resolution, pure for the spec: explicit flag > env > default,
+    * where the default is `driverDefaultBudgetSec` ONLY for a
+    * driver-style invocation (no flags, exactly two positional args) and
+    * unlimited otherwise (local subset iteration must never be cut). */
+  private[graft] def resolveBudget(flags: Seq[String], pos: Seq[String],
+                                   env: Map[String, String]): Double =
+    flags.collectFirst {
+      case f if f.startsWith("--budget-sec=") => f.stripPrefix("--budget-sec=").toDouble
+    }.orElse(env.get("SPARK_GRAFT_VERIFY_BUDGET_SEC").map(_.toDouble))
+      .getOrElse(if (flags.isEmpty && pos.length == 2) driverDefaultBudgetSec
+                 else Double.MaxValue)
+
+  /** Worker-thread resolution, pure for the spec: explicit flag > env >
+    * max(2, cpus/4). Most sf0.01 queries are fixed-overhead bound
+    * (planning + small-job scheduling), so concurrent submission is the
+    * wall-time lever — cpus/4 keeps each query's 32-partition jobs from
+    * starving while cutting the 230 s sequential loop to 90 s at 32
+    * cpus. Floor of 2: overlap stays worthwhile even on a small driver
+    * box — the 4-cpu rehearsal ran the full catalog in 145 s at par=2
+    * (inside the 150 s driver budget) vs 233 s sequential. */
+  private[graft] def resolvePar(flags: Seq[String], cpus: Int,
+                                env: Map[String, String]): Int =
+    flags.collectFirst {
+      case f if f.startsWith("--par=") => f.stripPrefix("--par=").toInt
+    }.orElse(env.get("SPARK_GRAFT_VERIFY_PAR").map(_.toInt))
+      .getOrElse(math.max(2, cpus / 4))
+
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
-    val driverStyle = flags.isEmpty && pos.length == 2
-    val budget = flags.collectFirst {
-      case f if f.startsWith("--budget-sec=") => f.stripPrefix("--budget-sec=").toDouble
-    }.orElse(sys.env.get("SPARK_GRAFT_VERIFY_BUDGET_SEC").map(_.toDouble))
-      .getOrElse(if (driverStyle) driverDefaultBudgetSec else Double.MaxValue)
+    val budget = resolveBudget(flags.toSeq, pos.toSeq, sys.env)
     val badFlags = flags.filterNot(f =>
       f.startsWith("--budget-sec=") || f.startsWith("--par="))
     if (badFlags.nonEmpty) {
@@ -230,14 +253,7 @@ object Verify {
     // artifact risk, not just a convenience
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
-    // broad-catalog worker threads: most sf0.01 queries are fixed-overhead
-    // bound (planning + small-job scheduling), so concurrent submission is
-    // the wall-time lever — cpus/4 keeps each query's 32-partition jobs
-    // from starving while cutting the 230 s sequential loop roughly in half
-    val par = flags.collectFirst {
-      case f if f.startsWith("--par=") => f.stripPrefix("--par=").toInt
-    }.orElse(sys.env.get("SPARK_GRAFT_VERIFY_PAR").map(_.toInt))
-      .getOrElse(math.max(1, cpus.toInt / 4))
+    val par = resolvePar(flags.toSeq, cpus.toInt, sys.env)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -54,6 +54,56 @@ class VerifySpec extends SparkSpec {
     assert(skipped.contains("\"q1_agg\""), "skipped queries must be named")
   }
 
+  test("parallel broad phase produces the same artifacts as sequential") {
+    // The driver path now runs the broad catalog on worker threads; the
+    // contract is identical to sequential: parquet per query, complete
+    // correctness_self.json row counts, complete verify_timing.json.
+    val out = Files.createTempDirectory("graft-verify-par").toString
+    val names = Set("q1_agg", "q_ts_convention", "q_join_semi", "q_sort_limit")
+    val errors = Verify.run(spark, "/root/testdata/sf0.001", out, names,
+      parallelism = 4)
+    assert(errors.isEmpty, s"expected no failures, got $errors")
+    names.foreach { n =>
+      assert(new java.io.File(s"$out/$n").isDirectory, s"missing parquet for $n")
+    }
+    val self = Files.readString(java.nio.file.Paths.get(s"$out/correctness_self.json"))
+    names.foreach { n =>
+      assert(self.contains("\"" + n + "\""), s"correctness_self.json missing $n")
+    }
+    // self-reported row counts equal what the parquet actually holds
+    val q1Rows = spark.read.parquet(s"$out/q1_agg").count()
+    assert(self.contains(s""""q1_agg": "$q1Rows""""),
+      s"self summary must carry q1_agg's true row count $q1Rows, got: $self")
+    val timing = Files.readString(java.nio.file.Paths.get(s"$out/verify_timing.json"))
+    names.foreach(n => assert(timing.contains("\"" + n + "\"")))
+  }
+
+  test("budget resolution: driver-style defaults to 150s, everything else unlimited") {
+    // driver contract = no flags, exactly two positional args
+    assert(Verify.resolveBudget(Nil, Seq("sf", "out"), Map.empty)
+      == Verify.driverDefaultBudgetSec)
+    // subset invocation (3+ positional): unlimited
+    assert(Verify.resolveBudget(Nil, Seq("sf", "out", "q1_agg"), Map.empty)
+      == Double.MaxValue)
+    // explicit flag wins over everything
+    assert(Verify.resolveBudget(Seq("--budget-sec=7"), Seq("sf", "out"),
+      Map("SPARK_GRAFT_VERIFY_BUDGET_SEC" -> "9")) == 7.0)
+    // env wins over the default
+    assert(Verify.resolveBudget(Nil, Seq("sf", "out"),
+      Map("SPARK_GRAFT_VERIFY_BUDGET_SEC" -> "9")) == 9.0)
+    // a flagged two-arg invocation is NOT driver-style
+    assert(Verify.resolveBudget(Seq("--par=4"), Seq("sf", "out"), Map.empty)
+      == Double.MaxValue)
+  }
+
+  test("parallelism resolution: flag > env > max(2, cpus/4)") {
+    assert(Verify.resolvePar(Seq("--par=6"), 32,
+      Map("SPARK_GRAFT_VERIFY_PAR" -> "3")) == 6)
+    assert(Verify.resolvePar(Nil, 32, Map("SPARK_GRAFT_VERIFY_PAR" -> "3")) == 3)
+    assert(Verify.resolvePar(Nil, 32, Map.empty) == 8)
+    assert(Verify.resolvePar(Nil, 4, Map.empty) == 2, "floor of 2 at small cpus")
+  }
+
   test("heavyTail names resolve to real catalog queries") {
     val ghosts = Verify.heavyTail.filterNot(SparkEntry.queries.contains)
     assert(ghosts.isEmpty,
