@@ -132,4 +132,30 @@ class GraphRankSpec extends SparkSpec {
     // nodes 3,4: degree 2, one triangle, clique-local -> 1e6
     assert(r(3L) == ((2L, 1L, 1000000L)) && r(4L) == ((2L, 1L, 1000000L)), s"$r")
   }
+
+  test("triangleCensus: reversed, duplicated, and self-loop edges are " +
+    "normalized away — census identical to the canonical input") {
+    // advisor round 15: the doc_a < doc_b distinct-edge contract was only
+    // stated in the scaladoc; a careless caller would have silently
+    // inflated degrees and multiplied triangle counts
+    import spark.implicits._
+    val canonical = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val messy = Seq(
+      (2L, 1L),          // reversed
+      (1L, 3L), (3L, 1L), // duplicate, once reversed
+      (1L, 4L), (1L, 4L), // exact duplicate
+      (3L, 2L),          // reversed
+      (2L, 4L),
+      (5L, 5L)           // self-loop: dropped entirely
+    ).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    val want = asMap(GraphRank.triangleCensus(canonical))
+    val got = asMap(GraphRank.triangleCensus(messy))
+    assert(got == want, s"messy input must normalize to the canonical " +
+      s"census; got $got want $want")
+    assert(!got.contains(5L), "a self-loop-only node is not part of the graph")
+  }
 }

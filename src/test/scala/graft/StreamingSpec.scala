@@ -87,6 +87,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topkPerWindow survives a late event for an already-passed window " +
+    "(timeout clamped to the watermark instead of throwing)") {
+    // advisor round 15: setTimeoutTimestamp(window end) threw
+    // IllegalArgumentException once the watermark had passed the window —
+    // an unordered/live feed could kill the query. The clamp lets the
+    // late-recreated window state flush on a later trigger instead.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def at(s: String) = Timestamp.valueOf(s)
+    val ms = MemoryStream[Event]
+    val q = Streams.topkPerWindow(ms.toDS())
+      .writeStream.format("memory").queryName("topk_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [00:00,01:00) opens; watermark still before its end
+      ms.addData(Event(1, at("2024-01-01 00:05:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // watermark jumps to 02:50 after this batch; next trigger times out
+      // and emits window 0
+      ms.addData(Event(2, at("2024-01-01 03:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // LATE event for the long-closed window 0 (type "scroll" so a late
+      // flush is distinguishable from the regular close): recreates its
+      // state with the watermark (02:50) already past the window end
+      // (01:00) — the un-clamped code threw here and failed the query
+      ms.addData(Event(3, at("2024-01-01 00:20:00"), 1, "scroll", 1.0))
+      q.processAllAvailable()
+      // more batches so the clamped timeout (wm+1ms) passes and any
+      // late-recreated state flushes
+      ms.addData(Event(4, at("2024-01-01 03:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(5, at("2024-01-01 04:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(6, at("2024-01-01 05:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val w0us = at("2024-01-01 00:00:00").getTime * 1000L
+      val w0 = spark.table("topk_late").collect()
+        .filter(_.getLong(0) == w0us) // window [00:00,01:00)
+        .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      // the regular close must have emitted, the query must still be
+      // alive (the un-clamped code died at batch 3), and IF the late row
+      // reached the operator its flush is a late correction row
+      assert(w0.toSeq.headOption.contains(("view", 1L, 1)),
+        s"window 0's regular close must emit, got ${w0.toSeq}")
+      assert(w0.toSeq.forall(r => r == (("view", 1L, 1)) || r == (("scroll", 1L, 1))),
+        s"unexpected window-0 rows: ${w0.toSeq}")
+      assert(q.exception.isEmpty, s"query must survive the late event: ${q.exception}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits sessions when the gap closes them") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
