@@ -52,6 +52,24 @@ object Tables {
     new java.io.File(sys.props("java.io.tmpdir"), s"${prefix}_$md").getAbsolutePath
   }
 
+  private val stagingLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Materialize a staging path exactly once across threads: per-path
+    * JVM lock, completion re-checked under it. The parallel Verify broad
+    * phase (round 16) can dequeue two queries that stage the SAME
+    * directory — q_partitioned_write and q_join_dpp share the
+    * lang-partitioned store — and an unguarded check-then-overwrite
+    * would race two Spark overwrite jobs on one path (both delete the
+    * target, both write through the same _temporary dir). `done` is the
+    * site's own completion marker (_SUCCESS, a .done file, catalog
+    * tables); `write` runs only if `done` is still false under the
+    * lock. */
+  def stageOnce(base: String)(done: => Boolean)(write: => Unit): Unit = {
+    val lock = stagingLocks.computeIfAbsent(base, _ => new Object)
+    lock.synchronized { if (!done) write }
+  }
+
   /** Bench mode (`-Dgraft.bench.noSort=true`): measurement-oriented query
     * construction — no presentation sort, natural double aggregation, and
     * production (xxhash64) hash families where the oracle gate substitutes

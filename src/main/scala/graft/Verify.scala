@@ -101,6 +101,10 @@ object Verify {
     // ---- partial-proof: all static artifacts land before query #1 ----
     writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     writeJsonMap(s"$outDir/verify_errors.json", errors)
+    // a reused outDir must not inherit a previous run's skip list — the
+    // file is only (re)written when THIS run skips something, and main()
+    // reads it back for the success line
+    Files.deleteIfExists(Paths.get(s"$outDir/verify_skipped.json"))
     Files.writeString(Paths.get(s"$outDir/provenance.json"),
       s"""{"sha":"${Provenance.gitSha()}","ts":"${Provenance.nowIso}","sf":${q(sfDir)}}""")
     val t0 = System.nanoTime()
@@ -211,11 +215,26 @@ object Verify {
     * where the default is `driverDefaultBudgetSec` ONLY for a
     * driver-style invocation (no flags, exactly two positional args) and
     * unlimited otherwise (local subset iteration must never be cut). */
+  /** Tolerant numeric env parse: a malformed value (empty string, "auto",
+    * stray whitespace) must degrade to the default with a warning, not
+    * crash main() before any artifact is written — an env typo would
+    * otherwise cost the whole round's correctness artifact, the exact
+    * total-loss mode the default budget defends against. Explicit FLAGS
+    * stay strict: a typo on the command line should fail loudly. */
+  private def envNum[T](env: Map[String, String], key: String,
+                        parse: String => T): Option[T] =
+    env.get(key).flatMap { v =>
+      try Some(parse(v.trim))
+      catch { case _: NumberFormatException =>
+        System.err.println(s"[verify] ignoring malformed $key='$v'"); None
+      }
+    }
+
   private[graft] def resolveBudget(flags: Seq[String], pos: Seq[String],
                                    env: Map[String, String]): Double =
     flags.collectFirst {
       case f if f.startsWith("--budget-sec=") => f.stripPrefix("--budget-sec=").toDouble
-    }.orElse(env.get("SPARK_GRAFT_VERIFY_BUDGET_SEC").map(_.toDouble))
+    }.orElse(envNum(env, "SPARK_GRAFT_VERIFY_BUDGET_SEC", _.toDouble))
       .getOrElse(if (flags.isEmpty && pos.length == 2) driverDefaultBudgetSec
                  else Double.MaxValue)
 
@@ -231,7 +250,7 @@ object Verify {
                                 env: Map[String, String]): Int =
     flags.collectFirst {
       case f if f.startsWith("--par=") => f.stripPrefix("--par=").toInt
-    }.orElse(env.get("SPARK_GRAFT_VERIFY_PAR").map(_.toInt))
+    }.orElse(envNum(env, "SPARK_GRAFT_VERIFY_PAR", _.toInt))
       .getOrElse(math.max(2, cpus / 4))
 
   def main(args: Array[String]): Unit = {
@@ -251,12 +270,12 @@ object Verify {
     // cpus, and the old default of 4 would have put the full catalog well
     // past a plausible driver timeout — verify wall time is a correctness-
     // artifact risk, not just a convenience
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
-    val par = resolvePar(flags.toSeq, cpus.toInt, sys.env)
+    val cpus = envNum(sys.env, "SPARK_GRAFT_CPUS", _.toInt)
+      .getOrElse(math.min(Runtime.getRuntime.availableProcessors(), 32))
+    val par = resolvePar(flags.toSeq, cpus, sys.env)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

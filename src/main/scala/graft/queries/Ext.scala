@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{t, ord}
+import graft.Tables.{t, ord, stageOnce}
 
 /** [EXT] LLM-data-pipeline operators (SURVEY.md §2d): deduplication families,
   * similarity search over embeddings, text analysis, multimodal plumbing.
@@ -1001,9 +1001,10 @@ object Ext {
           .getBytes("UTF-8")).map(b => f"$b%02x").mkString
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_jsonl_" + md.take(12)).getAbsolutePath
-      if (!new java.io.File(base, "_SUCCESS").isFile)
+      stageOnce(base)(new java.io.File(base, "_SUCCESS").isFile) {
         graft.sources.Sources.writeJsonl(
           t(s, dir, "documents").select("doc_id", "text", "lang"), base)
+      }
       val docs = graft.sources.Sources.readJsonl(s, base,
         org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id BIGINT, text STRING, lang STRING"))

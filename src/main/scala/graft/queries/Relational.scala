@@ -27,7 +27,7 @@ import org.apache.spark.sql.expressions.Window
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
-  import graft.Tables.{t, ord, dsum, stagingDir}
+  import graft.Tables.{t, ord, dsum, stagingDir, stageOnce}
 
   val all: Map[String, Q] = Map(
     // ---- scans / projection / filter (D1, D8; pushdown-compatible) ----
@@ -326,7 +326,7 @@ object Relational {
     "q_compact_store" -> ((s, dir) => {
       val base = stagingDir(s, dir, "documents", "graft_compact")
       val done = new java.io.File(base + ".done")
-      if (!done.isFile) {
+      stageOnce(base)(done.isFile) {
         graft.sources.Sources.writeRecords(
           graft.sources.Sources.fromTextColumn(
             t(s, dir, "documents"), "text").repartition(64), base)
@@ -352,10 +352,11 @@ object Relational {
     // free-text interchange belongs to JSONL (q_jsonl_ingest).
     "q_csv_roundtrip" -> ((s, dir) => {
       val base = stagingDir(s, dir, "orders", "graft_csv")
-      if (!new java.io.File(base, "_SUCCESS").isFile)
+      stageOnce(base)(new java.io.File(base, "_SUCCESS").isFile) {
         t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
           .write.mode("overwrite").option("header", "true").csv(base)
+      }
       ord(s.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE"))
@@ -374,10 +375,11 @@ object Relational {
     // type drift through the ORC writer/reader pair diverges.
     "q_orc_roundtrip" -> ((s, dir) => {
       val base = stagingDir(s, dir, "orders", "graft_orc")
-      if (!new java.io.File(base, "_SUCCESS").isFile)
+      stageOnce(base)(new java.io.File(base, "_SUCCESS").isFile) {
         t(s, dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
           .write.mode("overwrite").orc(base)
+      }
       ord(s.read.orc(base)
         .filter(col("o_totalprice") > 200000)
         .groupBy("o_orderstatus")
@@ -397,7 +399,7 @@ object Relational {
     // PlanCheckSpec). ZOrderSpec quantifies the locality win on a grid.
     "q_zorder_layout" -> ((s, dir) => {
       val base = stagingDir(s, dir, "lineitem", "graft_zorder")
-      if (!new java.io.File(base, "_SUCCESS").isFile) {
+      stageOnce(base)(new java.io.File(base, "_SUCCESS").isFile) {
         val zk = graft.functions.ZOrderKey.zorder_key(
           expr("l_partkey div 16"), expr("l_suppkey div 4"))
         t(s, dir, "lineitem")
@@ -427,9 +429,10 @@ object Relational {
     // lost, duplicated, or mis-partitioned by the write path diverges.
     "q_partitioned_write" -> ((s, dir) => {
       val base = stagingDir(s, dir, "documents", "graft_partitioned")
-      if (!new java.io.File(base, "_SUCCESS").isFile)
+      stageOnce(base)(new java.io.File(base, "_SUCCESS").isFile) {
         t(s, dir, "documents").select("doc_id", "n_chars", "source", "lang")
           .write.mode("overwrite").partitionBy("lang").parquet(base)
+      }
       ord(s.read.parquet(base)
         .filter(col("lang").isin("en", "de"))
         .groupBy("lang", "source")
@@ -446,10 +449,13 @@ object Relational {
     // dimension selects and scanning the store. Plan-asserted in
     // PlanCheckSpec; oracle recomputes from the original table.
     "q_join_dpp" -> ((s, dir) => {
+      // shares q_partitioned_write's staging — stageOnce's per-path lock
+      // is what lets two parallel Verify workers land on it safely
       val base = stagingDir(s, dir, "documents", "graft_partitioned")
-      if (!new java.io.File(base, "_SUCCESS").isFile)
+      stageOnce(base)(new java.io.File(base, "_SUCCESS").isFile) {
         t(s, dir, "documents").select("doc_id", "n_chars", "source", "lang")
           .write.mode("overwrite").partitionBy("lang").parquet(base)
+      }
       val dim = t(s, dir, "documents").groupBy("lang")
         .agg(count(lit(1)).as("n_lang")).filter(col("n_lang") >= 75)
       ord(s.read.parquet(base).join(dim, Seq("lang"))
@@ -471,7 +477,7 @@ object Relational {
       val base = stagingDir(s, dir, "lineitem", "graft_bucketed")
       val fp = base.substring(base.lastIndexOf('_') + 1)
       val liT = s"li_bkt_$fp"; val oT = s"o_bkt_$fp"
-      if (!s.catalog.tableExists(liT) || !s.catalog.tableExists(oT)) {
+      stageOnce(base)(s.catalog.tableExists(liT) && s.catalog.tableExists(oT)) {
         graft.sources.Bucketing.writeBucketed(
           t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
           liT, s"$base/li", 8, Seq("l_orderkey"))
