@@ -107,6 +107,7 @@ object Bench {
     "q_dedup_simhash",
     "q_simhash_recall",
     "q_lsh_scurve",
+    "q_dedup_threshold_sweep",
     "q_shingle_df_hist",
     "q_pair_volume_forecast",
     "q_dedup_substrings",

@@ -811,6 +811,44 @@ object Ext {
         .withColumn("cand_rate",
           round(col("n_cand").cast("double") / col("n_pairs"), 6)))
     }),
+    // DEDUP THRESHOLD SWEEP — the keep-rate knob plot: for each candidate
+    // similarity cutoff, how many pairs survive and how many DISTINCT
+    // docs have at least one neighbor at or above it (the upper bound on
+    // what keep-one-per-component dedup can remove, before clustering).
+    // q_lsh_scurve tunes the banding around a chosen threshold; this row
+    // is how the threshold itself gets chosen — the corpus-side cost
+    // curve a 100 TB operator reads before committing a cutoff. One
+    // shared exact pair-graph pass (the same `tru` the recall audits
+    // pay), then a 5-threshold explode over pair-sized frames and a
+    // 5-row result; thresholds with zero matches keep their row.
+    "q_dedup_threshold_sweep" -> ((s, dir) => {
+      val canon = canonicalDocs(s, dir)
+      val tru = graft.operators.TextDedup.jaccardPairs(
+        canon, "doc_id", "text", threshold = 0.0,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val ths = Seq(0.1, 0.2, 0.3, 0.5, 0.7, 0.9)
+      def thCol = explode(array(ths.map(lit): _*)).as("t")
+      val th = s.range(1).select(thCol)
+      val pairsT = tru.select(thCol, col("jaccard"))
+        .filter(col("jaccard") >= col("t"))
+        .groupBy("t").agg(count(lit(1)).as("n_pairs"))
+      val docsT = tru
+        .select(col("jaccard"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+        .select(thCol, col("jaccard"), col("doc"))
+        .filter(col("jaccard") >= col("t"))
+        .groupBy("t").agg(countDistinct(col("doc")).as("n_docs_matched"))
+      val total = canon.agg(count(lit(1)).as("n_docs"))
+      ord(th.join(pairsT, Seq("t"), "left").join(docsT, Seq("t"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("t"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_matched"), lit(0L)).as("n_docs_matched"),
+          round(coalesce(col("n_docs_matched"), lit(0L)).cast("double") /
+            col("n_docs"), 6).as("matched_frac")))
+    }),
     // SHINGLE DOCUMENT-FREQUENCY HISTOGRAM — the audit behind the maxDf
     // pruning knob every inverted-index pair generator here exposes: how
     // the 3-token shingle vocabulary distributes over log2 df buckets
@@ -3568,6 +3606,32 @@ object Ext {
          |  CAST(COUNT(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_cand,
          |  round(CAST(COUNT(CASE WHEN hit THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS cand_rate
          |FROM f GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // same exact-jaccard truth chain as q_lsh_scurve, swept over cutoffs;
+    // scalar subqueries keep zero-match thresholds as explicit rows
+    "q_dedup_threshold_sweep" ->
+      """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM canon
+        |      WHERE len(string_split_regex(text, '\s+')) >= 3),
+        |shs AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s FROM w)),
+        |sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM shs),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |tru AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS j
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id),
+        |ends AS (SELECT j, doc_a AS doc FROM tru UNION ALL SELECT j, doc_b AS doc FROM tru),
+        |th AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.5, 0.7, 0.9]) AS DOUBLE) AS t)
+        |SELECT t,
+        |  CAST((SELECT COUNT(*) FROM tru WHERE j >= t) AS BIGINT) AS n_pairs,
+        |  CAST((SELECT COUNT(DISTINCT doc) FROM ends WHERE j >= t) AS BIGINT) AS n_docs_matched,
+        |  round(CAST((SELECT COUNT(DISTINCT doc) FROM ends WHERE j >= t) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM canon), 6) AS matched_frac
+        |FROM th ORDER BY ALL NULLS FIRST""".stripMargin,
     // the jaccard sh chain's per-shingle df, bucketed by bit length
     "q_shingle_df_hist" ->
       """WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),

@@ -209,7 +209,12 @@ class PlanCheckSpec extends SparkSpec {
       // a 1-row utilization summary finalizing from per-partition
       // partials over the pack-id aggregate — the q_tfidf shape on top
       // of the already-allowed pack chain.
-      "q_pack_efficiency")
+      "q_pack_efficiency",
+      // q_dedup_threshold_sweep: the serial exchange is the 1-row canon
+      // doc-count (matched_frac's denominator) finalizing from
+      // per-partition count partials — the q_compact_store shape; the
+      // per-threshold aggregates themselves hash-exchange on t.
+      "q_dedup_threshold_sweep")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None
