@@ -216,7 +216,16 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // tolerant parse (round 16, same as Verify): a malformed
+    // SPARK_GRAFT_CPUS must degrade to the default with a warning, not
+    // kill the run before the artifact lines print
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap { v =>
+      try Some(v.trim.toInt.toString)
+      catch { case _: NumberFormatException =>
+        System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_CPUS='$v'")
+        None
+      }
+    }.getOrElse("32")
     // optional args: benchmark only these queries (local A/B iteration
     // aid; the driver always runs arg-less = the full headline set).
     // Any catalog query is addressable by name, not just headline members.
