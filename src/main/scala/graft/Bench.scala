@@ -108,6 +108,7 @@ object Bench {
     "q_simhash_recall",
     "q_lsh_scurve",
     "q_dedup_threshold_sweep",
+    "q_dup_quality_bias",
     "q_shingle_df_hist",
     "q_pair_volume_forecast",
     "q_dedup_substrings",

@@ -600,6 +600,39 @@ object Ext {
           (col("n_exact_dup") + col("n_near_dup")).cast("double") /
             col("n_docs"), 6)))
     }),
+    // DUPLICATION-QUALITY BIAS — are a feed's duplicates boilerplate?
+    // Per (source, ledger status): doc count and the mean quality
+    // signals (chars, stopword ratio, short-token ratio) of that tier.
+    // The curation call made right after the ledger: if a source's dups
+    // score WORSE than its keepers (high stop/short ratios, short docs),
+    // dedup is doubling as quality filtering there and the feed likely
+    // carries templated text; if dups look like keepers, dedup is pure
+    // redundancy removal and the quality pipeline owes nothing to it.
+    // The ledger chain + q_text_quality's one-pass word_scan + one
+    // metadata join; averages are DECIMAL-routed sums over per-doc
+    // 6dp-rounded ratios, so both engines aggregate bit-identically.
+    "q_dup_quality_bias" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+      val scan = graft.functions.WordScan.word_scan(col("text"), stop, 2)
+      val q = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          length(col("text")).as("n_chars"), scan.as("sc"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("sc").getItem(0) /
+            col("sc").getItem(3).cast("double"), 6).as("stop_ratio"),
+          round(col("sc").getItem(1) /
+            col("sc").getItem(3).cast("double"), 6).as("short_ratio"))
+      ord(curationLedger(s, dir).select(col("doc_id"), col("status"))
+        .join(q, "doc_id")
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") /
+            count(lit(1)), 6).as("avg_chars"),
+          round(sum(col("stop_ratio").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_stop_ratio"),
+          round(sum(col("short_ratio").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_short_ratio")))
+    }),
     // CROSS-SOURCE DUPLICATION MATRIX — which sources mirror each
     // other: near-dup pair counts bucketed by the (source, source) of
     // their endpoints (unordered, so the matrix is upper-triangular).
@@ -5703,6 +5736,24 @@ object Ext {
          |FROM led JOIN documents d USING (doc_id)
          |GROUP BY d.source
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // ledger statuses joined to the q_text_quality per-doc signals,
+    // DECIMAL-routed means per (source, status)
+    "q_dup_quality_bias" ->
+      s"""$ledgerCtes,
+         |q AS (SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars,
+         |  round(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|for|on|with)\\b')) /
+         |    CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 6) AS stop_ratio,
+         |  round(len(regexp_extract_all(text, '\\b\\w{1,2}\\b')) /
+         |    CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 6) AS short_ratio
+         | FROM documents)
+         |SELECT d.source, l.status,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  round(CAST(SUM(q.n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+         |  round(CAST(SUM(CAST(q.stop_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_stop_ratio,
+         |  round(CAST(SUM(CAST(q.short_ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_short_ratio
+         |FROM led l JOIN documents d USING (doc_id) JOIN q USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
     // family split: draw on COALESCE(component rep, exact rep) — the
     // same g/comp chain the ledger replays
     "q_split_by_family" ->
