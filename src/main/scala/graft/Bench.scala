@@ -109,6 +109,7 @@ object Bench {
     "q_lsh_scurve",
     "q_dedup_threshold_sweep",
     "q_dup_quality_bias",
+    "q_embed_dim_variance",
     "q_shingle_df_hist",
     "q_pair_volume_forecast",
     "q_dedup_substrings",

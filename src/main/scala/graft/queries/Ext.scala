@@ -1465,6 +1465,33 @@ object Ext {
     // expressions are fixed double trees over those exact sums — so the
     // oracle replays every comparison bit-for-bit. One assignment scan;
     // everything after is k-row.
+    // DEAD/COLLAPSED-DIMENSION AUDIT — per embedding dimension: count,
+    // mean, sample variance, min, max. The encoder health check read
+    // BEFORE committing to PCA/MRL truncation or SQ8 ranges: a
+    // near-zero-variance dimension carries no signal (truncate it for
+    // free), a saturated min/max hints at clipping upstream, and a mean
+    // far from 0 breaks symmetric quantizers. One posexplode +
+    // dim-keyed aggregate (dims-sized output); the q_embed_outliers
+    // DECIMAL power-sum recipe per dimension, so both engines aggregate
+    // bit-identically.
+    "q_embed_dim_variance" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "x0")))
+        .select(col("dim"), round(col("x0"), 6).as("x"))
+      val xd = col("x").cast("decimal(18,6)")
+      ord(e.groupBy("dim").agg(
+          count(lit(1)).as("n_vecs"),
+          sum(xd).cast("double").as("s1"),
+          sum(xd * xd).cast("double").as("s2"),
+          round(min(col("x")), 6).as("min_x"),
+          round(max(col("x")), 6).as("max_x"))
+        .select(col("dim"), col("n_vecs"),
+          round(col("s1") / col("n_vecs"), 6).as("mean"),
+          round((col("s2") - col("s1") * col("s1") / col("n_vecs")) /
+            (col("n_vecs") - 1), 6).as("variance"),
+          col("min_x"), col("max_x")))
+    }),
     "q_embed_outliers" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
@@ -4000,6 +4027,25 @@ object Ext {
          |  round(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 6) AS imbalance,
          |  round(CAST(SUM(n * n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * SUM(n)), 6) AS scan_frac_1probe
          |FROM cell ORDER BY ALL NULLS FIRST""".stripMargin,
+    // per-dimension DECIMAL power sums over 6dp-rounded values — the
+    // q_embed_outliers recipe keyed by dimension
+    "q_embed_dim_variance" ->
+      """WITH x AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim,
+        |    round(CAST(embedding[i] AS DOUBLE), 6) AS x
+        |  FROM embeddings, range(1, 65) r(i)),
+        |s AS (
+        |  SELECT dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+        |    round(MIN(x), 6) AS min_x,
+        |    round(MAX(x), 6) AS max_x
+        |  FROM x GROUP BY dim)
+        |SELECT dim, CAST(n AS BIGINT) AS n_vecs,
+        |  round(s1 / n, 6) AS mean,
+        |  round((s2 - s1 * s1 / n) / (n - 1), 6) AS variance,
+        |  min_x, max_x
+        |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
     // the Lloyd chain + per-vector squared distance to the final
     // centroid (rounded to 6), DECIMAL power sums, fixed double z tree
     "q_embed_outliers" ->
