@@ -91,11 +91,14 @@ object Verify {
     * deferred to the phase boundary during the parallel phase; at sf0.01
     * the deferred blocks are a few MB.
     *
-    * Returns the failure map; session lifecycle stays with the caller so
-    * the spec can drive this with the shared test session. */
+    * Returns the failure map and the budget-skipped names (main() reports
+    * both without re-parsing its own JSON artifacts — advisor round 16:
+    * the old regex recount was coupled to writeJsonMap's exact output
+    * shape); session lifecycle stays with the caller so the spec can
+    * drive this with the shared test session. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           only: Set[String], budgetSec: Double = Double.MaxValue,
-          parallelism: Int = 1): Map[String, String] = {
+          parallelism: Int = 1): VerifyResult = {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // ---- partial-proof: all static artifacts land before query #1 ----
@@ -154,23 +157,34 @@ object Verify {
     }
     val (broad, tail) = ordered.partition { case (n, _) => !heavyTail.contains(n) }
     if (parallelism > 1 && broad.nonEmpty) {
-      val queue = new java.util.concurrent.ConcurrentLinkedQueue[
-        (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
-      broad.foreach(queue.add)
-      val workers = (1 to parallelism).map { i =>
-        val th = new Thread(() => {
-          var next = queue.poll()
-          while (next != null) {
-            if (elapsedSec > budgetSec)
-              ioLock.synchronized { skipped += next._1 }
-            else runQuery(next._1, next._2, sweep = false)
-            next = queue.poll()
-          }
-        }, s"verify-worker-$i")
-        th.setDaemon(true); th.start(); th
+      // checkpointed blocks cannot be released while OTHER workers are in
+      // flight (releaseAll is session-global), but deferring the sweep to
+      // the end of the whole broad phase lets ~250 queries' blocks pile up
+      // (advisor round 16 — bounded at sf0.01, grows with SF). Middle
+      // ground: run the phase in chunks with a quiesce barrier + sweep
+      // between them, bounding live blocks to one chunk's worth. The
+      // parquet-backed PairGraphCache and the collected quantizer memos
+      // survive sweeps by design (sequential mode sweeps after EVERY
+      // query), so a mid-phase sweep costs nothing but the barrier.
+      broad.grouped(96).foreach { chunk =>
+        val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+          (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+        chunk.foreach(queue.add)
+        val workers = (1 to parallelism).map { i =>
+          val th = new Thread(() => {
+            var next = queue.poll()
+            while (next != null) {
+              if (elapsedSec > budgetSec)
+                ioLock.synchronized { skipped += next._1 }
+              else runQuery(next._1, next._2, sweep = false)
+              next = queue.poll()
+            }
+          }, s"verify-worker-$i")
+          th.setDaemon(true); th.start(); th
+        }
+        workers.foreach(_.join())
+        graft.plans.Checkpoints.releaseAll(spark)
       }
-      workers.foreach(_.join())
-      graft.plans.Checkpoints.releaseAll(spark)
       tail.foreach { case (name, fn) =>
         if (elapsedSec > budgetSec) skipped += name
         else runQuery(name, fn, sweep = true)
@@ -192,8 +206,13 @@ object Verify {
     println(f"[verify] total wall ${elapsedSec}%.1fs, " +
       s"${ordered.size - skipped.size - errors.size} ok / ${errors.size} failed" +
       (if (skipped.nonEmpty) s" / ${skipped.size} skipped" else ""))
-    errors.toMap
+    VerifyResult(errors.toMap, skipped.toSeq)
   }
+
+  /** What a `run` did: per-query failure messages and the names the wall
+    * budget skipped. */
+  final case class VerifyResult(errors: Map[String, String],
+                                skipped: Seq[String])
 
   /** Default wall budget for a DRIVER-STYLE invocation (exactly two
     * positional args, no flags — the driver's exact contract). Rounds
@@ -230,11 +249,19 @@ object Verify {
       }
     }
 
+  /** `--budget-sec=none` (or env value "none") is the documented escape
+    * hatch: a slow box that needs the FULL catalog in a two-arg
+    * invocation opts out of the driver default explicitly instead of
+    * having the heavy tail silently dropped. */
+  private def parseBudget(v: String): Double =
+    if (v.trim.equalsIgnoreCase("none")) Double.MaxValue else v.trim.toDouble
+
   private[graft] def resolveBudget(flags: Seq[String], pos: Seq[String],
                                    env: Map[String, String]): Double =
     flags.collectFirst {
-      case f if f.startsWith("--budget-sec=") => f.stripPrefix("--budget-sec=").toDouble
-    }.orElse(envNum(env, "SPARK_GRAFT_VERIFY_BUDGET_SEC", _.toDouble))
+      case f if f.startsWith("--budget-sec=") =>
+        parseBudget(f.stripPrefix("--budget-sec="))
+    }.orElse(envNum(env, "SPARK_GRAFT_VERIFY_BUDGET_SEC", parseBudget))
       .getOrElse(if (flags.isEmpty && pos.length == 2) driverDefaultBudgetSec
                  else Double.MaxValue)
 
@@ -260,7 +287,7 @@ object Verify {
       f.startsWith("--budget-sec=") || f.startsWith("--par="))
     if (badFlags.nonEmpty) {
       System.err.println(s"[verify] unknown flag(s): ${badFlags.mkString(", ")} — " +
-        "valid: --budget-sec=N --par=N"); sys.exit(2)
+        "valid: --budget-sec=N|none --par=N"); sys.exit(2)
     }
     val sfDir = pos(0); val outDir = pos(1)
     // optional: extra args select a subset of queries (local iteration aid;
@@ -280,19 +307,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val errors = run(spark, sfDir, outDir, only, budget, par)
+    val result = run(spark, sfDir, outDir, only, budget, par)
+    val errors = result.errors
     // rc stays 0 even on failures: the driver must still run the DuckDB
     // compare on the queries that DID produce output — one regression
     // should cost one row, not the round.
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     val attempted = SparkEntry.queries.count { case (n, _) => only.isEmpty || only(n) }
-    val nSkipped = { // budget-skipped rows are not successes (round-16 fix:
-      // the old line printed "280/280" over a run that skipped 122)
-      val f = new java.io.File(s"$outDir/verify_skipped.json")
-      if (!f.isFile) 0
-      else "\"[^\"]+\"\\s*:".r.findAllIn(Files.readString(f.toPath)).length
-    }
+    // budget-skipped rows are not successes (round-16 fix: the old line
+    // printed "280/280" over a run that skipped 122)
+    val nSkipped = result.skipped.size
     println(s"[verify] succeeded ${attempted - errors.size - nSkipped}/$attempted" +
       (if (nSkipped > 0) s" ($nSkipped budget-skipped)" else ""))
     spark.stop()

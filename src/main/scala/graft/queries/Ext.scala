@@ -84,14 +84,34 @@ object Ext {
   // the same width with the identical algorithm (see MinHashSig.portable).
 
   /** Deterministic random-hyperplane LSH: an 8x64 sign matrix derived from
-    * md5 bits at build time and embedded as a LITERAL in both the Spark
+    * md5 bits at build time and embedded as CONSTANTS in both the Spark
     * expression and the DuckDB oracle — same buckets on both engines by
     * construction (no runtime hashing of dims). Shared with the streaming
     * embedding near-dup operator via [[graft.functions.LshPlanes]]. */
   private[queries] val LshPlanes: IndexedSeq[IndexedSeq[Int]] =
     graft.functions.LshPlanes.planes
-  private def lshDuckLit: String =
-    LshPlanes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** The 8×64 sign matrix emitted as CTE text
+    * that binds the planes ONCE as an 8-row VALUES table. Indexing an
+    * inline nested-list literal per element (`(lit)[j+1][d]` inside a
+    * comprehension) makes DuckDB re-construct the full 512-element
+    * constant per access — measured 35 s for 500 vectors vs 0.02 s for
+    * this join form, same buckets bit-for-bit. Expects an upstream CTE
+    * `v(vec_id, v DOUBLE[])`; emits `b(vec_id, v, bucket)` exactly like
+    * the literal form it replaces. */
+  private def lshBucketCtes: String = {
+    val rows = LshPlanes.zipWithIndex
+      .map { case (p, j) => s"($j, ${p.mkString("[", ",", "]")}::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""hp AS (SELECT j, hv FROM (VALUES
+       |    $rows) t(j, hv)),
+       |lsh_bits AS (SELECT vec_id,
+       |  CASE WHEN list_sum([hv[d] * v[d] FOR d IN range(1, 65)]) >= 0
+       |    THEN (1::BIGINT << j) ELSE 0 END AS bit FROM v CROSS JOIN hp),
+       |lsh_sig AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+       |  FROM lsh_bits GROUP BY vec_id),
+       |b AS (SELECT v.vec_id, v.v, s.bucket FROM v JOIN lsh_sig s USING (vec_id))""".stripMargin
+  }
 
   /** The 8-bit random-hyperplane sign bucket over a `v: ARRAY<DOUBLE>`
     * column (shared by `q_knn_lsh` and `q_dedup_embedding_lsh`): eight
@@ -852,8 +872,8 @@ object Ext {
     // is how the threshold itself gets chosen — the corpus-side cost
     // curve a 100 TB operator reads before committing a cutoff. One
     // shared exact pair-graph pass (the same `tru` the recall audits
-    // pay), then a 5-threshold explode over pair-sized frames and a
-    // 5-row result; thresholds with zero matches keep their row.
+    // pay), then a 6-threshold explode over pair-sized frames and a
+    // 6-row result; thresholds with zero matches keep their row.
     "q_dedup_threshold_sweep" -> ((s, dir) => {
       val canon = canonicalDocs(s, dir)
       val tru = graft.operators.TextDedup.jaccardPairs(
@@ -3475,6 +3495,75 @@ object Ext {
   private val M64 = "CAST('18446744073709551616' AS HUGEINT)"
   private val M63 = "CAST('9223372036854775808' AS HUGEINT)"
 
+  /** 64-bit wrap-around product of two HUGEINT expressions each < 2^64:
+    * the left operand is split at 2^32 so every intermediate stays below
+    * 2^97 — HUGEINT is 127-bit, so a direct 64×64-bit product would
+    * overflow. */
+  private def mulModSql(a: String, b: String): String =
+    s"((((($a) // 4294967296) * ($b)) % 4294967296 * 4294967296 + (($a) % 4294967296) * ($b)) % $M64)"
+
+  private val HashMod = BigInt(1) << 64
+  private val HashB = BigInt(1000003)
+  private val HashBInv = HashB.modInverse(HashMod)
+
+  /** Prefix-hash CTE chain over each document's UTF-8 bytes under the
+    * catalog's polynomial fingerprint h = fold((a,b) -> (a·1000003 + b)
+    * mod 2^64). O(total bytes) instead of the O(bytes × 32) per-window
+    * `list_reduce` comprehension it replaces — the four rolling-hash
+    * oracles measured ~6 s EACH at sf0.01 (two thirds of the whole
+    * catalog's post-materialization DuckDB wall) because DuckDB
+    * re-allocates the 32-element slice + lambda chain per window.
+    *
+    * Identity (B = 1000003 is odd, hence invertible mod 2^64):
+    *   P[n]    = Σ_{j≤n} b[j]·B^(n−j)          — the prefix hash
+    *           = B^n · Σ_{j≤n} b[j]·B^(−j)     — one windowed SUM
+    *   h(a,b]  = P[b] − P[a]·B^(b−a)           — any substring's hash
+    * Powers B^k / B^(−k) come from 16 chained square-and-multiply CTE
+    * levels (k < 65536; docs are ≤ ~600 bytes at every oracle SF —
+    * nesting the ladder as ONE expression would double the SQL text per
+    * bit instead). Assumes non-empty text (the generator guarantees
+    * ≥ 44 bytes; an empty doc would lose its P[0] = 0 row).
+    *
+    * Emits: `h(doc_id, hx, nb)`, `pw(k, bpow, ipow)` for k ≤ max(nb),
+    * `pre(doc_id, nb, pos, p)` = P[pos] for pos 1..nb, and
+    * `win(doc_id, nb, pos, hw)` = the 32-byte window hash ending at
+    * `pos ≥ 32` — exactly the `i IN range(nb−31)` window set of the
+    * replaced form with pos = i+32. */
+  private def prefixHashCtes(src: String): String = {
+    val levels = (0 until 16).map { j =>
+      val cb = HashB.modPow(BigInt(1) << j, HashMod)
+      val ci = HashBInv.modPow(BigInt(1) << j, HashMod)
+      s"""pw${j + 1} AS (SELECT k,
+         |  CASE WHEN (k >> $j) & 1 = 1 THEN ${mulModSql("bpow", s"CAST('$cb' AS HUGEINT)")} ELSE bpow END AS bpow,
+         |  CASE WHEN (k >> $j) & 1 = 1 THEN ${mulModSql("ipow", s"CAST('$ci' AS HUGEINT)")} ELSE ipow END AS ipow
+         |  FROM pw$j)""".stripMargin
+    }.mkString(",\n")
+    val b32 = s"CAST('${HashB.modPow(BigInt(32), HashMod)}' AS HUGEINT)"
+    s"""h AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM $src),
+       |mx AS MATERIALIZED (SELECT max(nb) AS mx FROM h),
+       |pw0 AS (SELECT CAST(t.k AS INT) AS k, CAST(1 AS HUGEINT) AS bpow, CAST(1 AS HUGEINT) AS ipow
+       |  FROM mx, unnest(range(0, mx + 1)) AS t(k)),
+       |$levels,
+       |pw AS MATERIALIZED (SELECT * FROM pw16),
+       |byterows AS MATERIALIZED (
+       |  SELECT doc_id, nb, CAST(t.i AS INT) AS pos,
+       |    CAST(CAST('0x' || substr(hx, 2*t.i - 1, 2) AS BIGINT) AS HUGEINT) AS b
+       |  FROM h, unnest(range(1, nb + 1)) AS t(i)),
+       |hterms AS (SELECT br.doc_id, br.nb, br.pos, (br.b * pw.ipow) % $M64 AS term
+       |  FROM byterows br JOIN pw ON pw.k = br.pos),
+       |hsum AS (SELECT doc_id, nb, pos,
+       |    SUM(term) OVER (PARTITION BY doc_id ORDER BY pos) % $M64 AS sacc
+       |  FROM hterms),
+       |pre AS MATERIALIZED (SELECT hsum.doc_id, hsum.nb, hsum.pos, ${mulModSql("pw.bpow", "hsum.sacc")} AS p
+       |  FROM hsum JOIN pw ON pw.k = hsum.pos),
+       |lagp AS (SELECT doc_id, nb, pos, p,
+       |    COALESCE(lag(p, 32) OVER (PARTITION BY doc_id ORDER BY pos), CAST(0 AS HUGEINT)) AS p0
+       |  FROM pre),
+       |win AS MATERIALIZED (SELECT doc_id, nb, pos,
+       |    (p - ${mulModSql("p0", b32)} + $M64) % $M64 AS hw
+       |  FROM lagp WHERE pos >= 32)""".stripMargin
+  }
+
   private val minhashMins: String = (0 until 32).map(i =>
     s"min((${aCoef(i)} * base + ${bCoef(i)}) % $MinHashP) AS h$i").mkString(",\n  ")
   private val minhashArr: String = (0 until 32).map(i => s"h$i").mkString("[", ", ", "]")
@@ -3819,9 +3908,7 @@ object Ext {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_knn_lsh" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v,
-         |  list_sum([CASE WHEN list_sum([($lshDuckLit)[j + 1][d] * v[d] FOR d IN range(1, 65)]) >= 0
-         |    THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(8)]) AS bucket FROM v),
+         |$lshBucketCtes,
          |n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb FROM n WHERE vec_id < 10),
          |scored AS (
@@ -3927,45 +4014,34 @@ object Ext {
         |FROM cap WHERE rk <= 100 GROUP BY 1, 2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_chunk_cdc" ->
-      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hxx, octet_length(encode(text)) AS nb FROM documents),
-         |bytes AS (SELECT doc_id, nb,
-         |    [CAST('0x' || substr(hxx, 2*i + 1, 2) AS BIGINT) FOR i IN range(nb)] AS bs
-         |  FROM h),
-         |cuts AS (SELECT doc_id, nb,
-         |    CASE WHEN nb < 32 THEN 0 ELSE
-         |      len([i FOR i IN range(nb - 31)
-         |           IF list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |                list_transform(bs[i+1:i+32], b -> CAST(b AS HUGEINT))),
-         |                (a, b) -> (a * 1000003 + b) % $M64) % 64 = 0])
-         |    END AS n_cuts
-         |  FROM bytes)
-         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, CAST(n_cuts AS BIGINT) AS n_cuts,
-         |  CAST(n_cuts + 1 AS BIGINT) AS n_chunks
-         |FROM cuts ORDER BY ALL NULLS FIRST""".stripMargin,
+      s"""WITH ${prefixHashCtes("documents")},
+         |nc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cuts
+         |  FROM win WHERE hw % 64 = 0 GROUP BY doc_id)
+         |SELECT h.doc_id, CAST(h.nb AS BIGINT) AS n_bytes,
+         |  COALESCE(nc.n_cuts, 0) AS n_cuts,
+         |  COALESCE(nc.n_cuts, 0) + 1 AS n_chunks
+         |FROM h LEFT JOIN nc USING (doc_id) ORDER BY ALL NULLS FIRST""".stripMargin,
     // replays every cut position (window hash mod 2^64, low 6 bits
     // zero), splits the byte list at the cuts (+ trailing remainder),
     // re-hashes each chunk with the same polynomial, and groups on the
     // signed 64-bit chunk key exactly like the Spark side
     "q_dedup_chunks_cdc" ->
-      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
-         |bytes AS (SELECT doc_id, nb, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(nb)] AS bs FROM h),
-         |cuts AS (SELECT doc_id, nb, bs,
-         |    [i + 32 FOR i IN range(nb - 31)
-         |     IF list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |          list_transform(bs[i+1:i+32], b -> CAST(b AS HUGEINT))),
-         |          (a, b) -> (a * 1000003 + b) % $M64) % 64 = 0] AS cs
-         |  FROM bytes),
-         |bounds AS (SELECT doc_id, bs,
-         |    list_concat(list_prepend(0, cs),
-         |      CASE WHEN len(cs) = 0 THEN [nb]
-         |           WHEN cs[len(cs)] < nb THEN [nb]
-         |           ELSE [] END) AS bd
-         |  FROM cuts),
-         |ch AS (SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |      list_transform(bs[bd[ci+1]+1 : bd[ci+2]], b -> CAST(b AS HUGEINT))),
-         |      (a, b) -> (a * 1000003 + b) % $M64) AS hu
-         |  FROM bounds, unnest(range(len(bd) - 1)) AS u(ci))
+      s"""WITH ${prefixHashCtes("documents")},
+         |bd AS (SELECT doc_id, nb, list_prepend(0, list_sort(list(pos))) AS bd0
+         |  FROM win WHERE hw % 64 = 0 GROUP BY doc_id, nb),
+         |bdall AS (SELECT h.doc_id, h.nb, COALESCE(bd.bd0, [0]) AS bd0
+         |  FROM h LEFT JOIN bd USING (doc_id, nb)),
+         |bounds AS (SELECT doc_id, nb,
+         |    CASE WHEN bd0[len(bd0)] < nb THEN list_concat(bd0, [nb]) ELSE bd0 END AS bd
+         |  FROM bdall),
+         |spans AS (SELECT doc_id, bd[ci+1] AS a, bd[ci+2] AS b
+         |  FROM bounds, unnest(range(len(bd) - 1)) AS u(ci)),
+         |pa AS (SELECT s.doc_id, s.a, s.b, COALESCE(x.p, CAST(0 AS HUGEINT)) AS pa
+         |  FROM spans s LEFT JOIN pre x ON x.doc_id = s.doc_id AND x.pos = s.a),
+         |ch AS (SELECT p2.doc_id,
+         |    (x.p - ${mulModSql("p2.pa", "pw.bpow")} + $M64) % $M64 AS hu
+         |  FROM pa p2 JOIN pre x ON x.doc_id = p2.doc_id AND x.pos = p2.b
+         |  JOIN pw ON pw.k = p2.b - p2.a)
          |SELECT CAST(CASE WHEN hu >= $M63 THEN hu - $M64 ELSE hu END AS BIGINT) AS chunk_key,
          |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -3973,19 +4049,11 @@ object Ext {
          |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_fingerprint" ->
-      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM documents),
-         |bytes AS (SELECT doc_id, nb, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(nb)] AS bs FROM h),
-         |fp AS (SELECT doc_id, nb, bs,
-         |  list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(bs, b -> CAST(b AS HUGEINT))),
-         |              (a, b) -> (a * 1000003 + b) % $M64) AS fpu
-         |  FROM bytes),
-         |mw AS (SELECT doc_id, fpu,
-         |  CASE WHEN nb <= 32 THEN fpu
-         |       ELSE list_min([list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |              list_transform(bs[i+1:i+32], b -> CAST(b AS HUGEINT))),
-         |              (a, b) -> (a * 1000003 + b) % $M64)
-         |            FOR i IN range(nb - 31)])
-         |  END AS mwu FROM fp)
+      s"""WITH ${prefixHashCtes("documents")},
+         |fp AS (SELECT doc_id, nb, p AS fpu FROM pre WHERE pos = nb),
+         |mn AS (SELECT doc_id, min(hw) AS mn FROM win GROUP BY doc_id),
+         |mw AS (SELECT f.doc_id, f.fpu, CASE WHEN f.nb <= 32 THEN f.fpu ELSE m.mn END AS mwu
+         |  FROM fp f LEFT JOIN mn m USING (doc_id))
          |SELECT doc_id,
          |  CAST(CASE WHEN fpu >= $M63 THEN fpu - $M64 ELSE fpu END AS BIGINT) AS fp,
          |  CAST(CASE WHEN mwu >= $M63 THEN mwu - $M64 ELSE mwu END AS BIGINT) AS fp_min32
@@ -5297,19 +5365,14 @@ object Ext {
         |FROM tok t LEFT JOIN agg a USING (doc_id)
         |GROUP BY t.source ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_fingerprint" ->
-      s"""WITH canon AS (
+      s"""WITH canon AS MATERIALIZED (
          |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-         |h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM canon),
-         |bytes AS (SELECT doc_id, nb, [CAST('0x' || substr(hx, 2*i+1, 2) AS BIGINT) FOR i IN range(nb)] AS bs FROM h),
-         |mw AS (SELECT doc_id,
-         |  CASE WHEN nb <= 32 THEN
-         |         list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(bs, b -> CAST(b AS HUGEINT))),
-         |                     (a, b) -> (a * 1000003 + b) % $M64)
-         |       ELSE list_min([list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |              list_transform(bs[i+1:i+32], b -> CAST(b AS HUGEINT))),
-         |              (a, b) -> (a * 1000003 + b) % $M64)
-         |            FOR i IN range(nb - 31)])
-         |  END AS fpu FROM bytes)
+         |${prefixHashCtes("canon")},
+         |fp AS (SELECT doc_id, nb, p AS fpu FROM pre WHERE pos = nb),
+         |mn AS (SELECT doc_id, min(hw) AS mn FROM win GROUP BY doc_id),
+         |mw AS MATERIALIZED (SELECT f.doc_id,
+         |    CASE WHEN f.nb <= 32 THEN f.fpu ELSE m.mn END AS fpu
+         |  FROM fp f LEFT JOIN mn m USING (doc_id))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM mw a JOIN mw b ON a.fpu = b.fpu AND a.doc_id < b.doc_id
          |ORDER BY ALL NULLS FIRST""".stripMargin,
@@ -5830,9 +5893,7 @@ object Ext {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_embedding_lsh" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v,
-         |  list_sum([CASE WHEN list_sum([($lshDuckLit)[j + 1][d] * v[d] FOR d IN range(1, 65)]) >= 0
-         |    THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(8)]) AS bucket FROM v),
+         |$lshBucketCtes,
          |n AS (SELECT vec_id, v, bucket, list_sum(list_transform(v, x -> x * x)) AS n2 FROM b)
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          |  round(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) /
@@ -5848,9 +5909,7 @@ object Ext {
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_semantic" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |b AS (SELECT vec_id, v,
-         |  list_sum([CASE WHEN list_sum([($lshDuckLit)[j + 1][d] * v[d] FOR d IN range(1, 65)]) >= 0
-         |    THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(8)]) AS bucket FROM v),
+         |$lshBucketCtes,
          |n AS (SELECT vec_id, v, bucket, list_sum(list_transform(v, x -> x * x)) AS n2 FROM b),
          |p AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
          |  FROM n x JOIN n y ON x.bucket = y.bucket AND x.vec_id < y.vec_id

@@ -15,7 +15,7 @@ class VerifySpec extends SparkSpec {
   test("succeeding queries produce parquet and an empty error marker") {
     val out = Files.createTempDirectory("graft-verify-ok").toString
     val errors = Verify.run(spark, "/root/testdata/sf0.001", out,
-      Set("q1_agg", "q_ts_convention"))
+      Set("q1_agg", "q_ts_convention")).errors
     assert(errors.isEmpty, s"expected no failures, got $errors")
     assert(new java.io.File(s"$out/q1_agg").isDirectory)
     assert(new java.io.File(s"$out/q_ts_convention").isDirectory)
@@ -26,7 +26,7 @@ class VerifySpec extends SparkSpec {
   test("a throwing query is recorded by name in verify_errors.json") {
     val out = Files.createTempDirectory("graft-verify-err").toString
     // a nonexistent sfDir makes the scan throw for every selected query
-    val errors = Verify.run(spark, "/no/such/testdata", out, Set("q1_agg"))
+    val errors = Verify.run(spark, "/no/such/testdata", out, Set("q1_agg")).errors
     assert(errors.contains("q1_agg"), s"failure must be recorded, got $errors")
     val marker = Files.readString(java.nio.file.Paths.get(s"$out/verify_errors.json"))
     assert(marker.contains("\"q1_agg\""),
@@ -41,9 +41,11 @@ class VerifySpec extends SparkSpec {
     // round's correctness artifact shipped empty. The partial-proof
     // contract: every static artifact exists even when ZERO queries ran.
     val out = Files.createTempDirectory("graft-verify-budget").toString
-    val errors = Verify.run(spark, "/root/testdata/sf0.001", out,
+    val result = Verify.run(spark, "/root/testdata/sf0.001", out,
       Set("q1_agg"), budgetSec = -1.0)
-    assert(errors.isEmpty)
+    assert(result.errors.isEmpty)
+    assert(result.skipped == Seq("q1_agg"),
+      "run() must return the budget-skipped names directly")
     assert(!new java.io.File(s"$out/q1_agg").exists, "budget -1 must skip all")
     val oracle = Files.readString(java.nio.file.Paths.get(s"$out/oracle_sql.json"))
     assert(oracle.contains("\"q1_agg\""),
@@ -61,7 +63,7 @@ class VerifySpec extends SparkSpec {
     val out = Files.createTempDirectory("graft-verify-par").toString
     val names = Set("q1_agg", "q_ts_convention", "q_join_semi", "q_sort_limit")
     val errors = Verify.run(spark, "/root/testdata/sf0.001", out, names,
-      parallelism = 4)
+      parallelism = 4).errors
     assert(errors.isEmpty, s"expected no failures, got $errors")
     names.foreach { n =>
       assert(new java.io.File(s"$out/$n").isDirectory, s"missing parquet for $n")
@@ -94,6 +96,11 @@ class VerifySpec extends SparkSpec {
     // a flagged two-arg invocation is NOT driver-style
     assert(Verify.resolveBudget(Seq("--par=4"), Seq("sf", "out"), Map.empty)
       == Double.MaxValue)
+    // "none" is the documented opt-out for slow boxes (flag and env)
+    assert(Verify.resolveBudget(Seq("--budget-sec=none"), Seq("sf", "out"),
+      Map.empty) == Double.MaxValue)
+    assert(Verify.resolveBudget(Nil, Seq("sf", "out"),
+      Map("SPARK_GRAFT_VERIFY_BUDGET_SEC" -> "none")) == Double.MaxValue)
   }
 
   test("parallelism resolution: flag > env > max(2, cpus/4)") {
