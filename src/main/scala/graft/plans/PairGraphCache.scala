@@ -42,6 +42,9 @@ object PairGraphCache {
     16, 0.75f, /*accessOrder=*/ true)
   private[graft] val hits = new java.util.concurrent.atomic.AtomicLong
   private[graft] val misses = new java.util.concurrent.atomic.AtomicLong
+  /** One monitor per cache key (lock striping) — see cached(). */
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[graft] def size: Int = entries.synchronized(entries.size)
   private[graft] def clear(): Unit = entries.synchronized {
     val it = entries.values.iterator
@@ -78,29 +81,39 @@ object PairGraphCache {
           java.security.MessageDigest.getInstance("MD5").digest(
             (files.sorted.mkString("\n") + "\u0000" + plan + "\u0000" +
               leaves + "\u0000" + tag).getBytes("UTF-8")))
-        // one lock covers lookup + derive + register, like the quantizer
-        // memo: concurrent sessions deduplicate the (expensive) derivation
-        val dir = entries.synchronized {
-          var d = entries.get(key)
-          // _SUCCESS guards a crashed partial write poisoning the session
-          if (d != null && !new java.io.File(d, "_SUCCESS").isFile) {
-            entries.remove(key); d = null
+        // one lock PER KEY covers lookup + derive + register (like the
+        // quantizer memo's striping): same-key callers deduplicate the
+        // expensive derivation, while different pair graphs derive in
+        // parallel instead of convoying parallel verify behind a global
+        // monitor. The entries map has its own short-held monitor (the
+        // access-ordered LinkedHashMap mutates LRU state on get).
+        val lock = keyLocks.computeIfAbsent(key, _ => new Object)
+        val dir = lock.synchronized {
+          var d = entries.synchronized {
+            val d0 = entries.get(key)
+            // _SUCCESS guards a crashed partial write poisoning the session
+            if (d0 != null && !new java.io.File(d0, "_SUCCESS").isFile) {
+              entries.remove(key); null
+            } else d0
           }
           if (d == null) {
             misses.incrementAndGet()
             d = new java.io.File(root, key)
             derive.write.mode("overwrite").parquet(d.getAbsolutePath)
-            entries.put(key, d)
-            while (entries.size > maxEntries) {
-              // evict from the MAP only — physical deletion is deferred to
-              // the root's shutdown hook. A frame handed out by an earlier
-              // cached() call still references its parquet path lazily;
-              // deleting here would fail that consumer at action time with
-              // FileNotFoundException instead of re-deriving (advisor
-              // round 14). The footprint stays bounded by session length,
-              // not unbounded history: an evicted KEY re-derives into a
-              // fresh directory, but /tmp is reclaimed at JVM exit.
-              entries.remove(entries.entrySet().iterator().next().getKey)
+            entries.synchronized {
+              entries.put(key, d)
+              while (entries.size > maxEntries) {
+                // evict from the MAP only — physical deletion is deferred
+                // to the root's shutdown hook. A frame handed out by an
+                // earlier cached() call still references its parquet path
+                // lazily; deleting here would fail that consumer at action
+                // time with FileNotFoundException instead of re-deriving
+                // (advisor round 14). The footprint stays bounded by
+                // session length, not unbounded history: an evicted KEY
+                // re-derives into a fresh directory, but /tmp is reclaimed
+                // at JVM exit.
+                entries.remove(entries.entrySet().iterator().next().getKey)
+              }
             }
           } else hits.incrementAndGet()
           d
