@@ -118,6 +118,7 @@ object Bench {
     "q_bitext_mine_cells",
     "q_rrf_fusion",
     "q_mmr_rerank",
+    "q_rerank_cross",
     "q_pagerank",
     "q_pagerank_convergence",
     "q_cc_convergence",
@@ -174,6 +175,7 @@ object Bench {
     "q_quality_classifier",
     "q_quality_calibration",
     "q_lm_logprob",
+    "q_lm_backoff",
     "q_vocab_coverage",
     "q_vocab_oov",
     "q_zipf_slope",

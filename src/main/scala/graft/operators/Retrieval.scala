@@ -145,6 +145,64 @@ object Retrieval {
     sel
   }
 
+  /** Cross-encoder-style RERANK replay: stage 1 retrieves each query's
+    * dense cosine top-`topN` (the bi-encoder pass — texts scored through
+    * their independent embeddings); stage 2 re-scores every surviving
+    * (query, candidate) pair with a scorer that reads BOTH texts jointly
+    * — the defining property of a cross-encoder, which no pair of
+    * independent vectors can express. The joint scorer here is
+    * deterministic and model-free (this container carries no model):
+    * distinct-token overlap Jaccard between the two texts, blended with
+    * the stage-1 cosine in exact 1e-6 integer units
+    * (`cross_micro = round(cos·1e6) + (1e6·|A∩B|) div |A∪B|` — the
+    * second term is non-negative integer division, where truncating and
+    * flooring agree, so cross-engine replay is bit-for-bit). A real
+    * ONNX/DJL scorer slots into the same seam with the same bounded
+    * input frame: queries × topN text pairs, never corpus × corpus.
+    *
+    * Output keeps both ranks plus `moved = rk_dense - rk`, making rank
+    * MOVEMENT — the rerank's whole point — a first-class column.
+    *
+    * Scale shape: stage 2 is bounded by queries·topN rows; candidate
+    * texts arrive by broadcasting the bounded pair frame into one
+    * corpus-token scan (tokenization is per-doc, map-side, no shuffle
+    * before the bounded joins). At 100 TB the expensive part stays
+    * stage 1 — exactly the ANN ladder's problem, already tiered. */
+  def crossEncoderRerank(
+      vectors: DataFrame,
+      docs: DataFrame,
+      queryPred: Column,
+      topN: Int,
+      k: Int): DataFrame = {
+    require(topN >= k && k >= 1)
+    val stage1 = Similarity.knn(vectors, queryPred, topN)
+      .select(col("q_id"), col("neighbor").as("doc_id"), col("cos"),
+        col("rk").as("rk_dense"))
+    val toks = docs.select(col("doc_id"), array_distinct(filter(
+      split(coalesce(col("text"), lit("")), "\\s+"),
+      w => w =!= lit(""))).as("toks"))
+    // both joins broadcast the BOUNDED side (queries, then queries×topN
+    // pairs) into the corpus-token scan — the corpus never shuffles
+    val qt = toks.join(broadcast(stage1.select("q_id").distinct()),
+      col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("toks").as("qtoks"))
+    val pairs = toks.join(broadcast(stage1), Seq("doc_id"))
+      .join(broadcast(qt), Seq("q_id"))
+      .withColumn("n_inter",
+        size(array_intersect(col("qtoks"), col("toks"))).cast("bigint"))
+      .withColumn("n_union",
+        (size(col("qtoks")) + size(col("toks"))).cast("bigint") - col("n_inter"))
+    val scored = pairs.withColumn("cross_micro",
+      round(col("cos") * 1000000, 0).cast("bigint") +
+        when(col("n_union") > 0,
+          expr("1000000 * n_inter DIV n_union")).otherwise(lit(0L)))
+    val w = Window.partitionBy("q_id").orderBy(col("cross_micro").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id"), col("cos"), col("n_inter"),
+        col("n_union"), col("cross_micro"), col("rk_dense"), col("rk"),
+        (col("rk_dense") - col("rk")).as("moved"))
+  }
+
   /** Reciprocal-rank fusion of per-query ranked lists: each arm
     * contributes round(1e9 / (`kRrf` + rank)) "nano-units" per (q, doc)
     * it ranked (zero when the doc is outside that arm's list — the

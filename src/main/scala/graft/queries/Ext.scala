@@ -1335,6 +1335,20 @@ object Ext {
       ord(graft.operators.Retrieval.rrfFuse(
         Seq(sparse.select("q_id", "doc_id", "rk"), dense), kRrf = 60, topK = 10))
     }),
+    // CROSS-ENCODER-style rerank replay (the retrieve-then-rerank stack):
+    // dense cosine top-20 per query (the bi-encoder stage), then a joint
+    // (query text, candidate text) scorer — deterministic token-overlap
+    // Jaccard blended with the stage-1 cosine in exact 1e-6 integer
+    // units — re-ranks to top-10. `moved = rk_dense - rk` makes rank
+    // movement a first-class column. Stage 2 is bounded by queries×topN
+    // pairs; a real model scorer slots into the same bounded seam. See
+    // Retrieval.crossEncoderRerank for the 100 TB contract.
+    "q_rerank_cross" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      ord(graft.operators.Retrieval.crossEncoderRerank(
+        e, t(s, dir, "documents"), col("vec_id") < 5, topN = 20, k = 10))
+    }),
     // LSH-bucketed ANN: deterministic sign-sketch buckets (scale path,
     // engine-specific hashing -> rows-only)
     "q_knn_ivf" -> ((s, dir) => {
@@ -2023,6 +2037,69 @@ object Ext {
       ord(docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("avg_logp")))
+    }),
+    // STUPID-BACKOFF trigram scoring (Brants et al. 2007 — the web-scale
+    // LM score that skips normalization): the LM trains on the even-id
+    // half and scores the HELD-OUT odd-id half, so every backoff tier
+    // genuinely fires (training-corpus self-scoring never backs off —
+    // every trigram is its own evidence). Per trigram position:
+    // seen trigram -> c3/c2(ctx), else seen last-bigram -> 0.4·c2/c1(w₋₁),
+    // else the add-1 unigram floor 0.16·(c1(w)+1)/(T+V) (the floor also
+    // absorbs OOV words, so log never sees zero). Per-term round(ln,6)
+    // then the DECIMAL-routed mean; sub-3-token docs restore as (0,NULL).
+    // Scale shape: identical to q_lm_logprob — the only corpus-scale
+    // exchange is the held-out gram stream joining the vocab-scale count
+    // tables on gram keys; the 1-row (T,V) frame broadcasts. At 100 TB
+    // hash the three count tables into feature-hashed weights (the
+    // q_quality_classifier trick) and every join disappears.
+    "q_lm_backoff" -> ((s, dir) => {
+      import graft.functions.GramTexts.gram_texts
+      val docs = t(s, dir, "documents")
+      val txt = coalesce(col("text"), lit(""))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val held = docs.filter(col("doc_id") % 2 === 1)
+      val tri = train.select(explode(gram_texts(txt, 3)).as("tg"))
+        .groupBy("tg").agg(count(lit(1)).as("c3"))
+      val bi = train.select(explode(gram_texts(txt, 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+      val uni = train
+        .select(explode(filter(split(txt, "\\s+"), w => w =!= lit(""))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val stats = uni.agg(sum(col("c1")).as("t_tokens"), count(lit(1)).as("v"))
+      val hg = held.select(col("doc_id"), explode(gram_texts(txt, 3)).as("tg"))
+        .withColumn("ctx2", substring_index(col("tg"), " ", 2))
+        .withColumn("lb", substring_index(col("tg"), " ", -2))
+        .withColumn("wd", substring_index(col("tg"), " ", -1))
+        .withColumn("w1", substring_index(col("lb"), " ", 1))
+      // a train-side trigram implies its prefix bigram (and a train-side
+      // bigram its first unigram), so each CASE arm's denominator is
+      // non-null whenever the arm fires
+      val p = when(col("c3").isNotNull,
+          col("c3").cast("double") / col("c2ctx"))
+        .when(col("c2lb").isNotNull,
+          lit(0.4) * col("c2lb").cast("double") / col("c1w1"))
+        .otherwise(lit(0.16) * (coalesce(col("c1w"), lit(0L)) + 1).cast("double") /
+          (col("t_tokens") + col("v")).cast("double"))
+      val scored = hg
+        .join(tri, Seq("tg"), "left")
+        .join(bi.select(col("bg").as("ctx2"), col("c2").as("c2ctx")),
+          Seq("ctx2"), "left")
+        .join(bi.select(col("bg").as("lb"), col("c2").as("c2lb")),
+          Seq("lb"), "left")
+        .join(uni.select(col("w").as("w1"), col("c1").as("c1w1")),
+          Seq("w1"), "left")
+        .join(uni.select(col("w").as("wd"), col("c1").as("c1w")),
+          Seq("wd"), "left")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(log(p), 6).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(sum(col("lp").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_logp"))
+      ord(held.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
           col("avg_logp")))
     }),
     // tokenizer vocabulary SIZING: cumulative token coverage at candidate
@@ -5206,6 +5283,54 @@ object Ext {
         |  a.avg_logp
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // stupid-backoff replay: train counts on even ids, score odd ids;
+    // CASE tiers c3/c2 -> 0.4*c2/c1 -> 0.16*(c1+1)/(T+V); per-term
+    // round(ln, 6), DECIMAL(18,6)-routed mean, left join restores
+    // sub-3-token held-out docs as (0, NULL)
+    "q_lm_backoff" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |tr AS (SELECT * FROM ws WHERE doc_id % 2 = 0),
+        |he AS (SELECT * FROM ws WHERE doc_id % 2 = 1),
+        |tri AS (
+        |  SELECT array_to_string(w[i:i+2], ' ') AS tg, COUNT(*) AS c3
+        |  FROM tr, unnest(range(1, len(w) - 1)) AS u(i) GROUP BY tg),
+        |bi AS (
+        |  SELECT array_to_string(w[i:i+1], ' ') AS bg, COUNT(*) AS c2
+        |  FROM tr, unnest(range(1, len(w))) AS u(i) GROUP BY bg),
+        |uni AS (SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(w) AS w FROM tr) GROUP BY w),
+        |st AS (SELECT CAST(SUM(c1) AS BIGINT) AS t_tokens, COUNT(*) AS v FROM uni),
+        |hg AS (
+        |  SELECT doc_id,
+        |    array_to_string(w[i:i+2], ' ') AS tg,
+        |    array_to_string(w[i:i+1], ' ') AS ctx2,
+        |    array_to_string(w[i+1:i+2], ' ') AS lb,
+        |    w[i+2] AS wd, w[i+1] AS w1
+        |  FROM he, unnest(range(1, len(w) - 1)) AS u(i)),
+        |sc AS (
+        |  SELECT doc_id, round(ln(CASE
+        |    WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / b1.c2
+        |    WHEN b2.c2 IS NOT NULL THEN 0.4 * CAST(b2.c2 AS DOUBLE) / u1.c1
+        |    ELSE 0.16 * CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE) /
+        |      CAST(st.t_tokens + st.v AS DOUBLE)
+        |  END), 6) AS lp
+        |  FROM hg
+        |  LEFT JOIN tri t3 USING (tg)
+        |  LEFT JOIN bi b1 ON hg.ctx2 = b1.bg
+        |  LEFT JOIN bi b2 ON hg.lb = b2.bg
+        |  LEFT JOIN uni u1 ON hg.w1 = u1.w
+        |  LEFT JOIN uni u2 ON hg.wd = u2.w, st),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    round(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        |  a.avg_logp
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // global frequency rank (total order: -tf, then word) then coverage
     // at each candidate vocab size
     "q_vocab_coverage" ->
@@ -6121,6 +6246,47 @@ object Ext {
         |          FROM contrib GROUP BY 1, 2),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_nano DESC, doc_id) AS INT) AS rk FROM fused)
         |SELECT q_id, doc_id, rrf_nano, n_arms, rk FROM r WHERE rk <= 10
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // cross-encoder rerank replay: dense top-20, then the joint
+    // token-overlap + cosine blend in exact 1e-6 integer units
+    // (round-then-cast cosine term; non-negative integer division for
+    // the Jaccard term, where // and DIV agree), rerank to top-10
+    "q_rerank_cross" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q_id, vec_id,
+        |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) / (qn * nrm), 4) AS cos
+        |  FROM n JOIN q ON vec_id <> q_id),
+        |s0 AS (
+        |  SELECT q_id, vec_id AS doc_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rk_dense
+        |  FROM scored),
+        |s1 AS (SELECT * FROM s0 WHERE rk_dense <= 20),
+        |tk AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(coalesce(text, ''), '\s+'), x -> x != '')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT s1.q_id, s1.doc_id, s1.cos, s1.rk_dense,
+        |    CAST(len(list_intersect(qt.toks, ct.toks)) AS BIGINT) AS n_inter,
+        |    CAST(len(qt.toks) + len(ct.toks) AS BIGINT)
+        |      - CAST(len(list_intersect(qt.toks, ct.toks)) AS BIGINT) AS n_union
+        |  FROM s1 JOIN tk qt ON s1.q_id = qt.doc_id
+        |          JOIN tk ct ON s1.doc_id = ct.doc_id),
+        |m AS (
+        |  SELECT q_id, doc_id, cos, rk_dense, n_inter, n_union,
+        |    CAST(round(cos * 1000000, 0) AS BIGINT) +
+        |      CASE WHEN n_union > 0 THEN (1000000 * n_inter) // n_union
+        |           ELSE 0 END AS cross_micro
+        |  FROM p),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cross_micro DESC, doc_id) AS INT) AS rk
+        |  FROM m)
+        |SELECT q_id, doc_id, cos, n_inter, n_union, cross_micro, rk_dense, rk,
+        |  CAST(rk_dense - rk AS INT) AS moved
+        |FROM r WHERE rk <= 10
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the knn shape with the label filter as the join key
     "q_knn_filtered" ->

@@ -77,6 +77,44 @@ class RetrievalSpec extends SparkSpec {
     graft.plans.Checkpoints.release(got)
   }
 
+  test("crossEncoderRerank: joint text evidence overturns the dense order; " +
+    "rank movement is recorded; empty-token pairs don't divide by zero") {
+    import spark.implicits._
+    // Query 0 = (1,0) "x y z". Candidate 1 hugs the query vector but
+    // shares NO tokens; candidate 2 is further in embedding space but
+    // textually identical. Dense order: 1 then 2. The joint scorer must
+    // flip it: cand 2 earns the full 1e6 Jaccard term (3/3) on top of
+    // cos ~0.832, cand 1 only its cos ~0.973 — the bi-encoder's classic
+    // false positive (semantically-near vector, unrelated text) demoted
+    // by evidence only a joint reader sees.
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.95, 0.1)),
+      (2L, Seq(0.6, 0.4))
+    ).toDF("vec_id", "v")
+    val docs = Seq(
+      (0L, "x y z"), (1L, "p q r"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = graft.operators.Retrieval.crossEncoderRerank(
+      e, docs, col("vec_id") === 0, topN = 2, k = 2)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getInt(6), r.getInt(7), r.getInt(8)))
+    assert(got.toSeq == Seq(
+      // (doc_id, n_inter, n_union, rk_dense, rk, moved)
+      (2L, 3L, 3L, 2, 1, 1),
+      (1L, 0L, 6L, 1, 2, -1)),
+      s"textually-identical candidate must be promoted to #1: ${got.toSeq}")
+
+    // both texts tokenless -> n_union = 0 -> Jaccard term is 0, not an
+    // error; ranking falls back to the cosine term alone
+    val docs2 = Seq((0L, ""), (1L, ""), (2L, "x y z")).toDF("doc_id", "text")
+    val got2 = graft.operators.Retrieval.crossEncoderRerank(
+      e, docs2, col("vec_id") === 0, topN = 2, k = 2)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getLong(5)))
+    assert(got2.head._1 == 1L,
+      s"with no token evidence anywhere the dense order must hold: ${got2.toSeq}")
+  }
+
   test("crossJaccardPairs: bipartite jaccard matches the hand value and " +
     "never pairs within one side") {
     import spark.implicits._
