@@ -182,8 +182,13 @@ object Retrieval {
       split(coalesce(col("text"), lit("")), "\\s+"),
       w => w =!= lit(""))).as("toks"))
     // both joins broadcast the BOUNDED side (queries, then queries×topN
-    // pairs) into the corpus-token scan — the corpus never shuffles
-    val qt = toks.join(broadcast(stage1.select("q_id").distinct()),
+    // pairs) into the corpus-token scan — the corpus never shuffles.
+    // Query ids come straight from the predicate rows, NOT from stage1:
+    // deriving them from stage1 re-evaluates the whole knn subtree a
+    // second time (seen in the physical plan); a predicate id that
+    // retrieved nothing drops out in the inner join below anyway.
+    val qt = toks.join(broadcast(
+      vectors.filter(queryPred).select(col("vec_id").as("q_id"))),
       col("doc_id") === col("q_id"))
       .select(col("q_id"), col("toks").as("qtoks"))
     val pairs = toks.join(broadcast(stage1), Seq("doc_id"))
