@@ -179,6 +179,12 @@ class PlanCheckSpec extends SparkSpec {
       // the q_tfidf shape; the token-scale LM join itself
       // hash-partitions on the gram key.
       "q_lm_logprob",
+      // q_lm_backoff: the same shape as q_lm_logprob — the 1-row (T, V)
+      // unigram-total/vocab-size frame (the add-1 floor denominator)
+      // finalizes from per-partition partials over the vocab-scale
+      // unigram aggregate, then broadcasts; the held-out gram stream
+      // hash-partitions on the gram keys.
+      "q_lm_backoff",
       // q_mix_temperature: the 1-row corpus-total and 1-row normalizer-Z
       // frames finalize from per-SOURCE partials (the frame entering the
       // serial exchange is already sources-sized — the corpus itself is
