@@ -24,6 +24,43 @@ class QueriesContractSpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
+  test("materializeCtes: rewrites every bare CTE, skips recursive " +
+    "column-list declarations, and is idempotent") {
+    // The rewrite is the fix for four straight empty CORRECTNESS
+    // artifacts (DuckDB inlines every CTE reference; q_dedup_semantic's
+    // oracle cost 384 s un-materialized) — pin its behavior.
+    val f = SparkEntry.materializeCtes _
+    assert(f("WITH a AS (SELECT 1)\nSELECT * FROM a") ==
+      "WITH a AS MATERIALIZED (SELECT 1)\nSELECT * FROM a")
+    assert(f("WITH x AS (s),\nb2 AS (t)\nSELECT 1") ==
+      "WITH x AS MATERIALIZED (s),\nb2 AS MATERIALIZED (t)\nSELECT 1")
+    // recursive CTEs are declared with a column list and must NOT match
+    // (DuckDB cannot materialize them)
+    val rec = "WITH RECURSIVE reach(src, lbl) AS (SELECT 1)\nSELECT 2"
+    assert(f(rec) == rec, "column-list (recursive) declaration rewritten")
+    // idempotent: a second pass is a no-op
+    val once = f("WITH a AS (SELECT 1)\nSELECT * FROM a")
+    assert(f(once) == once, "double-application changed the SQL")
+    // indented body lines never match
+    val body = "WITH a AS (\n  nested AS (no)\n)\nSELECT 1"
+    assert(f(body).linesIterator.count(_.contains("MATERIALIZED")) == 1)
+  }
+
+  test("every catalog oracle's bare CTE definitions are all materialized " +
+    "(an unmatched name silently reverts to the 384s inline cost)") {
+    // The regex only matches lowercase [a-z][a-z_0-9]* names at line
+    // start. A CTE named outside that grammar (uppercase, digit-first)
+    // would silently skip materialization — the exact failure mode that
+    // shipped four empty correctness artifacts. Assert none remains.
+    val bare = "(?m)^([A-Za-z_0-9]+) AS \\(".r
+    val offending = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        bare.findAllMatchIn(sql).map(_.group(1)).toSeq.map(n => s"$name:$n")
+    }
+    assert(offending.isEmpty,
+      s"un-materialized CTE definitions survived the rewrite: $offending")
+  }
+
   test("flagship entry returns rows (driver smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
