@@ -408,14 +408,19 @@ object Similarity {
   private[graft] val memoMisses = new java.util.concurrent.atomic.AtomicLong
   /** One monitor per memo key (lock striping): concurrent training of
     * DIFFERENT quantizers proceeds in parallel; same-key trainers still
-    * deduplicate. Bounded by distinct keys per session (≤ catalog size). */
+    * deduplicate. Purged by memoClear() — the regenerate-inputs-in-place
+    * workflow mints a fresh key (mtime rides the leaf digest) per cycle,
+    * which would otherwise accrete one dead monitor per regeneration. */
   private val memoKeyLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[graft] def memoSize: Int = quantizerMemo.size()
   /** Drop every cached quantizer (results are unaffected — consumers
     * re-train deterministically). For harness runs that regenerate input
     * files in place and for the eviction spec. */
-  private[graft] def memoClear(): Unit = quantizerMemo.clear()
+  private[graft] def memoClear(): Unit = {
+    quantizerMemo.clear()
+    memoKeyLocks.clear()
+  }
 
   private def memoized(df: DataFrame, tag: String)(train: => DataFrame): DataFrame = {
     val files = df.inputFiles

@@ -45,11 +45,18 @@ object PairGraphCache {
   /** One monitor per cache key (lock striping) — see cached(). */
   private val keyLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** Monotonic suffix so every DERIVATION writes a fresh directory: a
+    * key evicted from the map and later re-derived must never overwrite
+    * the path a previously handed-out frame still references lazily. */
+  private val gen = new java.util.concurrent.atomic.AtomicLong
   private[graft] def size: Int = entries.synchronized(entries.size)
-  private[graft] def clear(): Unit = entries.synchronized {
-    val it = entries.values.iterator
-    while (it.hasNext) org.apache.commons.io.FileUtils.deleteQuietly(it.next())
-    entries.clear()
+  private[graft] def clear(): Unit = {
+    entries.synchronized {
+      val it = entries.values.iterator
+      while (it.hasNext) org.apache.commons.io.FileUtils.deleteQuietly(it.next())
+      entries.clear()
+    }
+    keyLocks.clear() // the data is gone; don't accrete monitors forever
   }
 
   private lazy val root: java.io.File = {
@@ -98,7 +105,10 @@ object PairGraphCache {
           }
           if (d == null) {
             misses.incrementAndGet()
-            d = new java.io.File(root, key)
+            // unique per-derivation suffix: a key evicted and re-derived
+            // gets a FRESH directory, so the overwrite can never race a
+            // previously handed-out frame still reading the old path
+            d = new java.io.File(root, s"${key}_${gen.incrementAndGet()}")
             derive.write.mode("overwrite").parquet(d.getAbsolutePath)
             entries.synchronized {
               entries.put(key, d)
@@ -110,8 +120,8 @@ object PairGraphCache {
                 // time with FileNotFoundException instead of re-deriving
                 // (advisor round 14). The footprint stays bounded by
                 // session length, not unbounded history: an evicted KEY
-                // re-derives into a fresh directory, but /tmp is reclaimed
-                // at JVM exit.
+                // re-derives into a genuinely fresh directory (the gen
+                // suffix), and /tmp is reclaimed at JVM exit.
                 entries.remove(entries.entrySet().iterator().next().getKey)
               }
             }

@@ -19,6 +19,24 @@ class QueriesContractSpec extends SparkSpec {
     assert(vt == 0, s"$vt fixture docs contain U+000B; token parity claim breaks")
   }
 
+  test("fixture corpus has no null/empty/sub-window texts (the prefix-hash " +
+    "oracle precondition)") {
+    // The O(bytes) prefix-hash oracles (q_fingerprint family) have no
+    // pos = 0 row, so an empty document would silently vanish from the
+    // oracle output while the engine still emits its row — a row-count
+    // FAIL at compare time. The generator guarantees every text covers
+    // at least one 32-byte rolling window; pin that here (at the
+    // correctness-gate SF) so a fixture regeneration that breaks the
+    // guarantee fails loudly in `sbt test`, not in the driver compare.
+    import org.apache.spark.sql.functions.{col, min, octet_length}
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert(d.filter(col("text").isNull || col("text") === "").count() == 0,
+      "fixture contains null/empty texts")
+    val minBytes = d.agg(min(octet_length(col("text")))).head().getInt(0)
+    assert(minBytes >= 32,
+      s"shortest fixture text is $minBytes bytes < the 32-byte window")
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
@@ -48,14 +66,24 @@ class QueriesContractSpec extends SparkSpec {
 
   test("every catalog oracle's bare CTE definitions are all materialized " +
     "(an unmatched name silently reverts to the 384s inline cost)") {
-    // The regex only matches lowercase [a-z][a-z_0-9]* names at line
-    // start. A CTE named outside that grammar (uppercase, digit-first)
+    // The rewrite only matches lowercase names at line start with
+    // single-space ' AS ('. A CTE outside that grammar (uppercase or
+    // digit-first name, two CTEs on one line, 'AS  (' / 'AS(' spacing)
     // would silently skip materialization — the exact failure mode that
-    // shipped four empty correctness artifacts. Assert none remains.
-    val bare = "(?m)^([A-Za-z_0-9]+) AS \\(".r
+    // shipped four empty correctness artifacts. So this guard scans
+    // ANYWHERE with flexible spacing and case. `<name> AS (` also
+    // legitimately appears as a named WINDOW declaration — those are
+    // told apart by their body: a window spec starts with PARTITION/
+    // ORDER/ROWS/RANGE/GROUPS, a CTE body with a query keyword. (Column
+    // aliases put the name AFTER the AS; recursive declarations close a
+    // parenthesis before the AS — neither can match at all.)
+    val bare = "(?im)\\b([A-Za-z_0-9]+)[ \\t]+AS[ \\t]*\\(\\s*([A-Za-z]*)".r
+    val windowSpec = Set("PARTITION", "ORDER", "ROWS", "RANGE", "GROUPS")
     val offending = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (name, sql) =>
-        bare.findAllMatchIn(sql).map(_.group(1)).toSeq.map(n => s"$name:$n")
+        bare.findAllMatchIn(sql)
+          .filterNot(m => windowSpec(m.group(2).toUpperCase))
+          .map(_.group(1)).toSeq.map(n => s"$name:$n")
     }
     assert(offending.isEmpty,
       s"un-materialized CTE definitions survived the rewrite: $offending")
