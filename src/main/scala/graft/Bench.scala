@@ -93,6 +93,7 @@ object Bench {
     "q_dedup_incremental_near",
     "q_dedup_normalized",
     "q_dedup_lines",
+    "q_heavy_hitters",
     "q_strip_boiler",
     "q_dedup_fingerprint",
     "q_dedup_ngram_jaccard",
@@ -126,6 +127,7 @@ object Bench {
     "q_dedup_keep_central",
     "q_dedup_ledger",
     "q_dedup_rate_by_source",
+    "q_dedup_waterfall",
     "q_cluster_cohesion",
     "q_source_overlap",
     "q_dedup_containment",

@@ -819,4 +819,40 @@ object TextDedup {
         round(col("n_dup_tokens").cast("double") / col("__n_tokens"), 6))
       .drop("__n_tokens")
   }
+
+  /** Tier-3 status overlay for the dedup waterfall (q_dedup_waterfall):
+    * given a curation ledger (`idCol`, `status`, ...) and an
+    * asymmetric-containment pair frame (`doc_a` < `doc_b`, e.g.
+    * [[containmentPairs]] output), demote surviving (`'kept'`) docs
+    * that lose a containment pair to `'contained'`. Pairs with a
+    * non-surviving side are ignored — that doc already fell to an
+    * earlier tier, so the pair attributes nothing to tier 3.
+    *
+    * The removal rule is pairwise-greedy and ORDER-FREE: in every
+    * surviving pair the smaller-`sizeCol` side loses (ties drop the
+    * larger id), and a doc that loses ANY pair is demoted. No iterative
+    * re-matching: a winner is never re-examined after its counterpart
+    * drops, which makes attribution a pure join chain (ledger +
+    * pair-sized joins + distinct over losers) instead of a sequential
+    * fixpoint — the property that keeps the tier shuffle-bounded by the
+    * pair graph, not the corpus. */
+  def containedOverlay(ledger: DataFrame, pairs: DataFrame, sizes: DataFrame,
+      idCol: String, sizeCol: String): DataFrame = {
+    val kept = ledger.filter(col("status") === "kept").select(col(idCol))
+    val surv = pairs
+      .join(kept.select(col(idCol).as("doc_a")), "doc_a")
+      .join(kept.select(col(idCol).as("doc_b")), "doc_b")
+    val losers = surv
+      .join(sizes.select(col(idCol).as("doc_a"), col(sizeCol).as("__ca")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col(sizeCol).as("__cb")), "doc_b")
+      .select(when(col("__ca") < col("__cb"), col("doc_a"))
+        .when(col("__cb") < col("__ca"), col("doc_b"))
+        .otherwise(greatest(col("doc_a"), col("doc_b"))).as(idCol))
+      .distinct()
+    ledger.join(losers.withColumn("__l", lit(true)), Seq(idCol), "left")
+      .withColumn("status",
+        when(col("status") === "kept" && col("__l").isNotNull, lit("contained"))
+          .otherwise(col("status")))
+      .drop("__l")
+  }
 }

@@ -364,6 +364,35 @@ object Ext {
         .withColumn("boiler_ratio",
           round(col("n_boiler").cast("double") / col("n_ngrams"), 6)))
     }),
+    // corpus-frequent segments via a MERGEABLE Misra–Gries sketch + exact
+    // verification (the bounded-shuffle heavy-hitter pattern; Agarwal et
+    // al., PODS 2012): pass 1 aggregates one k=2048-counter summary
+    // (partial aggregation ships at most k entries per map task, never
+    // the raw keyspace) whose candidate set provably contains every
+    // segment with support >= 0.1%; pass 2 re-counts ONLY the candidates
+    // exactly (InSet map-side filter, so the final shuffle carries <= k
+    // keys no matter how many distinct segments the corpus has — the
+    // q_boilerplate inverted index pays the full-keyspace exchange this
+    // sketch exists to avoid). The exact re-count makes the OUTPUT
+    // independent of partitioning and merge order; only the unverified
+    // candidate superset varies. At sf0.01 the corpus has more distinct
+    // segments than k, so the eviction path is live in the checked run.
+    // Integer threshold (cnt*1000 >= total): no float at the boundary.
+    "q_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.MisraGriesAgg.misra_gries
+      val segs = segmentedDocs(s, dir).select(explode(col("segs")).as("seg"))
+      // 1-row, <= k+1 values: bounded collect by contract
+      val sk = segs.agg(misra_gries(col("seg"), 2048).as("mg"))
+        .select(col("mg.total"), col("mg.candidates")).head()
+      val total = sk.getLong(0)
+      val cands = sk.getSeq[String](1)
+      val hh =
+        if (cands.isEmpty) segs.filter(lit(false))
+        else segs.filter(col("seg").isInCollection(cands))
+      ord(hh.groupBy("seg").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 1000 >= total)
+        .withColumn("share", round(col("cnt").cast("double") / total, 6)))
+    }),
     // boilerplate span REMOVAL (the C4 rule q_boilerplate only scores):
     // every token covered by any corpus-repeated 5-gram instance is
     // dropped and documents are rebuilt from the survivors in order.
@@ -601,6 +630,34 @@ object Ext {
     // keeper frame. Survivors point at themselves. The FIRST tier that
     // drops a doc wins, so every doc gets exactly one (status, keeper).
     "q_dedup_ledger" -> ((s, dir) => ord(curationLedger(s, dir))),
+    // DEDUP WATERFALL — tier-attributed removal for the datasheet (the
+    // "what did each dedup stage buy" report a pipeline publishes):
+    // tier 1 exact (md5 canon) and tier 2 near (jaccard-0.2 clusters,
+    // keep-longest) replayed from the shared curation ledger, then
+    // tier 3 asymmetric containment >= 0.3 among the tier-2 SURVIVORS —
+    // the partial copies symmetric jaccard dilutes toward zero. The
+    // tier-3 removal rule is pairwise-greedy and order-free (in every
+    // surviving pair the smaller-n_chars side loses; ties drop the
+    // larger doc_id), so attribution needs no iterative re-matching.
+    // First dropping tier wins; one row per status with corpus share.
+    // Plan: ledger chain + the containment posting join restricted to
+    // survivors + a statuses-sized rollup; the share denominator is a
+    // 1-row broadcast (the bounded audit-join shape).
+    "q_dedup_waterfall" -> ((s, dir) => {
+      val led = curationLedger(s, dir)
+      val pairs = graft.operators.TextDedup.containmentPairs(
+        canonicalDocs(s, dir), "doc_id", "text", threshold = 0.3,
+        portable = !graft.Tables.benchMode,
+        maxDf = if (graft.Tables.benchMode) 64 else 0)
+      val sz = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val tiers = graft.operators.TextDedup.containedOverlay(
+        led, pairs, sz, "doc_id", "n_chars")
+      val counts = tiers.groupBy("status").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum("n_docs").as("__t"))
+      ord(counts.crossJoin(broadcast(tot))
+        .withColumn("pct", round(col("n_docs").cast("double") / col("__t"), 6))
+        .drop("__t"))
+    }),
     // PER-SOURCE DEDUP RATE — the ledger rolled up to the report a
     // mixture designer reads next to the datasheet: per source, how many
     // docs fell to each tier and the combined duplicate rate. A feed
@@ -4992,6 +5049,18 @@ object Ext {
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  coalesce(array_to_string(list(seg ORDER BY pos) FILTER (WHERE rn = 1), ' '), '') AS text_deduped
         |FROM r GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+    // exact heavy hitters (the sketch is Spark-side machinery only: the
+    // verified output is plain exact counts, so the oracle is too)
+    "q_heavy_hitters" ->
+      """WITH w AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) > 0),
+        |seg AS (SELECT unnest([array_to_string(w[i*10+1:i*10+10], ' ')
+        |  for i in range(0, CAST(ceil(len(w) / 10.0) AS INT))]) AS seg FROM w),
+        |c AS (SELECT seg, COUNT(*) AS cnt FROM seg GROUP BY seg),
+        |t AS (SELECT SUM(cnt) AS total FROM c)
+        |SELECT seg, CAST(cnt AS BIGINT) AS cnt,
+        |  round(CAST(cnt AS DOUBLE) / total, 6) AS share
+        |FROM c, t WHERE cnt * 1000 >= total ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
         |  WHERE len(string_split_regex(text, '\s+')) >= 3),
@@ -5958,6 +6027,36 @@ object Ext {
       s"""$ledgerCtes
          |SELECT doc_id, status, keeper_id FROM led
          |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the ledger chain + tier-3 containment among kept docs (same 3-gram
+    // 60-bit shingles/cnt as the ledger's pair CTEs); removal rule
+    // mirrored: smaller n_chars loses, ties drop the larger doc_id
+    "q_dedup_waterfall" ->
+      s"""$ledgerCtes,
+         |kp AS (SELECT doc_id FROM led WHERE status = 'kept'),
+         |ci AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM kp)
+         |    AND b.doc_id IN (SELECT doc_id FROM kp)
+         |  GROUP BY 1, 2),
+         |cp AS (
+         |  SELECT doc_a, doc_b
+         |  FROM ci JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |  WHERE round(CAST(n_inter AS DOUBLE) / least(ca.n, cb.n), 6) >= 0.3),
+         |lose AS (
+         |  SELECT DISTINCT CASE WHEN da.n_chars < db.n_chars THEN p.doc_a
+         |    WHEN db.n_chars < da.n_chars THEN p.doc_b
+         |    ELSE greatest(p.doc_a, p.doc_b) END AS doc_id
+         |  FROM cp p JOIN documents da ON p.doc_a = da.doc_id
+         |            JOIN documents db ON p.doc_b = db.doc_id),
+         |st AS (
+         |  SELECT CASE WHEN l.status = 'kept' AND lo.doc_id IS NOT NULL
+         |    THEN 'contained' ELSE l.status END AS status
+         |  FROM led l LEFT JOIN lose lo ON l.doc_id = lo.doc_id),
+         |sc AS (SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM st GROUP BY status)
+         |SELECT status, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) / (SELECT SUM(n_docs) FROM sc), 6) AS pct
+         |FROM sc ORDER BY ALL NULLS FIRST""".stripMargin,
     // the ledger rolled up per source: tier counts + combined dup rate
     "q_dedup_rate_by_source" ->
       s"""$ledgerCtes

@@ -220,7 +220,18 @@ class PlanCheckSpec extends SparkSpec {
       // doc-count (matched_frac's denominator) finalizing from
       // per-partition count partials — the q_compact_store shape; the
       // per-threshold aggregates themselves hash-exchange on t.
-      "q_dedup_threshold_sweep")
+      "q_dedup_threshold_sweep",
+      // q_heavy_hitters: the serial exchange is the Misra–Gries summary
+      // finalizing from per-partition sketch partials (each <= k = 2048
+      // counters BY CONSTRUCTION — the bounded-shuffle design itself);
+      // the exact verify groupBy hash-partitions on the <= k candidate
+      // segments, never the raw keyspace.
+      "q_heavy_hitters",
+      // q_dedup_waterfall: the serial exchange is the 1-row share
+      // denominator finalizing from the statuses-sized (<= 4 row)
+      // rollup partials — the q_compact_store shape; the ledger and
+      // containment chains hash-partition on their own keys.
+      "q_dedup_waterfall")
     val offending = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (n, fn) =>
       val p = fn(spark, dir).queryExecution.executedPlan.toString
       if (p.contains("Exchange SinglePartition") && !allow(n)) Some(n) else None

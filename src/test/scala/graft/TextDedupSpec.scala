@@ -482,6 +482,34 @@ class TextDedupSpec extends SparkSpec {
       s"propagationTrace returns only a local frame — leaked: ${live.size}")
   }
 
+  test("containedOverlay: kept losers demote, non-kept pair sides attribute " +
+    "nothing, ties drop the larger id") {
+    import spark.implicits._
+    // the sf0.01 corpus never fires tier 3 (no containment pairs survive
+    // tiers 1-2), so the oracle gate checks 'contained' only vacuously —
+    // every branch is pinned here on a hand ledger instead.
+    val ledger = Seq(
+      (1L, "kept", 1L), (2L, "kept", 2L), (3L, "kept", 3L),
+      (4L, "kept", 4L), (5L, "exact_dup", 1L), (6L, "near_dup", 1L),
+      (7L, "kept", 7L)).toDF("doc_id", "status", "keeper_id")
+    val pairs = Seq(
+      (1L, 2L), // both kept, sizes 100 vs 40: 2 loses
+      (3L, 4L), // both kept, equal sizes: larger id (4) loses
+      (1L, 6L), // 6 already fell to tier 2: pair ignored entirely
+      (5L, 7L)  // 5 already fell to tier 1: 7 must STAY kept
+    ).toDF("doc_a", "doc_b")
+    val sizes = Seq((1L, 100L), (2L, 40L), (3L, 50L), (4L, 50L),
+      (5L, 10L), (6L, 10L), (7L, 5L)).toDF("doc_id", "n_chars")
+    val out = TextDedup.containedOverlay(ledger, pairs, sizes, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "kept", 2L -> "contained", 3L -> "kept", 4L -> "contained",
+      5L -> "exact_dup", 6L -> "near_dup", 7L -> "kept"), out)
+    // keeper_id column passes through untouched
+    val cols = TextDedup.containedOverlay(ledger, pairs, sizes, "doc_id", "n_chars").columns
+    assert(cols.contains("keeper_id"), cols.mkString(","))
+  }
+
   private def round8(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
