@@ -39,19 +39,29 @@ object BpeTrainer {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    var prevRound: Option[DataFrame] = None
     while (step <= steps && !exhausted) {
-      // adjacent symbol pairs weighted by word frequency; words with a
-      // single symbol left emit none (guard BEFORE sequence(): Spark's
-      // sequence(1, 0) is the DESCENDING [1, 0], not empty)
+      // adjacent symbol pairs weighted by word frequency, as two shifted
+      // slices zipped — slice/arrays_zip/concat_ws all CODEGEN, where the
+      // former transform(sequence(...), i -> element_at(split(s), i)...)
+      // ran interpreted AND re-split the symbol string per element
+      // (O(len²) per word; the round-17 profile put ~35% of each train
+      // round in that lambda). Words with one symbol left emit no pairs
+      // (slice of length 0).
+      val a = split(col("s"), " ")
+      val zipped = arrays_zip(
+        slice(a, lit(1), size(a) - 1).as("x"),
+        slice(a, lit(2), size(a) - 1).as("y"))
       val best = syms
-        .filter(size(split(col("s"), " ")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(split(s, ' ')) - 1), " +
-            "i -> concat(element_at(split(s, ' '), i), ' ', element_at(split(s, ' '), i + 1)))"))
-          .as("p"))
+        .select(col("freq"), explode(zipped).as("xy"))
+        .select(col("freq"), concat_ws(" ", col("xy.x"), col("xy.y")).as("p"))
         .groupBy("p").agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("p").asc)
         .limit(1).collect()
+      // this collect also materialized the previous round's LAZY symbol
+      // checkpoint (it is this plan's leaf) — safe to drop it now
+      prevRound.foreach(graft.plans.Checkpoints.release)
+      prevRound = None
       if (best.isEmpty) exhausted = true
       else {
         val pair = best(0).getString(0)
@@ -72,20 +82,41 @@ object BpeTrainer {
         val fused = regexp_replace(doubled,
           java.util.regex.Pattern.quote(" " + pair.replace(" ", "  ") + " "),
           java.util.regex.Matcher.quoteReplacement(s" $merged "))
+        // LAZY checkpoint: the next round's argmax collect materializes
+        // it as that plan's leaf — lineage stays capped per round without
+        // paying a separate checkpoint job every merge (was 2 jobs/round,
+        // now 1). `prev` is released only after that collect (above), or
+        // on loop exit below, because the lazy frame reads prev's blocks
+        // when it materializes.
         syms = syms.withColumn("s",
             trim(regexp_replace(fused, "  ", " ")))
-          .localCheckpoint(true) // k rounds: cap lineage + replay
-        // the superseded round's blocks are dead the moment the new
-        // checkpoint exists — release immediately (Checkpoints contract)
-        if (step > 1) graft.plans.Checkpoints.release(prev)
+          .localCheckpoint(eager = false)
+        if (step > 1) prevRound = Some(prev)
         step += 1
       }
     }
+    prevRound.foreach(graft.plans.Checkpoints.release)
     // the last round's symbol frame is internal — release before returning
     if (merges.nonEmpty) graft.plans.Checkpoints.release(syms)
     import spark.implicits._
     merges.toSeq.toDF("step", "pair", "merged", "cnt")
   }
+
+  /** [[train]] through the session TRAINED-ARTIFACT memo (the
+    * [[Similarity]] quantizer-memo pattern, same key discipline: input
+    * files + canonicalized plan + leaf content digest + knob tag). A
+    * tokenizer's merge table is a model artifact a real pipeline trains
+    * once per corpus and applies from every consumer — the tokenize/
+    * fertility/packing queries are CONSUMERS of that artifact, exactly
+    * like the ANN family consumes the shared IVF centroids and the
+    * ledger consumers the session ledger. `q_bpe_train` itself keeps
+    * calling [[train]] inline so its bench row times the actual
+    * training. The memoized value is the bounded `steps`-row merge
+    * table, never corpus-sized. Pass an UN-checkpointed word-frequency
+    * frame: the memo keys on input files, which a checkpointed
+    * (RDD-backed) frame no longer exposes. */
+  def trainCached(words: DataFrame, steps: Int): DataFrame =
+    Similarity.memoized(words, s"bpe:$steps") { train(words, steps) }
 
   /** Apply a learned merge list to a `(word)` frame: replay the merges
     * IN ORDER over each word's character sequence with the same

@@ -422,7 +422,9 @@ object Similarity {
     memoKeyLocks.clear()
   }
 
-  private def memoized(df: DataFrame, tag: String)(train: => DataFrame): DataFrame = {
+  // private[operators]: BpeTrainer.trainCached routes its (bounded,
+  // merges-sized) trained artifact through the same session memo
+  private[operators] def memoized(df: DataFrame, tag: String)(train: => DataFrame): DataFrame = {
     val files = df.inputFiles
     val digest = if (files.isEmpty) None else leafDigest(df)
     digest match {
@@ -1165,20 +1167,38 @@ object Similarity {
       .withColumn("cos",
         round(vec_dot(col("av"), col("bv")) / (col("an") * col("bn")), 4))
       .select(col("src_id"), col("tgt_id"), col("cos"))
-    val byA = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id"))
-    val byB = Window.partitionBy("tgt_id").orderBy(col("cos").desc, col("src_id"))
-    // neighborhood means route through dsum (decimal accumulation): a
+    // Neighborhood averages ATTACH via whole-partition window aggregates
+    // instead of groupBy + join-back (guide §2.4: two operations keyed
+    // the same way share one exchange). The former aggregate+join form
+    // re-shuffled the full pair frame once per SortMergeJoin side — 6
+    // pair-frame exchanges end to end; this chain is 4 (src rank, tgt
+    // rank + tgt avg + tgt best, src avg + src best riding margin, and
+    // no join at all), with every window keyed on an endpoint id, never
+    // global. Broadcasting the per-endpoint averages would be wrong at
+    // scale — each pool is corpus-sized in the exact tier — so the
+    // window form is also the 100 TB-safe shape.
+    // Neighborhood means route through dsum (decimal accumulation): a
     // natural double avg sums in partition order, and the margin ratio
-    // would inherit that nondeterminism across engines
-    val avgA = cross.withColumn("rk", row_number().over(byA))
-      .filter(col("rk") <= k)
-      .groupBy("src_id")
-      .agg((graft.Tables.dsum(col("cos")) / count(lit(1))).as("nbh_a"))
-    val avgB = cross.withColumn("rk", row_number().over(byB))
-      .filter(col("rk") <= k)
-      .groupBy("tgt_id")
-      .agg((graft.Tables.dsum(col("cos")) / count(lit(1))).as("nbh_b"))
-    val scored = cross.join(avgA, Seq("src_id")).join(avgB, Seq("tgt_id"))
+    // would inherit that nondeterminism across engines.
+    val byA = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id"))
+    val byAAll = Window.partitionBy("src_id")
+    val byB = Window.partitionBy("tgt_id").orderBy(col("cos").desc, col("src_id"))
+    val byBAll = Window.partitionBy("tgt_id")
+    // dsum's shape with the window applied to the SUM itself (dsum wraps
+    // the aggregate in a cast, which .over can't see through): portable
+    // mode decimal-accumulates exactly as the groupBy form did
+    def topkAvg(rk: Column, all: org.apache.spark.sql.expressions.WindowSpec) = {
+      val s =
+        if (graft.Tables.benchMode) sum(when(rk <= k, col("cos"))).over(all)
+        else sum(when(rk <= k, col("cos")).cast("decimal(18,4)")).over(all)
+          .cast("double")
+      s / count(when(rk <= k, lit(1))).over(all)
+    }
+    val scored = cross
+      .withColumn("rka", row_number().over(byA))
+      .withColumn("rkb", row_number().over(byB))
+      .withColumn("nbh_b", topkAvg(col("rkb"), byBAll))
+      .withColumn("nbh_a", topkAvg(col("rka"), byAAll))
       .withColumn("margin",
         round(col("cos") * 2 / (col("nbh_a") + col("nbh_b")), 6))
     val bestF = Window.partitionBy("src_id").orderBy(col("margin").desc, col("tgt_id"))
