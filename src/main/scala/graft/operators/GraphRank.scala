@@ -122,14 +122,17 @@ object GraphRank {
       iters: Int = 5,
       dampingPct: Int = 85): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    // same adjacency layout as [[pagerank]] — one exchange per round
-    val adj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // flat-edge rounds, NOT [[pagerank]]'s adjacency form (round-17 A/B:
+    // adjacency here measured 1.36 s -> 1.67 s at sf0.1 — the trace's
+    // per-round eager checkpoint + movement join never amortizes the
+    // collect_list build the way pagerank's fused lazy rounds do)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .groupBy(col("src").as("node")).agg(collect_list(col("dst")).as("nbrs"))
       .localCheckpoint(true)
-    val nRow = adj.agg(count(lit(1)).as("n"))
-    var pr = adj.select(col("node"), size(col("nbrs")).cast("bigint").as("deg"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    var pr = deg.select(col("src").as("node"), col("deg"))
       .crossJoin(broadcast(nRow))
       .select(col("node"), col("deg"),
         expr(s"CAST(${100 - dampingPct} * 10000000 AS BIGINT) div n").as("tele"),
@@ -137,10 +140,10 @@ object GraphRank {
       .localCheckpoint(true)
     val moves = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     for (i <- 1 to iters) {
-      val contrib = adj
-        .join(pr.select(col("node"), expr("pr_nano div deg").as("c")), "node")
-        .select(explode(col("nbrs")).as("node"), col("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val contrib = edges
+        .join(pr.select(col("node").as("src"),
+          expr("pr_nano div deg").as("c")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
       // every round checkpoints here (unlike pagerank's every-other):
       // the movement collect is an action per round anyway, and the
       // audit needs BOTH generations alive for exactly one join
@@ -160,7 +163,7 @@ object GraphRank {
       pr = updated
     }
     graft.plans.Checkpoints.release(pr)
-    graft.plans.Checkpoints.release(adj)
+    graft.plans.Checkpoints.release(edges)
     val spark = pairs.sparkSession
     import spark.implicits._
     moves.toSeq.toDF("iter", "moved_nano", "max_move_nano")

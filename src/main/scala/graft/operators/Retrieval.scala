@@ -48,12 +48,16 @@ object Retrieval {
       sum(col("len")).as("tl"))
     val qterms = words.filter(queryPred)
       .select(col("doc_id").as("q_id"), col("w")).distinct()
-    // corpus document frequency of the query terms only: semi-join the
-    // token stream down to query-term postings before the distinct
-    val dfq = words.join(broadcast(qterms.select("w").distinct()), Seq("w"))
+    // ONE broadcast semi-join prunes the token stream to query-term
+    // postings; document frequency and per-query tf both derive from it
+    // (df distinct-drops the q_id multiplicity, so it equals the former
+    // separate w-keyed semi-join) — the former two independent joins
+    // tokenized the corpus twice and built the query-term broadcast twice
+    val matched = words.join(broadcast(qterms), Seq("w"))
+    val dfq = matched
       .select("doc_id", "w").distinct()
       .groupBy("w").agg(count(lit(1)).as("df"))
-    val tfq = words.join(broadcast(qterms), Seq("w"))
+    val tfq = matched
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))

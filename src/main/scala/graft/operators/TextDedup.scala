@@ -428,9 +428,16 @@ object TextDedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
-    var round = 0
+    // round 1 FUSED into the label init (round-17): the first round's
+    // result is just min(id ∪ N(id)), computable by the same groupBy that
+    // would otherwise build the trivial id-labels — one fewer round and
+    // one fewer init job on every clustering query; the fixpoint is
+    // unique, so the result is unchanged (q_cc_convergence's
+    // per-round-audit sibling propagationTrace keeps the literal rounds).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("lbl"))
+      .localCheckpoint(true)
+    var round = 1
     var converged = false
     while (!converged) {
       if (round >= maxRounds) {
@@ -450,6 +457,8 @@ object TextDedup {
       // the ONE action of the round: counting changed rows scans every
       // partition of `updated`, so it materializes the lazy checkpoint
       // as a side effect — convergence probe and checkpoint job fused
+      // (round-17 also tried running rounds in lazily-chained PAIRS per
+      // count job — measured flat at sf0.1, reverted to the simpler form)
       converged = updated.filter(col("chg")).count() == 0
       graft.plans.Checkpoints.release(labels) // superseded; updated is materialized
       labels = updated.select(col("id"), col("lbl"))

@@ -54,17 +54,14 @@ object Ext {
     * reaches assert_true, which throws on a null condition. */
   private[graft] val LangPackBytes = 14
   private val Pow56 = lit(new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(56)))
-  private[graft] def packLang(lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val bytes = lang.cast("binary")
-    // one 7-byte half = 56 bits, inside conv()'s unsigned-64 exact range
-    def half(pos: Int) =
-      conv(hex(rpad(substring(bytes, pos, 7), 7, Array[Byte](0))), 16, 10)
-        .cast("decimal(18,0)")
-    when(lang.isNotNull, when(
-      assert_true(octet_length(lang) <= LangPackBytes,
-        lit(s"lang exceeds the $LangPackBytes-byte order-isomorphic pack")).isNull,
-      (half(1) * Pow56 + half(8)).cast("decimal(38,0)")))
-  }
+  /** Since round 17 the pack is the codegen'd byte walk
+    * [[graft.functions.PackStr14]] — value-identical to the former
+    * conv(hex(rpad(...))) halves formulation (which allocated four string
+    * intermediates and ran two base-conversion parses per row — measured
+    * ~65% of q_profile's aggregate at sf0.1), same loud >14-byte failure,
+    * same NULL propagation. */
+  private[graft] def packLang(lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PackStr14.pack_str14(lang)
 
   /** Inverse of [[packLang]]: split at 2^56 (the subtraction makes the
     * division exact — a direct `floor(x / 2^56)` rounds at decimal scale

@@ -1334,6 +1334,11 @@ object Relational {
       val g = grid.join(hourly, Seq("user_id", "h"), "left")
         .withColumn("hi", expr("unix_micros(h) div 3600000000"))
       val wAsc = Window.partitionBy("user_id").orderBy(col("h"))
+      // NOTE (round-17): fusing the "next known hour" side into the
+      // ascending sort via a [current, unboundedFollowing) frame measured
+      // 1.44 s -> 12.5 s — Spark's UnboundedFollowing window frame
+      // re-scans the remainder of the partition PER ROW (O(n²)), so the
+      // second (descending) running-frame sort is the right shape.
       val wDesc = Window.partitionBy("user_id").orderBy(col("h").desc)
       ord(g
         .withColumn("pv", last(col("hv_u"), ignoreNulls = true).over(wAsc))

@@ -243,6 +243,33 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("pack_str14 compiles under strict codegen and matches the conv/hex formulation") {
+    withStrictCodegen {
+      import spark.implicits._
+      import graft.functions.PackStr14.pack_str14
+      val tags = Seq("en", "zh-Hant-TW", "日本語", "", "z-z-z-z-z-z-z")
+      val got = tags.toDF("s").select(pack_str14(col("s")).as("p")).collect()
+        .map(_.getDecimal(0))
+      // the retired SQL formulation, replayed literally per tag
+      val pow56 = java.math.BigInteger.ONE.shiftLeft(56)
+      val expected = tags.map { t =>
+        val b = java.util.Arrays.copyOf(t.getBytes("UTF-8"), 14)
+        def half(off: Int) = new java.math.BigInteger(1, b.slice(off, off + 7))
+        new java.math.BigDecimal(half(0).multiply(pow56).add(half(7)))
+      }
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.compareTo(e) == 0, s"pack mismatch: $g vs $e") }
+      // null propagates; >14 bytes fails loudly (the assert_true contract)
+      val n = Seq[Option[String]](None).toDF("s")
+        .select(pack_str14(col("s"))).collect()
+      assert(n.head.isNullAt(0))
+      intercept[Exception] {
+        Seq("x-private-use-subtag-way-too-long").toDF("s")
+          .select(pack_str14(col("s"))).collect()
+      }
+    }
+  }
+
   test("capped_collect_list survives the sort-based aggregation fallback") {
     // ObjectHashAggregate falls back to sort-based aggregation beyond the
     // in-memory key budget — force it with a threshold of 1 so every group
