@@ -41,16 +41,37 @@ object Tables {
     * the guard). */
   def stagingDir(s: SparkSession, dir: String, table: String, prefix: String): String = {
     val df = t(s, dir, table)
-    val r = df.agg(
-      count(lit(1)),
-      // bit_xor, not sum: order-free like sum, but cannot overflow
-      // under ANSI arithmetic
-      coalesce(bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))), lit(0L))).head()
+    // The content checksum is one full-scan aggregate per invocation —
+    // and every staging query re-invokes it on every run (2-3 bench runs
+    // × 7 call sites = ~20 scans a suite). Memoize it per session behind
+    // the source files' (path, length, mtime) digest — the same trust
+    // granularity as the quantizer memo's leafDigest: unchanged files ⟹
+    // unchanged checksum, while the regenerated-fixture scenario the
+    // checksum guards against necessarily changes length or mtime. A
+    // frame whose leaves aren't file-backed (never the case for t())
+    // falls through to the direct aggregate.
+    val fpKey = graft.operators.Similarity.leafDigest(df)
+      .map(d => s"$dir|$table|$d")
+    def checksum(): String = {
+      val r = df.agg(
+        count(lit(1)),
+        // bit_xor, not sum: order-free like sum, but cannot overflow
+        // under ANSI arithmetic
+        coalesce(bit_xor(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))), lit(0L))).head()
+      s"${r.getLong(0)}|${r.getLong(1)}"
+    }
+    val content = fpKey match {
+      case Some(k) => stagingFps.computeIfAbsent(k, _ => checksum())
+      case None => checksum()
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$table|${r.getLong(0)}|${r.getLong(1)}".getBytes("UTF-8"))
+      .digest(s"$dir|$table|$content".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(12)
     new java.io.File(sys.props("java.io.tmpdir"), s"${prefix}_$md").getAbsolutePath
   }
+
+  private val stagingFps =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val stagingLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
