@@ -372,3 +372,56 @@ object SplitWords {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def split_words(c: Column): Column = column(SplitWords(expression(c)))
 }
+
+/** Fixed `w`-token window segmentation as ONE codegen'd expression —
+  * value-identical to the former
+  * `transform(sequence(0, ceil(size(toks)/w)-1), i -> array_join(slice(toks, i*w+1, w), ' '))`
+  * over the [[SplitWords]] token array, which ran the outer lambda
+  * INTERPRETED and re-allocated a slice + join per window (the verify-skill
+  * HOF perf trap; this feeds two corpus scans in q_heavy_hitters plus
+  * q_dedup_lines and the streaming segment replay). Zero tokens yield an
+  * empty array (the caller's `size(...) > 0` filter semantics). */
+case class TokenWindows(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, "window must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_windows"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenWindows.evalWindows(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenWindows.evalWindows($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindows =
+    copy(child = newChild)
+}
+
+object TokenWindows {
+  /** Named `evalWindows`, not `eval` — static-forwarder collision note in
+    * [[MinWindowHash]]. */
+  def evalWindows(text: UTF8String, w: Int): GenericArrayData = {
+    val toks = SplitWords.words(text)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = (toks.length + w - 1) / w
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = i * w
+      val end = math.min(j + w, toks.length)
+      while (j < end) {
+        if (j > i * w) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def token_windows(c: Column, w: Int): Column = column(TokenWindows(expression(c), w))
+}

@@ -178,15 +178,14 @@ object Ext {
     * corpus has no line structure) — shared by the batch segment dedup
     * (q_dedup_lines) and its streaming replay so both feed the oracle
     * identical segments. */
-  private def segmentedDocs(s: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), w => w =!= lit(""))
+  private def segmentedDocs(s: SparkSession, dir: String): DataFrame =
+    // one codegen'd pass (round-17): the former split + interpreted
+    // transform/slice/array_join lambda chain re-allocated per window —
+    // TokenWindows emits the identical segment array in one byte walk
     t(s, dir, "documents")
-      .withColumn("__toks", toks)
-      .filter(size(col("__toks")) > 0)
-      .withColumn("segs", expr(
-        "transform(sequence(0, cast(ceil(size(__toks) / 10.0) AS INT) - 1), " +
-          "i -> array_join(slice(__toks, i * 10 + 1, 10), ' '))"))
-  }
+      .withColumn("segs",
+        graft.functions.TokenWindows.token_windows(col("text"), 10))
+      .filter(size(col("segs")) > 0)
 
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val canon = canonicalDocs(s, dir)

@@ -270,6 +270,29 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("token_windows compiles under strict codegen and matches the transform/slice formulation") {
+    withStrictCodegen {
+      import spark.implicits._
+      import graft.functions.TokenWindows.token_windows
+      val texts = Seq(
+        "a b c d e f g h i j k l",      // 12 tokens -> [10, 2]
+        "  leading   and\ttab\nnewline ", // messy whitespace
+        "one", "", "   ")
+      val df = texts.toDF("text").select(
+        token_windows(col("text"), 10).as("got"),
+        expr("transform(sequence(0, cast(ceil(size(filter(split(text, '\\\\s+'), w -> w != '')) / 10.0) AS INT) - 1), " +
+          "i -> array_join(slice(filter(split(text, '\\\\s+'), w -> w != ''), i * 10 + 1, 10), ' '))").as("want"),
+        size(filter(split(col("text"), "\\s+"), w => w =!= lit(""))).as("ntok"))
+      df.collect().foreach { r =>
+        val got = r.getSeq[String](0)
+        // the transform formulation is undefined at 0 tokens (descending
+        // sequence) — there token_windows' contract is the empty array
+        val want = if (r.getInt(2) == 0) Seq.empty[String] else r.getSeq[String](1)
+        assert(got == want, s"got $got want $want")
+      }
+    }
+  }
+
   test("capped_collect_list survives the sort-based aggregation fallback") {
     // ObjectHashAggregate falls back to sort-based aggregation beyond the
     // in-memory key budget — force it with a threshold of 1 so every group
