@@ -227,6 +227,22 @@ object Ext {
     }
   }
 
+  /** The near-dup COMPONENT LABELS (member, cluster_rep) over the shared
+    * session pair graph — the clustering artifact the keeper/audit
+    * consumers read (keep_best, keep_central, cluster_sizes, cohesion,
+    * split_by_family), cached exactly like the pair graph and the ledger
+    * it feeds: a real curation session clusters once and audits from
+    * every angle. The clustering-measuring rows (q_dedup_clusters /
+    * _star / _auto) and the ledger's own derivation keep clustering
+    * inline so their bench rows time the algorithm. */
+  private def nearDupComponents(s: SparkSession, dir: String): DataFrame = {
+    val canon = canonicalDocs(s, dir)
+    graft.plans.PairGraphCache.cached(canon,
+      s"cc:jac0.2:${graft.Tables.benchMode}") {
+      graft.operators.TextDedup.duplicateClustersAuto(nearDupPairs(s, dir))
+    }
+  }
+
   /** The per-document curation ledger (doc_id, status, keeper_id) —
     * q_dedup_ledger's frame, shared with the per-source rate rollup.
     * Tier 1: exact dups point at their canonical rep; tier 2: canonical
@@ -573,8 +589,7 @@ object Ext {
     // (a consumer, like the ledger); everything after the components is
     // cluster-count-sized, then histogram-sized.
     "q_dedup_cluster_sizes" -> ((s, dir) => {
-      val comps = graft.operators.TextDedup
-        .duplicateClustersAuto(nearDupPairs(s, dir))
+      val comps = nearDupComponents(s, dir)
       ord(comps.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .withColumn("n_docs", col("cluster_size") * col("n_clusters")))
@@ -650,7 +665,7 @@ object Ext {
       // former shared localCheckpoint (and its release discipline) is
       // unnecessary here
       val pairs = nearDupPairs(s, dir)
-      val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
+      val comps = nearDupComponents(s, dir)
       val pr = graft.operators.GraphRank.pagerank(pairs, iters = 5)
         .select(col("member").as("pid"), col("pr_nano"))
       ord(graft.operators.TextDedup.keepers(comps, pr, "pid", "pr_nano")
@@ -793,7 +808,7 @@ object Ext {
       // parquet-backed via nearDupPairs: multiple consumer passes replan
       // against a plain file scan, so no localCheckpoint to manage
       val pairs = nearDupPairs(s, dir)
-      val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
+      val comps = nearDupComponents(s, dir)
       val sizes = comps.groupBy("cluster_rep").agg(count(lit(1)).as("n_members"))
       val lab = comps.select(col("member").as("doc_a"), col("cluster_rep"))
       ord(pairs.join(lab, "doc_a")
@@ -835,8 +850,7 @@ object Ext {
     // joined to the component labels, never a second text scan; the
     // per-cluster window partitions by cluster_rep (no global window).
     "q_dedup_keep_best" -> ((s, dir) => {
-      val pairs = nearDupPairs(s, dir)
-      val comps = graft.operators.TextDedup.duplicateClustersAuto(pairs)
+      val comps = nearDupComponents(s, dir)
       val len = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       ord(graft.operators.TextDedup.keepers(comps, len, "doc_id", "n_chars")
         .withColumnRenamed("keep_id", "keep_doc")
@@ -2421,8 +2435,7 @@ object Ext {
         .select(col("doc_id"), col("source"), col("n_chars"),
           min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
             .as("rep"))
-        .join(graft.operators.TextDedup.duplicateClustersAuto(
-            nearDupPairs(s, dir))
+        .join(nearDupComponents(s, dir)
             .select(col("member").as("rep"), col("cluster_rep")),
           Seq("rep"), "left")
         .select(col("doc_id"), col("source"), col("n_chars"),
