@@ -2863,13 +2863,19 @@ object Ext {
           col("wa") =!= col("wb"))
       val h = (c: org.apache.spark.sql.Column) =>
         conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
-      val pairs = co
+      // the WORD-level distinct pair set feeds both the hashed edge list
+      // and the label dictionary (every graph node appears in some pair,
+      // so the dict over pairs equals the dict over the raw co stream) —
+      // the former independent dict branch re-ran the skipgram generator
+      // + a second corpus-wide distinct; both consumers now share the one
+      // distinct-pair exchange (round-17, guide §2.4)
+      val pairs0 = co
         .select(least(col("wa"), col("wb")).as("a"),
           greatest(col("wa"), col("wb")).as("b"))
         .distinct()
-        .select(h(col("a")).as("doc_a"), h(col("b")).as("doc_b"))
-      val dict = co.select(col("wa").as("word"))
-        .unionAll(co.select(col("wb").as("word")))
+      val pairs = pairs0.select(h(col("a")).as("doc_a"), h(col("b")).as("doc_b"))
+      val dict = pairs0.select(col("a").as("word"))
+        .unionAll(pairs0.select(col("b").as("word")))
         .distinct()
         .select(col("word"), h(col("word")).as("node"))
       val pr = graft.operators.GraphRank.pagerank(pairs, iters = 5)
