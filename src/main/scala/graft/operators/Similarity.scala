@@ -1161,7 +1161,16 @@ object Similarity {
         col("cell").as("bcell"))
     val paired = cell match {
       case Some(_) => a.join(b, col("acell") === col("bcell"))
-      case None => a.join(broadcast(b), col("src_id").isNotNull)
+      case None =>
+        // spread the |A|×|B| scan: the streamed pool often arrives as ONE
+        // scan partition (a pool-sized parquet file reads as a single
+        // split), which would serialize the whole cosine cross product on
+        // one task while the rest of the cluster idles. An EXPLICIT
+        // cores-based repartition (honored as-is — AQE would coalesce a
+        // keyed repartition of a few MB straight back to one partition)
+        // spreads the pairs; cost is one tiny pool-sized exchange.
+        a.repartition(a.sparkSession.sparkContext.defaultParallelism)
+          .join(broadcast(b), col("src_id").isNotNull)
     }
     val cross = paired
       .withColumn("cos",
