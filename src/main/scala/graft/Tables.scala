@@ -61,7 +61,9 @@ object Tables {
       s"${r.getLong(0)}|${r.getLong(1)}"
     }
     val content = fpKey match {
-      case Some(k) => stagingFps.computeIfAbsent(k, _ => checksum())
+      case Some(k) =>
+        val c = stagingFps.get(k)
+        if (c != null) c else stagingFpsPut(k, checksum())
       case None => checksum()
     }
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -72,6 +74,27 @@ object Tables {
 
   private val stagingFps =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop every memoized staging checksum. Called by
+    * [[graft.operators.Similarity.memoClear]] so the one
+    * regenerate-inputs-in-place seam resets EVERY session memo together
+    * (advisor round 17: a fixture rewritten in place with identical
+    * length inside mtime granularity would otherwise silently reuse a
+    * stale staging dir — exactly what the checksum was added to catch).
+    * Also the crude size bound: entries are a few dozen bytes and there
+    * are ~7 staging call sites, but a long-lived session cycling many
+    * data dirs should not accrete forever. */
+  private[graft] def stagingFpsClear(): Unit = stagingFps.clear()
+
+  /** Keep the staging-checksum memo bounded without LRU machinery: the
+    * key space is (dir, table, file-metadata digest) — regenerating
+    * fixtures mints new digests — so past a generous cap just reset;
+    * a re-checksum per staging site is one cheap aggregate. */
+  private def stagingFpsPut(k: String, v: String): String = {
+    if (stagingFps.size > 64) stagingFps.clear()
+    stagingFps.putIfAbsent(k, v)
+    v
+  }
 
   private val stagingLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

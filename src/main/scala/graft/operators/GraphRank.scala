@@ -56,10 +56,16 @@ object GraphRank {
     // the partial-aggregated contribution sum. The flat-edge form
     // re-shuffled the whole edge list per round (join on src over an
     // edge frame checkpointed (src,dst)-partitioned — 3 exchanges per
-    // round; measured 2.48 s -> ~1.6 s on q_pagerank at sf0.1). At
-    // 100 TB the adjacency list per node is bounded by the pair
-    // generators' maxDf/maxBucket caps, and degree falls out of the
-    // list size instead of a separate aggregate.
+    // round; measured 2.48 s -> ~1.6 s on q_pagerank at sf0.1). Degree
+    // falls out of the list size instead of a separate aggregate.
+    // SCALE CONTRACT (advisor round 17): per-node lists are bounded
+    // ONLY when the caller's pair generator caps degree (maxDf /
+    // maxBucket — true for the near-dup graphs). q_textrank feeds an
+    // UNCAPPED skipgram co-occurrence graph, so a high-frequency word's
+    // neighbor list is a single-row skew hazard at corpus scale; a
+    // 100 TB textrank caller must prune degree first (a maxDf-style
+    // filter before the pair distinct) or use the flat-edge form
+    // [[pagerankTrace]] uses, which never collects a neighborhood.
     val adj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()

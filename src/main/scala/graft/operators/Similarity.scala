@@ -420,6 +420,10 @@ object Similarity {
   private[graft] def memoClear(): Unit = {
     quantizerMemo.clear()
     memoKeyLocks.clear()
+    // the staging-checksum memo trusts the same (path, length, mtime)
+    // granularity — the regenerate-inputs-in-place seam resets every
+    // session memo together (advisor round 17)
+    graft.Tables.stagingFpsClear()
   }
 
   // private[operators]: BpeTrainer.trainCached routes its (bounded,

@@ -669,7 +669,11 @@ object TextDedup {
     val nEdges = edges.count()
     // a component on E edges has at most 2E vertices, so star needs at
     // most ~log2(2E) rounds; give propagation twice that (its rounds
-    // cost half as much) plus slack
+    // cost half as much) plus slack. NOTE the budget counts
+    // propagateCore's POST-FUSION rounds (round 17 fused literal round 1
+    // into the label init, so `budget` buys 1 fused round + budget-1
+    // probed rounds — one literal round MORE than pre-fusion units);
+    // a future tightening must not reason in pre-fusion round units.
     val budget = math.min(maxRounds,
       2 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(2 * nEdges, 2L))) + 2)
     val result = propagateWithin(edges, "u", "v", budget) match {

@@ -37,7 +37,12 @@ import org.apache.spark.sql.DataFrame
   */
 object PairGraphCache {
 
-  private[graft] var maxEntries = 8 // var: the eviction spec shrinks it
+  // 16, not 8 (advisor round 17): benchMode alone populates 7 distinct
+  // tags (jac:0.2, jac:0.0, mh:0.0, cc:jac0.2, ledger, cont:0.3, sh:3);
+  // one more artifact, or a session toggling bench/portable mode (14
+  // keys), would silently LRU-thrash at 8 — every "hit" becoming a full
+  // re-derivation plus a fresh graph-sized parquet directory in /tmp.
+  private[graft] var maxEntries = 16 // var: the eviction spec shrinks it
   private val entries = new java.util.LinkedHashMap[String, java.io.File](
     16, 0.75f, /*accessOrder=*/ true)
   private[graft] val hits = new java.util.concurrent.atomic.AtomicLong
@@ -122,7 +127,14 @@ object PairGraphCache {
                 // session length, not unbounded history: an evicted KEY
                 // re-derives into a genuinely fresh directory (the gen
                 // suffix), and /tmp is reclaimed at JVM exit.
-                entries.remove(entries.entrySet().iterator().next().getKey)
+                val evicted = entries.entrySet().iterator().next().getKey
+                entries.remove(evicted)
+                // eviction is legal but should never be SILENT: a session
+                // whose working set exceeds the cap turns every cache win
+                // into a re-derivation, which looks like an unexplained
+                // per-query regression unless this line names the cause
+                System.err.println(s"[pair-cache] evicted $evicted " +
+                  s"(cap $maxEntries) — its next consumer re-derives")
               }
             }
           } else hits.incrementAndGet()

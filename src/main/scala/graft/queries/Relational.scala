@@ -741,7 +741,17 @@ object Relational {
         lag(col("value"), 1).over(w).as("prev_value"),
         lead(col("value"), 1).over(w).as("next_value"),
         first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("first_value"),
-        last(col("value")).over(w.rowsBetween(0, Window.unboundedFollowing)).as("last_value")))
+        // whole-partition frame, NOT [current, unboundedFollowing): the
+        // value of `last(...)` is the partition's final row either way
+        // (the frame's upper bound is unbounded in both forms), but Spark
+        // evaluates a frame whose LOWER bound moves with the current row
+        // by re-scanning the partition remainder PER ROW — O(n²) per
+        // partition, the q_interp_linear trap — while the fixed
+        // [unboundedPreceding, unboundedFollowing] frame is computed once
+        // per partition (UnboundedWindowFunctionFrame). Same window sort,
+        // hash-identical output, linear cost at 100 TB partition sizes.
+        last(col("value")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("last_value")))
     }),
     "q_window_running" -> ((s, dir) => {
       val o = t(s, dir, "orders")
