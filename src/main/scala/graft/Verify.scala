@@ -155,8 +155,29 @@ object Verify {
       ioLock.synchronized { timing(name) = dt }
       println(f"[verify] $name $dt%.2fs (total ${elapsedSec}%.0fs)")
     }
+    // generic bounded worker pool over a query list (the broad phase and
+    // the replay sub-phase share it); the caller sweeps checkpoints after
+    def runPool(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                nThreads: Int, tag: String): Unit = {
+      val queue = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+      qs.foreach(queue.add)
+      val workers = (1 to nThreads).map { i =>
+        val th = new Thread(() => {
+          var next = queue.poll()
+          while (next != null) {
+            if (elapsedSec > budgetSec)
+              ioLock.synchronized { skipped += next._1 }
+            else runQuery(next._1, next._2, sweep = false)
+            next = queue.poll()
+          }
+        }, s"verify-$tag-$i")
+        th.setDaemon(true); th.start(); th
+      }
+      workers.foreach(_.join())
+    }
     val (broad, tail) = ordered.partition { case (n, _) => !heavyTail.contains(n) }
-    if (parallelism > 1 && broad.nonEmpty) {
+    if (parallelism > 1) {
       // checkpointed blocks cannot be released while OTHER workers are in
       // flight (releaseAll is session-global), but deferring the sweep to
       // the end of the whole broad phase lets ~250 queries' blocks pile up
@@ -167,27 +188,26 @@ object Verify {
       // survive sweeps by design (sequential mode sweeps after EVERY
       // query), so a mid-phase sweep costs nothing but the barrier.
       broad.grouped(96).foreach { chunk =>
-        val queue = new java.util.concurrent.ConcurrentLinkedQueue[
-          (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
-        chunk.foreach(queue.add)
-        val workers = (1 to parallelism).map { i =>
-          val th = new Thread(() => {
-            var next = queue.poll()
-            while (next != null) {
-              if (elapsedSec > budgetSec)
-                ioLock.synchronized { skipped += next._1 }
-              else runQuery(next._1, next._2, sweep = false)
-              next = queue.poll()
-            }
-          }, s"verify-worker-$i")
-          th.setDaemon(true); th.start(); th
-        }
-        workers.foreach(_.join())
+        runPool(chunk, parallelism, "worker")
         graft.plans.Checkpoints.releaseAll(spark)
       }
-      tail.foreach { case (name, fn) =>
+      // the streaming REPLAYS are mostly blocking micro-batch barriers
+      // (offset/commit log round-trips, processAllAvailable waits), not
+      // CPU — overlapping them on a small pool cuts their summed ~22 s
+      // to roughly the longest row (round 18). Safe to overlap: each
+      // replay has a session-unique memory-sink name and checkpoint dir,
+      // and the shuffle-partition toggle around query start is now
+      // ref-counted in Streams (first entrant pins, last restores). The
+      // non-replay tail rows stay strictly sequential; the sweep is
+      // deferred to after the pool, as in the broad phase.
+      val (replays, tailRest) = tail.partition(_._1.matches("q_stream_.*_replay"))
+      tailRest.foreach { case (name, fn) =>
         if (elapsedSec > budgetSec) skipped += name
         else runQuery(name, fn, sweep = true)
+      }
+      if (replays.nonEmpty) {
+        runPool(replays, math.min(4, parallelism), "replay")
+        graft.plans.Checkpoints.releaseAll(spark)
       }
     } else ordered.foreach { case (name, fn) =>
       if (elapsedSec > budgetSec) skipped += name

@@ -66,11 +66,15 @@ object GraphRank {
     // 100 TB textrank caller must prune degree first (a maxDf-style
     // filter before the pair distinct) or use the flat-edge form
     // [[pagerankTrace]] uses, which never collects a neighborhood.
+    // lazy: the eager rank-init checkpoint below is the materializing
+    // action, so building the adjacency costs no dedicated blocking job
+    // (round 18, guide §1.2 job count); every round then reads the
+    // persisted blocks exactly as before
     val adj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .groupBy(col("src").as("node")).agg(collect_list(col("dst")).as("nbrs"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     val nRow = adj.agg(count(lit(1)).as("n"))
     var pr = adj.select(col("node"), size(col("nbrs")).cast("bigint").as("deg"))
       .crossJoin(broadcast(nRow))
@@ -132,10 +136,12 @@ object GraphRank {
     // adjacency here measured 1.36 s -> 1.67 s at sf0.1 — the trace's
     // per-round eager checkpoint + movement join never amortizes the
     // collect_list build the way pagerank's fused lazy rounds do)
+    // lazy, materialized by the eager rank-init checkpoint below (the
+    // pagerank job-count fusion, round 18)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nRow = deg.agg(count(lit(1)).as("n"))
     var pr = deg.select(col("src").as("node"), col("deg"))

@@ -675,8 +675,22 @@ object Similarity {
       iters: Int,
       threshold: Double,
       maxBucket: Int = 0): DataFrame = {
-    val cents = trainIvf(vectors, k, iters).localCheckpoint(true)
-    val assigned = assignToCentroids(vectors, cents).localCheckpoint(true)
+    // pin the centroid frame ONLY when training returned a lazy plan (the
+    // in-memory spec path): on any file-backed corpus the memo already
+    // returns a literal-backed LocalRelation, and eager-checkpointing it
+    // was one pure-overhead blocking job per call (round 18 — part of
+    // q_semdedup's cold-run spread, verdict item 2)
+    val cents0 = trainIvf(vectors, k, iters)
+    val cents = cents0.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => cents0
+      case _ => cents0.localCheckpoint(true)
+    }
+    // lazy, not eager: the first consumer (the clustering's eager edge
+    // checkpoint) materializes these blocks inside its own job, saving a
+    // second blocking round-trip; the later centroid-cosine scan reads
+    // the persisted blocks. Consumers are strictly sequential driver
+    // actions here — not the parallel-consumer shape the mmr revert hit.
+    val assigned = assignToCentroids(vectors, cents).localCheckpoint(eager = false)
     val pairs = cosinePairs(assigned, threshold,
       bucket = Some(col("cid")), maxBucket = maxBucket)
     val comps = TextDedup.duplicateClustersAuto(pairs, "vec_a", "vec_b")

@@ -422,12 +422,17 @@ object TextDedup {
       strict: Boolean): (Option[DataFrame], Int) = {
     // materialize the edge list ONCE: every propagation round joins it,
     // and candidate pairs are usually the output of a whole dedup
-    // pipeline — leaving them lazy re-executes that pipeline per round
-    // (measured 5.6s -> 3.1s on the jaccard graph at sf0.1)
+    // pipeline — leaving them UNPINNED re-executes that pipeline per
+    // round (measured 5.6s -> 3.1s on the jaccard graph at sf0.1).
+    // LAZY checkpoints (round 18): round 1's convergence count is the
+    // materializing action for the whole init chain — edges and the
+    // fused init labels persist inside that one job instead of paying
+    // two dedicated blocking jobs per clustering call (guide §1.2 job
+    // count; consumers here are strictly sequential driver actions).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     // round 1 FUSED into the label init (round-17): the first round's
     // result is just min(id ∪ N(id)), computable by the same groupBy that
     // would otherwise build the trivial id-labels — one fewer round and
@@ -436,7 +441,7 @@ object TextDedup {
     // per-round-audit sibling propagationTrace keeps the literal rounds).
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     var round = 1
     var converged = false
     while (!converged) {
@@ -483,12 +488,15 @@ object TextDedup {
       bCol: String = "doc_b",
       rounds: Int = 6): DataFrame = {
     require(rounds >= 1)
+    // lazy init, materialized by round 1's movement count (round 18 —
+    // the propagateCore job-count fusion; the trace's OUTPUT is the
+    // per-round movement numbers, which laziness cannot change)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+      .withColumn("lbl", col("id")).localCheckpoint(eager = false)
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     for (r <- 1 to rounds) {
       val nbr = edges.join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
@@ -548,23 +556,26 @@ object TextDedup {
       maxRounds: Int): (DataFrame, Int) = {
     // undirected edges, no self-loops; (u, v) kept one-per-pair — each
     // phase re-derives the bidirectional view it needs
+    // lazy checkpoint + count: the count is the materializing action, so
+    // the init costs one job, not two (round 18, guide §1.2 job count)
     var edges = pairs
       .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     var nEdges = edges.count()
 
     // one star phase: for each node x, m(x) = min(N(x) ∪ {x}); re-point
     // the selected side of every edge at m. `largeSide` picks which
     // neighbors move: the larger one (large-star) or the smaller-or-equal
-    // one plus the node itself (small-star).
-    // NOTE the closing distinct() is load-bearing for THROUGHPUT, not
-    // just set semantics: an experiment skipping it on the large-star
-    // intermediate (duplicates are harmless to small-star's min and to
-    // the round's final distinct) measured 3.8s -> 6.0s on the 100k
-    // probe — duplicate inflation through small-star's two shuffles and
-    // join costs more than the dedup shuffle it saves.
-    def phase(bi: DataFrame, large: Boolean): DataFrame = {
+    // one plus the node itself (small-star). Candidates come back WITH
+    // duplicates; the caller closes the phase with its own aggregate.
+    // NOTE the large phase's closing distinct() is load-bearing for
+    // THROUGHPUT, not just set semantics: an experiment skipping it
+    // (duplicates are harmless to small-star's min and to the round's
+    // final distinct) measured 3.8s -> 6.0s on the 100k probe —
+    // duplicate inflation through small-star's two shuffles and join
+    // costs more than the dedup shuffle it saves.
+    def phaseCand(bi: DataFrame, large: Boolean): DataFrame = {
       val m = bi.groupBy(col("src"))
         .agg(least(min(col("dst")), col("src")).as("m"))
       val joined = bi.join(m, "src")
@@ -576,12 +587,23 @@ object TextDedup {
           .union(m.select(col("src").as("x"), col("m")))
       out.filter(col("x") =!= col("m"))
         .select(least(col("x"), col("m")).as("u"), greatest(col("x"), col("m")).as("v"))
-        .distinct()
     }
     def bidir(e: DataFrame): DataFrame =
       e.select(col("u").as("src"), col("v").as("dst"))
         .union(e.select(col("v").as("src"), col("u").as("dst")))
 
+    // the convergence probe FUSED into small-star's closing distinct
+    // (round-18, guide §2.4 "two operations keyed the same way share one
+    // exchange"): the old shape closed the phase with distinct() over
+    // (u, v) and then LEFT-JOINED the old edge set back for the
+    // membership diff — a second (u, v)-keyed exchange plus a join per
+    // round. Now the old edges ride the SAME groupBy(u, v) exchange as
+    // the candidates, flagged; one aggregate yields next's edges AND the
+    // exact two-sided set diff (fresh = in next only, stale = in old
+    // only; both zero ⟺ set equality, the same convergence criterion).
+    // `edges` between rounds is a narrow filter over the round's
+    // checkpointed grouped frame; `cp` tracks the persisted backing.
+    var cp = edges
     var round = 0
     var converged = false
     while (!converged) {
@@ -592,27 +614,32 @@ object TextDedup {
       // once and the second consumer reads persisted blocks; without it,
       // AQE broadcasting one join side defeats exchange reuse and the
       // whole large-star subplan derives twice (the round-3 LSH lesson)
-      val large = phase(bidir(edges), large = true).localCheckpoint(eager = false)
-      val next = phase(bidir(large), large = false)
+      val large = phaseCand(bidir(edges), large = true).distinct()
         .localCheckpoint(eager = false)
-      // the ONE action of the round: the membership-diff aggregate scans
-      // every partition of `next`, so it materializes both lazy
-      // checkpoints AND decides convergence in the same job. Set
-      // equality: both sides are distinct, so an equal count plus an
-      // empty one-sided difference suffice — here count and diff ride
-      // one left join into a single 1-row aggregate (the old shape ran
-      // a second anti-join job per round)
-      val probe = next
-        .join(edges.select(col("u"), col("v"), lit(true).as("__old")),
-          Seq("u", "v"), "left")
-        .agg(count(lit(1)).as("n"),
-          count(when(col("__old").isNull, 1)).as("fresh"))
-        .head()
+      val grouped = phaseCand(bidir(large), large = false)
+        .select(col("u"), col("v"), lit(1).as("__cand"))
+        .union(edges.select(col("u"), col("v"), lit(0).as("__cand")))
+        .groupBy(col("u"), col("v"))
+        .agg(max(col("__cand")).as("in_next"), min(col("__cand")).as("all_next"))
+        .localCheckpoint(eager = false)
+      // the ONE action of the round: the probe aggregate scans every
+      // partition of `grouped`, materializing both lazy checkpoints AND
+      // deciding convergence in the same job. Old edges are distinct, so
+      // a group is: next-only (in_next=1, all_next=1 → fresh), old-only
+      // (in_next=0 → stale), or shared (in_next=1, all_next=0).
+      // coalesce: SUM over an empty frame is NULL (an empty pair graph
+      // must read as converged-with-zero-edges, not NPE)
+      val probe = grouped.agg(
+        coalesce(sum(col("in_next")), lit(0L)).as("n"),
+        coalesce(sum(col("all_next")), lit(0L)).as("fresh"),
+        coalesce(sum(lit(1) - col("in_next")), lit(0L)).as("stale")
+      ).head()
       val nNext = probe.getLong(0)
-      converged = nNext == nEdges && probe.getLong(1) == 0L
+      converged = probe.getLong(1) == 0L && probe.getLong(2) == 0L
       graft.plans.Checkpoints.release(large) // intra-round scratch
-      graft.plans.Checkpoints.release(edges)
-      edges = next
+      graft.plans.Checkpoints.release(cp)
+      cp = grouped
+      edges = grouped.filter(col("in_next") === 1).select(col("u"), col("v"))
       nEdges = nNext
       round += 1
     }
@@ -622,7 +649,7 @@ object TextDedup {
       .union(edges.select(col("u").as("member"), col("u").as("cluster_rep")))
       .distinct()
       .localCheckpoint(true)
-    graft.plans.Checkpoints.release(edges)
+    graft.plans.Checkpoints.release(cp) // edges is a view over cp's blocks
     (labels, round)
   }
 
@@ -662,10 +689,13 @@ object TextDedup {
     // normalized edge list, materialized ONCE: the attempt and the
     // fallback both consume it (each re-derives its own working frame
     // from persisted blocks, not from the pair pipeline)
+    // lazy checkpoint + count: the budget count doubles as the
+    // materializing action (round 18 — one job, not two; the attempt and
+    // the fallback then both read the persisted blocks)
     val edges = pairs
       .select(least(col(aCol), col(bCol)).as("u"), greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     val nEdges = edges.count()
     // a component on E edges has at most 2E vertices, so star needs at
     // most ~log2(2E) rounds; give propagation twice that (its rounds
