@@ -101,6 +101,10 @@ object GraphRank {
           (col("tele") +
             expr(s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
             .as("pr_nano"))
+      // cadence 2, not 3 (round-18 A/B with job counts: every-3rd saves 3
+      // AQE stage-jobs but the 3-deep lazy span re-reads the rank blocks
+      // ~8x per checkpoint — 20x probe wall 3.45 s -> 3.83 s, sf0.1
+      // consistently worse; round 17 measured the same direction)
       if (i % 2 == 0 || i == iters) {
         val cp = updated.localCheckpoint(true)
         graft.plans.Checkpoints.release(lastCp)

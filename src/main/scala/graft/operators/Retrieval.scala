@@ -101,18 +101,24 @@ object Retrieval {
   def mmrRerank(e: DataFrame, queryPred: Column, topN: Int, k: Int): DataFrame = {
     require(topN >= k && k >= 1)
     import graft.functions.VecDot.vec_dot
-    // candidate and pairwise-sim frames materialize ONCE (localCheckpoint):
-    // each greedy step references both, and the accumulated selection
-    // references every prior step — left lazy, step i's plan re-derives
-    // the whole knn + self-join lineage O(2^i) times (first cut measured
-    // 12.3 s at sf0.1 vs 0.7 s checkpointed). Superseded selection
-    // checkpoints release immediately; cand/ps release before return; the
-    // RETURNED frame is checkpointed (callers release when done) — the
-    // duplicateClustersStar lifecycle.
+    // ONE-PASS greedy (round 18, guide §1.2 "the distributed algorithm
+    // first"): MMR's greedy selection is INDEPENDENT PER QUERY, so after
+    // candidate generation the whole k-step loop is local to one
+    // (q_id, candidates, pairwise-sims) group — at most topN + topN² rows
+    // of small integers per query, bounded by construction. The former
+    // implementation ran the loop as k driver-synchronized Spark rounds
+    // (an eager unionByName checkpoint per step: 50 jobs at k=5 in the
+    // JobProbe trace); now the candidate frame shuffles ONCE by q_id and
+    // a per-group loop replays the identical integer arithmetic —
+    // rel4/sim4 still come from the SAME Spark expressions (collected
+    // per group), so every picked row is bit-for-bit the old one, just
+    // without k cluster barriers. At 100 TB this is the difference
+    // between k full-cluster synchronizations per rerank and one
+    // queries-sized shuffle.
     val cand = Similarity.knn(e, queryPred, topN)
       .select(col("q_id"), col("neighbor").as("nb"),
         round(col("cos") * 10000, 0).cast("bigint").as("rel4"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false) // pinned: feeds cands agg AND the pair self-join
     val nv = e.select(col("vec_id").as("nb"), col("v"))
       .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
     val cv = cand.join(nv, "nb").select(col("q_id"), col("nb"), col("v"), col("nrm"))
@@ -121,31 +127,54 @@ object Retrieval {
       .select(col("q_id"), col("x.nb").as("a"), col("y.nb").as("b"),
         round(round(vec_dot(col("x.v"), col("y.v")) /
           (col("x.nrm") * col("y.nrm")), 4) * 10000, 0).cast("bigint").as("sim4"))
+    val cs = cand.groupBy("q_id")
+      .agg(collect_list(struct(col("nb"), col("rel4"))).as("cands"))
+    val pss = ps.groupBy("q_id")
+      .agg(collect_list(struct(col("a"), col("b"), col("sim4"))).as("sims"))
+    // the greedy itself: step 1 takes max rel4 (ties: lowest nb); step i
+    // takes max (rel4 − max sim4 to any picked) among candidates that
+    // HAVE a pair row to a picked id (every remaining candidate does —
+    // ps spans all within-candidate pairs — matching the old inner-join
+    // semantics exactly), ties: lowest nb. Bounded driver-free work:
+    // O(k·topN) per query inside one projection.
+    val greedy = udf((cands: Seq[org.apache.spark.sql.Row],
+                      sims: Seq[org.apache.spark.sql.Row]) => {
+      val rel = cands.map(r => (r.getLong(0), r.getLong(1)))
+      val sim = new scala.collection.mutable.HashMap[(Long, Long), Long]
+      if (sims != null) sims.foreach(r => sim((r.getLong(0), r.getLong(1))) = r.getLong(2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var remaining = rel
+      if (remaining.nonEmpty) {
+        val first = remaining.minBy { case (nb, r4) => (-r4, nb) }
+        out += ((1, first._1, first._2, 0L, first._2))
+        picked += first._1
+        remaining = remaining.filterNot(_._1 == first._1)
+        var step = 2
+        while (step <= k && remaining.nonEmpty) {
+          val scored = remaining.flatMap { case (nb, r4) =>
+            val ss = picked.flatMap(b => sim.get((nb, b)))
+            if (ss.isEmpty) None // no pair row to any pick: not selectable (old join semantics)
+            else Some((nb, r4, ss.max))
+          }
+          if (scored.isEmpty) { step = k + 1 } // nothing selectable: loop ends
+          else {
+            val best = scored.minBy { case (nb, r4, ms) => (-(r4 - ms), nb) }
+            out += ((step, best._1, best._2, best._3, best._2 - best._3))
+            picked += best._1
+            remaining = remaining.filterNot(_._1 == best._1)
+            step += 1
+          }
+        }
+      }
+      out.toSeq
+    })
+    val sel = cs.join(pss, Seq("q_id"), "left")
+      .select(col("q_id"), explode(greedy(col("cands"), col("sims"))).as("p"))
+      .select(col("q_id"), col("p._1").as("step"), col("p._2").as("nb"),
+        col("p._3").as("rel4"), col("p._4").as("maxsim4"), col("p._5").as("mmr4"))
       .localCheckpoint(true)
-    val w1 = Window.partitionBy("q_id").orderBy(col("rel4").desc, col("nb"))
-    var sel = cand.withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
-      .select(col("q_id"), lit(1).as("step"), col("nb"), col("rel4"),
-        lit(0L).as("maxsim4"), col("rel4").as("mmr4"))
-      .localCheckpoint(true)
-    for (i <- 2 to k) {
-      val selIds = sel.select(col("q_id"), col("nb"))
-      val ms = cand.join(selIds, Seq("q_id", "nb"), "left_anti")
-        .join(ps.select(col("q_id"), col("a").as("nb"), col("b"), col("sim4")),
-          Seq("q_id", "nb"))
-        .join(selIds.select(col("q_id"), col("nb").as("b")), Seq("q_id", "b"))
-        .groupBy("q_id", "nb", "rel4")
-        .agg(max(col("sim4")).as("maxsim4"))
-        .withColumn("mmr4", col("rel4") - col("maxsim4"))
-      val w = Window.partitionBy("q_id").orderBy(col("mmr4").desc, col("nb"))
-      val pick = ms.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("q_id"), lit(i).as("step"), col("nb"), col("rel4"),
-          col("maxsim4"), col("mmr4"))
-      val next = sel.unionByName(pick).localCheckpoint(true)
-      graft.plans.Checkpoints.release(sel)
-      sel = next
-    }
     graft.plans.Checkpoints.release(cand)
-    graft.plans.Checkpoints.release(ps)
     sel
   }
 
