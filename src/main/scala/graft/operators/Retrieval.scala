@@ -90,9 +90,10 @@ object Retrieval {
     * the IVF tiers at corpus scale — the MMR stage doesn't care); after
     * that EVERYTHING is bounded by queries × topN: the pairwise-sim
     * frame is a per-query self-join of a topN-row frame (queries ×
-    * topN² rows), and each greedy step is one groupBy + one per-query
-    * window over those bounded frames. The k steps unroll into one lazy
-    * plan — no driver-side loop over data, only over plan construction.
+    * topN² rows), and the whole k-step greedy runs LOCALLY per query
+    * group after one queries-sized shuffle — no driver-side loop, no
+    * per-step cluster barrier (round 18; the former per-step
+    * checkpointed rounds cost 50 jobs at k=5).
     *
     * Determinism: cosines round to 4 decimals then scale to exact
     * BIGINT 1e-4 units (round-then-cast, never truncate), every argmax

@@ -1762,6 +1762,10 @@ object Ext {
     "q_ann_recall_curve" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
+      // NOTE (round-18 A/B): pinning `exact` to a lazy checkpoint for its
+      // four consumers measured +2 AQE stage-jobs and flat wall — the
+      // broadcast-heavy match joins already share the knn subplan cheaply
+      // here, so it stays unpinned.
       val exact = graft.operators.Similarity.knn(e, col("vec_id") < 10, k = 5)
         .select(col("q_id"), col("neighbor"))
       val cents = graft.operators.Similarity.trainIvf(e, k = 8, iters = 2)
@@ -3244,8 +3248,10 @@ object Ext {
         // size. The distributed ntile derives its input 2-3x (quantile
         // probe + offsets + main pass); checkpointing here pays the
         // bigram inverted-index join ONCE instead (3.3s -> 1.3s at
-        // sf0.1). Released by the harness's between-query sweep.
-        .localCheckpoint(true)
+        // sf0.1). LAZY since round 18: the ntile's own quantile-probe
+        // action materializes it — same reuse, one fewer blocking job.
+        // Released by the harness's between-query sweep.
+        .localCheckpoint(eager = false)
       val bucketed = graft.operators.ScalableWindows.withGlobalNtile(
         scored, 3, Seq(col("mean_tf") * -1, col("doc_id")), "b", partitions = 8)
       ord(bucketed
