@@ -14,12 +14,31 @@ object Tables {
     * value-identical to how DuckDB's reader surfaces the same column and
     * oracle comparisons stay exact. */
   def t(s: SparkSession, dir: String, n: String): DataFrame = {
-    if (n == "events") {
-      // harmless for non-nanos files; required to read a nanos-physical ts
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventsTs(s.read.parquet(s"$dir/events.parquet"))
-    } else s.read.parquet(s"$dir/$n.parquet")
+    // one ANALYZED frame per (session, dir, table) for the JVM (round 18):
+    // a suite re-resolves each table hundreds of times (178 bench queries
+    // × 2-3 runs × 1-3 tables), and every spark.read.parquet pays driver
+    // file-listing + footer/schema resolution for an identical immutable
+    // lazy plan. The memo hands back the same DataFrame object — pure
+    // plan reuse, no data or results are cached; staleness shares the
+    // regenerate-inputs-in-place seam (Similarity.memoClear → tClear),
+    // and Verify/Bench are one-JVM-per-run over static inputs.
+    val key = (s, dir, n)
+    val cached = tMemo.get(key)
+    if (cached != null) cached
+    else tMemo.computeIfAbsent(key, _ =>
+      if (n == "events") {
+        // harmless for non-nanos files; required to read a nanos-physical ts
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        normalizeEventsTs(s.read.parquet(s"$dir/events.parquet"))
+      } else s.read.parquet(s"$dir/$n.parquet"))
   }
+
+  private val tMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Drop every memoized table frame (the memoClear staleness seam; also
+    * any harness that regenerates input files in place mid-JVM). */
+  private[graft] def tClear(): Unit = tMemo.clear()
 
   /** Normalize whatever physical `ts` the events parquet carries to a
     * session-TZ TimestampType (also used by the streaming parity spec). */

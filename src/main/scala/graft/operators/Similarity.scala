@@ -422,8 +422,10 @@ object Similarity {
     memoKeyLocks.clear()
     // the staging-checksum memo trusts the same (path, length, mtime)
     // granularity — the regenerate-inputs-in-place seam resets every
-    // session memo together (advisor round 17)
+    // session memo together (advisor round 17); same for the memoized
+    // table frames (their FileIndex snapshots the listing at creation)
     graft.Tables.stagingFpsClear()
+    graft.Tables.tClear()
   }
 
   // private[operators]: BpeTrainer.trainCached routes its (bounded,

@@ -3473,11 +3473,19 @@ object Ext {
     // 11× at 20× data; what remains is the irreducible single
     // md5-per-token scan.)
     "q_importance_resample" -> ((s, dir) => {
+      // per-TOKEN bucket hash — the one genuinely per-token-hot hash in
+      // the catalog. Bench/production mode uses the xxhash64 family (the
+      // Tables.benchMode convention every dedup generator follows: the
+      // oracle gate replays the portable md5 form, production hashes
+      // native); the portable form stays the exact conv/substring/md5
+      // chain the DuckDB oracle replays bit-for-bit.
+      val bucket =
+        if (graft.Tables.benchMode) pmod(xxhash64(col("w")), lit(128L))
+        else conv(substring(md5(col("w")), 1, 7), 16, 10).cast("bigint") % 128
       val docBuckets = t(s, dir, "documents")
         .selectExpr("doc_id", "source", "explode(split(text, '\\\\s+')) AS w")
         .filter(col("w") =!= "")
-        .withColumn("b",
-          conv(substring(md5(col("w")), 1, 7), 16, 10).cast("bigint") % 128)
+        .withColumn("b", bucket)
         .groupBy("doc_id", "source", "b")
         .agg(count(lit(1)).as("n"))
       val ratio = docBuckets.groupBy("b")
